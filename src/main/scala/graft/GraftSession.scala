@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with graft's scale-oriented defaults.
+  *
+  * Local testing runs `local[32]`; the same configs are what we'd set on a
+  * real cluster (AQE handles runtime re-planning: partition coalescing,
+  * skew-join splitting, broadcast demotion).
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  def local(appName: String = "graft", cpus: Int = 32): SparkSession = {
+    val s = builder(appName, cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

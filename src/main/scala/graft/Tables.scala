@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * Parquet scans give Catalyst predicate pushdown + column pruning for
+  * free — every graft query starts from these, so filters/projections
+  * reach the scan (verify via `.explain`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  /** Events table normalized for exact cross-engine time arithmetic:
+    * the driver data has TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 only reads via `spark.sql.legacy.parquet.nanosAsLong`
+    * (→ LongType nanos). We expose:
+    *   - `eps_us`: exact epoch microseconds (long) — matches DuckDB's
+    *     `epoch_us(ts)` (DuckDB truncates ns→µs on parquet read);
+    *   - `ts`: µs-precision TimestampType.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = apply(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("eps_us", expr("ts div 1000"))
+        .withColumn("ts", timestamp_micros(col("eps_us")))
+    else
+      raw.withColumn("eps_us", unix_micros(col("ts")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

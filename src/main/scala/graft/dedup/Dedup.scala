@@ -1,0 +1,126 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for corpus pipelines (SURVEY.md §2 #40–43):
+  * exact (content hash), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale shapes:
+  *  - exact: one hash aggregation on md5(content) — pure shuffle-by-key.
+  *  - n-gram Jaccard: shingle explode → equi-join on shingle → pair
+  *    count. Quadratic only within identical-shingle groups; at 100 TB
+  *    run it AFTER MinHash banding restricts the candidate set.
+  *  - MinHash/LSH: signatures are per-row expressions; banding turns
+  *    candidate generation into an equi-join on (band, bandHash) — the
+  *    canonical web-scale near-dup design (cf. Broder '97).
+  *  - SimHash: per-row 64-bit signature; near-dups collide on rotated
+  *    band keys (Charikar '02 / Manku et al. WWW'07 style blocking).
+  */
+object Dedup {
+
+  private def words(text: org.apache.spark.sql.Column) =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** Exact dedup map: content hash → surviving id + duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** Distinct k-word shingles per doc: (id, shingle) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))")))
+        .as("shingle"))
+
+  /** Exact n-gram Jaccard pairs >= threshold (id1 < id2). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("doc1"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc1"), col("n").as("n1")), Seq("doc1"))
+      .join(sizes.select(col(idCol).as("doc2"), col("n").as("n2")), Seq("doc2"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `perms` hash permutations, the min
+    * over the doc's shingles of xxhash64(perm, shingle). One array
+    * column, no shuffle. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, perms: Int = 32): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__sh"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${perms - 1}), p -> " +
+          "array_min(transform(__sh, s -> xxhash64(p, s))))"))
+      .select(col(idCol), col("sig"))
+
+  /** LSH candidate pairs: docs sharing any band of the MinHash
+    * signature, with estimated Jaccard (matching-permutation fraction)
+    * >= threshold. Candidate generation is an equi-join on the band
+    * hash — never an all-pairs join. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, perms: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5): DataFrame = {
+    require(perms % bands == 0)
+    val rows = perms / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, perms).cache()
+    val banded = sigs.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+      .as(Seq("band", "bh")))
+    val cands = banded.select(col(idCol).as("doc1"), col("band"), col("bh"))
+      .join(banded.select(col(idCol).as("doc2"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    cands
+      .join(sigs.select(col(idCol).as("doc1"), col("sig").as("sig1")), Seq("doc1"))
+      .join(sigs.select(col(idCol).as("doc2"), col("sig").as("sig2")), Seq("doc2"))
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))").cast("double") / perms)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over word hashes: bit b is set when the sum of
+    * ±1 contributions (per word, sign of bit b of xxhash64(word)) is
+    * positive. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) > 0)
+      .withColumn("__wh", expr("transform(__ws, w -> xxhash64(w))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  acc + CASE WHEN aggregate(__wh, 0L, (s, h) ->
+          |    s + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+          |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select(col(idCol), col("simhash"))
+
+  /** SimHash near-dup candidates: split the 64-bit signature into 4
+    * 16-bit blocks; docs sharing any block are candidates; keep pairs
+    * with Hamming distance <= maxHamming. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    val blocked = sh.select(col(idCol), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")).as(Seq("block", "bk")))
+    val cands = blocked.select(col(idCol).as("doc1"), col("simhash").as("h1"), col("block"), col("bk"))
+      .join(blocked.select(col(idCol).as("doc2"), col("simhash").as("h2"), col("block"), col("bk")),
+        Seq("block", "bk"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2", "h1", "h2").distinct()
+    cands
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+  }
+}

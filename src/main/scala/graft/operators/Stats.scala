@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistics — mirrors /root/reference/private/statistics.rkt.
+  *
+  * `df-statistics` without a weight series is a plain aggregation.
+  * With a weight series the reference folds consecutive sample pairs:
+  * value = (v_prev + v) / 2, weight = w - w_prev (Δ of the weight
+  * series, e.g. elapsed time), skipping pairs with Δw <= 0 or NA — the
+  * standard treatment for irregularly-sampled telemetry. We reproduce
+  * that with one window pass (distributed by key when given) + one
+  * aggregation.
+  *
+  * Weighted moments are population-style: μ = Σw·x/Σw,
+  * σ² = Σw·x²/Σw − μ² (reference uses math/statistics with default
+  * bias #f).
+  */
+object Stats {
+
+  /** df-statistics (unweighted): count/mean/stddev(sample)/min/max. */
+  def statistics(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      count(col(valueCol)).as("cnt"),
+      round(avg(col(valueCol)), 4).as("mean"),
+      round(stddev_samp(col(valueCol)), 4).as("stddev"),
+      round(min(col(valueCol)), 4).as("min"),
+      round(max(col(valueCol)), 4).as("max"))
+
+  /** Midpoint/Δweight pairs per the reference's weighted-statistics fold.
+    * Returns (..., __wx = midpoint value, __ww = Δweight) rows, Δw>0 only. */
+  def weightedPairs(df: DataFrame, keyCol: Option[String], orderCols: Seq[Column],
+                    valueCol: String, weightCol: String): DataFrame = {
+    val w = keyCol.map(k => Window.partitionBy(k)).getOrElse(Window.partitionBy())
+      .orderBy(orderCols: _*)
+    df.withColumn("__pv", lag(col(valueCol), 1).over(w))
+      .withColumn("__pw", lag(col(weightCol), 1).over(w))
+      .filter(col("__pv").isNotNull && (col(weightCol) > col("__pw")))
+      .withColumn("__wx", (col("__pv") + col(valueCol)) / 2)
+      .withColumn("__ww", col(weightCol) - col("__pw"))
+  }
+
+  /** df-statistics with a weight series: weighted mean + population
+    * stddev over the midpoint/Δweight pairs. */
+  def weightedStatistics(df: DataFrame, keyCol: Option[String], orderCols: Seq[Column],
+                         valueCol: String, weightCol: String): DataFrame = {
+    val pairs = weightedPairs(df, keyCol, orderCols, valueCol, weightCol)
+    pairs.agg(
+        (sum(col("__wx") * col("__ww")) / sum(col("__ww"))).as("__m"),
+        (sum(col("__wx") * col("__wx") * col("__ww")) / sum(col("__ww"))).as("__m2"),
+        sum(col("__ww")).as("__tw"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("cnt"),
+        round(col("__m"), 4).as("wmean"),
+        round(sqrt(col("__m2") - col("__m") * col("__m")), 4).as("wstddev"),
+        round(col("__tw"), 4).as("total_weight"))
+  }
+
+  /** df-quantile (unweighted, exact): linear-interpolated quantiles,
+    * identical to DuckDB quantile_cont. Exact percentile is a
+    * sort-based aggregate — fine for a single series; at 100 TB use
+    * `approxQuantile`/percentile_approx (also provided). */
+  def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    val arr = s"array(${qs.map(_ + "D").mkString(",")})"
+    df.agg(expr(s"percentile($valueCol, $arr)").as("__p"))
+      .select(posexplode(col("__p")).as(Seq("__i", "value")))
+      .select(expr(s"$arr[__i]").as("q"), round(col("value"), 4).as("value"))
+  }
+
+  /** Approximate quantiles for the 100 TB path (single pass, mergeable
+    * sketch). */
+  def quantilesApprox(df: DataFrame, valueCol: String, qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val arr = s"array(${qs.map(_ + "D").mkString(",")})"
+    df.agg(expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("__p"))
+      .select(posexplode(col("__p")).as(Seq("__i", "value")))
+      .select(expr(s"$arr[__i]").as("q"), col("value"))
+  }
+
+  /** Weighted quantile: sort by value, cumulative weight, pick the first
+    * value whose cumulative fraction reaches q (lower weighted
+    * quantile). Window cumsum distributes when bucketed; exactness
+    * matches the reference's weighted `quantile`. */
+  def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    val w = Window.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(col(valueCol), col(weightCol))
+      .filter(col(weightCol) > 0)
+      .withColumn("__cw", sum(col(weightCol)).over(w))
+    val total = cum.agg(max(col("__cw"))).first().getDouble(0)
+    val frames = qs.map { q =>
+      cum.filter(col("__cw") >= lit(q * total))
+        .agg(min(col(valueCol)).as("value"))
+        .select(lit(q).as("q"), round(col("value"), 4).as("value"))
+    }
+    frames.reduce(_ unionAll _)
+  }
+}

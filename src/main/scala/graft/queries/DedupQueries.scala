@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Cosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search queries (SURVEY.md §2 #40–46) over
+  * `documents` and `embeddings`. */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // #40 exact dedup (content hash survival map).
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("h")),
+
+    // #43 exact n-gram Jaccard pairs.
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.2)
+        .orderBy("doc1", "doc2")),
+
+    // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, perms = 32, bands = 8, threshold = 0.4)
+        .orderBy("doc1", "doc2")),
+
+    // #42 SimHash candidates (rows-only: xxhash64-specific).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text", maxHamming = 12)
+        .orderBy("doc1", "doc2")),
+
+    // #44 embedding-cosine near-dup pairs.
+    "q_dedup_embed" -> ((s, dir) =>
+      Cosine.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy("doc1", "doc2")),
+
+    // #45 brute-force cosine top-k (probes = vec_id < 10).
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Cosine.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // #46 LSH-bucketed ANN (rows-only: recall checked in spec).
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Cosine.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rank")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |       WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        | round(cast(inter as double)/(sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
+        |WHERE cast(inter as double)/(sa.n + sb.n - inter) >= 0.2
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT vec_id, i, cast(embedding[i] as double) AS v
+        |      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2, sum(a.v*b.v) AS dot
+        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT doc1, doc2, round(dot/(na.nrm*nb.nrm), 4) AS cos
+        |FROM d JOIN n na ON na.vec_id = doc1 JOIN n nb ON nb.vec_id = doc2
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.4
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT vec_id, i, cast(embedding[i] as double) AS v
+        |      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, sum(a.v*b.v) AS dot
+        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT probe_id, neighbor_id, dot/(na.nrm*nb.nrm) AS cos,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY dot/(na.nrm*nb.nrm) DESC, neighbor_id) AS rank
+        |      FROM d JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+        |SELECT probe_id, cast(rank as int) AS rank, neighbor_id, round(cos, 4) AS cos
+        |FROM c WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+  )
+}

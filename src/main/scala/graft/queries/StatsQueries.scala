@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Histogram, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistics + histogram queries (SURVEY.md §2 #15–20). */
+object StatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // #15 df-statistics (unweighted).
+    "q_stats" -> ((s, dir) =>
+      Stats.statistics(Tables.lineitem(s, dir), "l_extendedprice")),
+
+    // #16 df-statistics with a weight series (elapsed-time weighting).
+    "q_weighted_stats" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("elapsed", col("eps_us").cast("double") / 1000000.0)
+      Stats.weightedStatistics(e, None, Seq(col("elapsed"), col("event_id")), "value", "elapsed")
+    }),
+
+    // #17 df-quantile (exact, linear interpolation).
+    "q_quantile" -> ((s, dir) =>
+      Stats.quantiles(Tables.lineitem(s, dir), "l_quantity", Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+        .orderBy("q")),
+
+    // #19 df-histogram (unweighted, dense bucket range).
+    "q_histogram" -> ((s, dir) =>
+      Histogram.histogram(Tables.lineitem(s, dir), "l_quantity", 5.0)
+        .orderBy("bucket_start")),
+
+    // #20 weighted histogram, as-percentage.
+    "q_histogram_weighted" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("elapsed", col("eps_us").cast("double") / 1000000.0)
+      val pairs = Stats.weightedPairs(e, None, Seq(col("elapsed"), col("event_id")), "value", "elapsed")
+      Histogram.weightedHistogram(pairs, 10.0, includeZeroes = true, asPercentage = true)
+        .orderBy("bucket_start")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stats" ->
+      """SELECT count(l_extendedprice) AS cnt, round(avg(l_extendedprice),4) AS mean,
+        | round(stddev_samp(l_extendedprice),4) AS stddev,
+        | round(min(l_extendedprice),4) AS min, round(max(l_extendedprice),4) AS max
+        |FROM lineitem""".stripMargin,
+
+    "q_weighted_stats" ->
+      """WITH s AS (SELECT epoch_us(ts)/1000000.0 AS w, value AS v, event_id FROM events),
+        |p AS (SELECT w, v, lag(v) OVER (ORDER BY w, event_id) AS pv,
+        |             lag(w) OVER (ORDER BY w, event_id) AS pw FROM s),
+        |q AS (SELECT (pv+v)/2 AS wx, w-pw AS ww FROM p WHERE pv IS NOT NULL AND w > pw)
+        |SELECT count(*) AS cnt,
+        | round(sum(wx*ww)/sum(ww),4) AS wmean,
+        | round(sqrt(sum(wx*wx*ww)/sum(ww) - pow(sum(wx*ww)/sum(ww),2)),4) AS wstddev,
+        | round(sum(ww),4) AS total_weight
+        |FROM q""".stripMargin,
+
+    "q_quantile" ->
+      """SELECT q, value FROM (
+        | SELECT cast(0.0 as double) AS q, round(quantile_cont(l_quantity, 0.0),4) AS value FROM lineitem
+        | UNION ALL SELECT 0.25, round(quantile_cont(l_quantity, 0.25),4) FROM lineitem
+        | UNION ALL SELECT 0.5, round(quantile_cont(l_quantity, 0.5),4) FROM lineitem
+        | UNION ALL SELECT 0.75, round(quantile_cont(l_quantity, 0.75),4) FROM lineitem
+        | UNION ALL SELECT 1.0, round(quantile_cont(l_quantity, 1.0),4) FROM lineitem
+        |) ORDER BY q""".stripMargin,
+
+    "q_histogram" ->
+      """WITH sparse AS (
+        |  SELECT cast(trunc(l_quantity/5.0) as bigint) AS b, cast(count(*) as double) AS r
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi, sum(r) AS total FROM sparse),
+        |dense AS (SELECT unnest(generate_series(lo, hi)) AS b, total FROM bounds)
+        |SELECT cast(b*5.0 as double) AS bucket_start, round(coalesce(r, 0.0),4) AS "rank"
+        |FROM dense LEFT JOIN sparse USING (b) ORDER BY bucket_start""".stripMargin,
+
+    "q_histogram_weighted" ->
+      """WITH s AS (SELECT epoch_us(ts)/1000000.0 AS w, value AS v, event_id FROM events),
+        |p AS (SELECT w, v, lag(v) OVER (ORDER BY w, event_id) AS pv,
+        |             lag(w) OVER (ORDER BY w, event_id) AS pw FROM s),
+        |q AS (SELECT (pv+v)/2 AS wx, w-pw AS ww FROM p WHERE pv IS NOT NULL AND w > pw),
+        |sparse AS (SELECT cast(trunc(wx/10.0) as bigint) AS b, sum(ww) AS r FROM q GROUP BY 1),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi, sum(r) AS total FROM sparse),
+        |dense AS (SELECT unnest(generate_series(lo, hi)) AS b, total FROM bounds)
+        |SELECT cast(b*10.0 as double) AS bucket_start,
+        | round(CASE WHEN total > 0 THEN coalesce(r,0.0)*100.0/total ELSE 0.0 END, 4) AS "rank"
+        |FROM dense LEFT JOIN sparse USING (b) ORDER BY bucket_start""".stripMargin,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Lookup, MeanMax}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series / window queries (SURVEY.md §2 #8, #22–25):
+  * interpolated lookup, mean-max, time-delay, 2-D sample grouping.
+  *
+  * All keyed on `user_id` so window state distributes; epoch columns
+  * come from µs-precision timestamps (the oracle truncates DuckDB's ns
+  * timestamps to µs to match Spark's timestamp semantics).
+  */
+object WindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withEps(df: DataFrame): DataFrame =
+    df.withColumn("eps", col("eps_us").cast("double") / 1000000.0)
+
+  val queries: Map[String, Q] = Map(
+    // #8 df-lookup/interpolated: per-user probe grid at 1/10 span steps.
+    "q_interp_lookup" -> ((s, dir) => {
+      val e = withEps(Tables.events(s, dir))
+      val probes = e.groupBy("user_id")
+        .agg(min(col("eps")).as("lo"), max(col("eps")).as("hi"))
+        .select(col("user_id"), explode(sequence(lit(1), lit(9))).as("k"), col("lo"), col("hi"))
+        .select(col("user_id"), col("k"),
+          (col("lo") + col("k") * (col("hi") - col("lo")) / 10.0).as("probe"))
+      Lookup.interpolated(e, probes, "user_id", "eps", "value", "probe")
+        .join(probes.select(col("user_id"), col("k"), col("probe")), Seq("user_id", "probe"))
+        .select(col("user_id"), col("k"), round(col("interp"), 4).as("interp"))
+        .orderBy("user_id", "k")
+    }),
+
+    // #22 df-mean-max: best trailing-window averages per duration.
+    "q_meanmax" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("eps", expr("eps_us div 1000000"))
+      MeanMax.meanMax(e, "user_id", "eps", "value", Seq(60L, 300L, 1800L, 7200L))
+        .orderBy("duration")
+    }),
+
+    // #23 time-delay-series: value at first sample >= ts + 60s, per user.
+    "q_time_delay" -> ((s, dir) => {
+      val e = withEps(Tables.events(s, dir))
+      Lookup.timeDelay(e, "user_id", "eps", "value", "event_id", lit(60.0))
+        .select(col("user_id"), col("event_id"), round(col("delayed_value"), 4).as("delayed_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // #24 group-samples: 2-D grid binning of (quantity, price).
+    "q_group_samples" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(floor(col("l_quantity") / 5).cast("long").as("xb"),
+          floor(col("l_extendedprice") / 10000).cast("long").as("yb"))
+        .groupBy("xb", "yb").agg(count(lit(1)).as("cnt"))
+        .orderBy("xb", "yb")),
+
+    // #25 group-samples/factor: factor-keyed grouping.
+    "q_group_factor" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg("value"), 4).as("mean_value"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_interp_lookup" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)/1000000.0 AS eps, value FROM events),
+        |seg AS (SELECT user_id, eps AS t0, value AS v0,
+        |        lead(eps) OVER (PARTITION BY user_id ORDER BY eps) AS t1,
+        |        lead(value) OVER (PARTITION BY user_id ORDER BY eps) AS v1 FROM e),
+        |b AS (SELECT user_id, min(eps) AS lo, max(eps) AS hi FROM e GROUP BY user_id),
+        |probes AS (SELECT user_id, k, lo + k*(hi-lo)/10.0 AS probe
+        |           FROM b, (SELECT unnest(generate_series(1,9)) AS k) ks)
+        |SELECT p.user_id, cast(p.k as int) AS k,
+        | round(s.v0 + (s.v1-s.v0)*(p.probe-s.t0)/(s.t1-s.t0),4) AS interp
+        |FROM probes p JOIN seg s
+        |  ON p.user_id = s.user_id AND s.t1 IS NOT NULL AND p.probe >= s.t0 AND p.probe < s.t1
+        |ORDER BY p.user_id, k""".stripMargin,
+
+    "q_meanmax" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS eps, value FROM events),
+        |a AS (SELECT
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS m60,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS m300,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS m1800,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW) AS m7200
+        |  FROM e)
+        |SELECT duration, best_avg FROM (
+        | SELECT cast(60 as bigint) AS duration, round(max(m60),4) AS best_avg FROM a
+        | UNION ALL SELECT 300, round(max(m300),4) FROM a
+        | UNION ALL SELECT 1800, round(max(m1800),4) FROM a
+        | UNION ALL SELECT 7200, round(max(m7200),4) FROM a
+        |) ORDER BY duration""".stripMargin,
+
+    "q_time_delay" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS eps, value FROM events),
+        |j AS (SELECT e1.user_id, e1.event_id, e2.value AS v2,
+        |  row_number() OVER (PARTITION BY e1.user_id, e1.event_id ORDER BY e2.eps, e2.event_id) AS rn
+        |  FROM e e1 JOIN e e2 ON e1.user_id = e2.user_id AND e2.eps >= e1.eps + 60.0)
+        |SELECT user_id, event_id, round(v2,4) AS delayed_value
+        |FROM j WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_group_samples" ->
+      """SELECT cast(floor(l_quantity/5) as bigint) AS xb,
+        | cast(floor(l_extendedprice/10000) as bigint) AS yb, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY xb, yb""".stripMargin,
+
+    "q_group_factor" ->
+      """SELECT event_type, count(*) AS cnt, round(avg(value),4) AS mean_value,
+        | round(sum(value),2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale corpus pipelines (SURVEY.md §2
+  * #47–50): tokenization, quality scoring, language ID, winnowing
+  * fingerprints. All pure column expressions (whole-stage codegen) —
+  * no UDFs, no shuffles except the caller's aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace words, empty-safe. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** BPE-ish token stream: letter runs, single digits, single
+    * punctuation marks. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+
+  /** Total characters across words. */
+  def wordChars(ws: Column): Column =
+    aggregate(ws, lit(0), (acc, w) => acc + length(w))
+
+  def stopwordCount(ws: Column, stopwords: Seq[String]): Column = {
+    val arr = array(stopwords.map(lit): _*)
+    size(filter(ws, w => array_contains(arr, w)))
+  }
+
+  /** Quality features + a deterministic composite score in [0,1]. */
+  def quality(df: DataFrame, textCol: String, idCol: String,
+              stopwords: Seq[String]): DataFrame = {
+    df.withColumn("__ws", words(col(textCol)))
+      .withColumn("n_words", size(col("__ws")))
+      .withColumn("__sr", stopwordCount(col("__ws"), stopwords).cast("double") / col("n_words"))
+      .withColumn("mean_word_len",
+        round(wordChars(col("__ws")).cast("double") / col("n_words"), 4))
+      .withColumn("stop_ratio", round(col("__sr"), 4))
+      // score from UNROUNDED ratio — rounding first would park values on
+      // exact half-decimal boundaries and make cross-engine rounding flap
+      .withColumn("quality_score",
+        round(least(col("n_words") / 100.0, lit(1.0)) * 0.5 + col("__sr") * 0.5, 4))
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("stop_ratio"), col("quality_score"))
+  }
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword
+    * language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "los", "las", "una", "es", "que", "por", "como"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "et", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Language ID: argmax of marker-hit counts, deterministic tie-break
+    * on language code ("und" when nothing matches). */
+  def languageId(textCol: Column): Column = {
+    val ws = words(textCol)
+    // (-hits, lang) sorted ascending: most hits first, alphabetical
+    // tie-break — fully deterministic.
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct((-stopwordCount(ws, markers)).as("neg"), lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*)).getItem(0)
+    when(best.getField("neg") < 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-word
+    * shingles hashed (xxhash64), sliding-window (w) minima, distinct.
+    * Returns (idCol, fp bigint) rows. */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    val ws = words(col(textCol))
+    val d = df.withColumn("__ws", ws)
+      .filter(size(col("__ws")) >= k)
+      .withColumn("__hashes", expr(
+        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> " +
+          s"xxhash64(concat_ws(' ', slice(__ws, i, $k))))"))
+      .withColumn("__fps", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(__hashes) - ${w - 1}, 1)), i -> " +
+          s"array_min(slice(__hashes, i, $w))))"))
+    d.select(col(idCol), explode(col("__fps")).as("fp"))
+  }
+}
