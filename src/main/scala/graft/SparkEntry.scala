@@ -16,10 +16,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ StatsQueries.queries ++ WindowQueries.queries ++
-      FitQueries.queries ++ TextQueries.queries ++ DedupQueries.queries
+      FitQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      MiscQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ StatsQueries.oracle ++ WindowQueries.oracle ++
-      FitQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle
+      FitQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
+      MiscQueries.oracle
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Natural cubic spline interpolation — mirrors /root/reference/spline.rkt
+  * (tridiagonal solve for second derivatives, natural boundary M₀=Mₙ=0,
+  * piecewise-cubic evaluation).
+  *
+  * A spline over ONE series is inherently sequential (the tridiagonal
+  * system couples all knots), so the scale unit is the GROUP: knots are
+  * grouped by key, each group's solve runs inside `cogroup` on its
+  * executor, probes co-shuffle with their key. Groups distribute;
+  * 100 TB of series = millions of keys, each solved locally. A single
+  * giant series should be windowed upstream (piecewise splines).
+  */
+object Spline {
+
+  /** Second derivatives M for natural cubic spline through (xs, ys)
+    * (xs strictly increasing). Thomas algorithm, O(n). */
+  private[graft] def secondDerivatives(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val n = xs.length
+    val m = new Array[Double](n)
+    if (n < 3) return m
+    val sub = new Array[Double](n); val diag = new Array[Double](n)
+    val sup = new Array[Double](n); val rhs = new Array[Double](n)
+    for (i <- 1 until n - 1) {
+      val h0 = xs(i) - xs(i - 1); val h1 = xs(i + 1) - xs(i)
+      sub(i) = h0; diag(i) = 2 * (h0 + h1); sup(i) = h1
+      rhs(i) = 6 * ((ys(i + 1) - ys(i)) / h1 - (ys(i) - ys(i - 1)) / h0)
+    }
+    // forward sweep on rows 1..n-2 (natural boundaries: m(0)=m(n-1)=0)
+    for (i <- 2 until n - 1) {
+      val f = sub(i) / diag(i - 1)
+      diag(i) -= f * sup(i - 1)
+      rhs(i) -= f * rhs(i - 1)
+    }
+    m(n - 2) = rhs(n - 2) / diag(n - 2)
+    for (i <- n - 3 to 1 by -1) m(i) = (rhs(i) - sup(i) * m(i + 1)) / diag(i)
+    m
+  }
+
+  /** Evaluate the spline at x (clamped to the knot range). */
+  private[graft] def eval(xs: Array[Double], ys: Array[Double], m: Array[Double], x: Double): Double = {
+    val n = xs.length
+    if (n == 1) return ys(0)
+    val xc = math.max(xs(0), math.min(xs(n - 1), x))
+    var lo = 0; var hi = n - 1
+    while (hi - lo > 1) { val mid = (lo + hi) / 2; if (xs(mid) <= xc) lo = mid else hi = mid }
+    val h = xs(hi) - xs(lo)
+    val a = (xs(hi) - xc) / h; val b = (xc - xs(lo)) / h
+    a * ys(lo) + b * ys(hi) +
+      ((a * a * a - a) * m(lo) + (b * b * b - b) * m(hi)) * h * h / 6.0
+  }
+
+  /** Fit one spline per key over `knots` (keyCol, xCol, yCol) and
+    * evaluate at `probes` (keyCol, pxCol). Returns (key, px, y). */
+  def interpolate(knots: DataFrame, probes: DataFrame, keyCol: String,
+                  xCol: String, yCol: String, pxCol: String): DataFrame = {
+    val spark = knots.sparkSession
+    val kRows = knots.select(col(keyCol).cast("long"), col(xCol).cast("double"), col(yCol).cast("double"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
+    val pRows = probes.select(col(keyCol).cast("long"), col(pxCol).cast("double"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val out = kRows.groupByKey(_._1)(Encoders.scalaLong)
+      .cogroup(pRows.groupByKey(_._1)(Encoders.scalaLong)) { (key, ks, ps) =>
+        val pts = ks.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val xs = pts.map(_._1); val ys = pts.map(_._2)
+          val m = secondDerivatives(xs, ys)
+          ps.map(p => (key, p._2, eval(xs, ys, m, p._2)))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
+    out.toDF(keyCol, pxCol, "y")
+  }
+}

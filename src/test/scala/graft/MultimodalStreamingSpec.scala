@@ -1,0 +1,80 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("multimodal: schema, deterministic stub features, partition shape") {
+    val assets = Multimodal.syntheticAssets(spark, 12)
+    assert(assets.schema == Multimodal.schema)
+    val f1 = Multimodal.extractFeatures(assets, dim = 8)
+    val f2 = Multimodal.extractFeatures(assets, dim = 8)
+    assert(f1.rdd.getNumPartitions == assets.rdd.getNumPartitions) // narrow op
+    val a = f1.select("asset_id", "features").as[(Long, Seq[Double])].collect().toMap
+    val b = f2.select("asset_id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(a == b) // deterministic
+    assert(a.values.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
+    val resized = Multimodal.resizeImages(assets, 224, 224)
+    assert(resized.filter(col("modality") === "image" && col("width") =!= 224).count() == 0)
+    val frames = Multimodal.sampleFrames(assets, everyMs = 500)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("asset_id").count().filter(col("count") < 2).count() == 0)
+  }
+
+  test("sessionize cuts at gaps; matches window-based formulation") {
+    val us = 1000000L
+    val df = Seq(
+      (1L, 0L * us, 1.0), (1L, 60L * us, 2.0),          // session 1
+      (1L, 4000L * us, 3.0),                            // session 2 (gap > 600s)
+      (2L, 0L * us, 5.0)
+    ).toDF("user_id", "eps_us", "value")
+    val s = EventStreams.sessionize(df, gapMs = 600000L).orderBy("user_id", "session_start_us").collect()
+    assert(s.length == 3)
+    assert(s.head.getAs[Int]("n_events") == 2 && s.head.getAs[Double]("sum_value") == 3.0)
+    assert(s(1).getAs[Long]("session_start_us") == 4000L * us)
+  }
+
+  test("streaming windowed agg over MemoryStream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedAgg(df, "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:01:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:05:00")
+      val late = Timestamp.valueOf("2024-01-01 02:00:00") // advances watermark, closes window
+      mem.addData((t0, "click", 1.0), (t1, "click", 2.0), (t0, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData((late, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_agg").collect()
+      val click = out.find(r => r.getAs[String]("event_type") == "click"
+        && r.getAs[Timestamp]("win_start") == Timestamp.valueOf("2024-01-01 00:00:00")).get
+      assert(click.getAs[Long]("cnt") == 2 && click.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("user_id", "eps_us", "value")
+    val q = EventStreams.sessionizeStream(df, gapMs = 5000)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      mem.addData((1L, 1000000L, 2.0), (1L, 2000000L, 3.0))
+      q.processAllAvailable()
+      val out = spark.table("sess").collect()
+      assert(out.exists(r => r.getAs[Long]("user_id") == 1L && r.getAs[Int]("n_events") == 2),
+        s"rows: ${out.map(_.toString).mkString("; ")}")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators._
+import graft.operators.FrameOps._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("addDerived + validOnly + countNa") {
+    val df = Seq((1, Some(2.0)), (2, None), (3, Some(4.0))).toDF("id", "v")
+    val d = df.addDerived("v2", col("v") * 2)
+    assert(d.validOnly("v").count() == 2)
+    assert(d.countNa("v").first().getLong(0) == 1)
+    val na = d.countNaAll(Seq("id", "v", "v2")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(na == Map("id" -> 0L, "v" -> 1L, "v2" -> 1L))
+  }
+
+  test("equalRange filters inclusively") {
+    val df = (1 to 10).toDF("x")
+    assert(df.equalRange("x", 3, 5).count() == 3)
+  }
+
+  test("describeNumeric computes count/mean/min/max") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = df.describeNumeric(Seq("x")).first()
+    assert(r.getAs[Long]("cnt") == 4)
+    assert(math.abs(r.getAs[Double]("mean") - 2.5) < 1e-9)
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 4.0)
+  }
+
+  test("weighted statistics matches hand computation (midpoint×Δw)") {
+    // samples (w, v): (0,10) (10,20) (30,40)
+    // pairs: dy=15 dx=10; dy=30 dx=20 → wmean = (150+600)/30 = 25
+    val df = Seq((0.0, 10.0), (10.0, 20.0), (30.0, 40.0)).toDF("w", "v")
+    val r = Stats.weightedStatistics(df, None, Seq(col("w")), "v", "w").first()
+    assert(r.getAs[Double]("wmean") == 25.0)
+    assert(r.getAs[Double]("total_weight") == 30.0)
+  }
+
+  test("quantiles: exact linear interpolation") {
+    val df = (1 to 5).map(_.toDouble).toDF("x")
+    val q = Stats.quantiles(df, "x", Seq(0.5)).first()
+    assert(q.getAs[Double]("value") == 3.0)
+  }
+
+  test("weightedQuantile picks first value crossing cumulative weight") {
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 8.0)).toDF("v", "w")
+    val r = Stats.weightedQuantile(df, "v", "w", Seq(0.5)).first()
+    assert(r.getAs[Double]("value") == 3.0)
+  }
+
+  test("histogram buckets, dense fill, trim, combine") {
+    val df = Seq(0.5, 1.5, 1.7, 5.2).toDF("x")
+    val h = Histogram.histogram(df, "x", 1.0).orderBy("bucket_start")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(h.head == (0.0, 1.0))
+    assert(h(1) == (1.0, 2.0))
+    assert(h.length == 6) // dense 0..5
+    assert(h(3) == (3.0, 0.0))
+    val trimmed = Histogram.trimOutliers(h, 0.3)
+    assert(trimmed.head._1 == 1.0) // 0-bucket (25%) trimmed from the left
+    val c = Histogram.combine(
+      Histogram.histogram(df, "x", 1.0), Histogram.histogram(df, "x", 1.0))
+    assert(c.filter(col("rank1") =!= col("rank2")).count() == 0)
+  }
+
+  test("meanMax finds the best window average") {
+    // key 1: values 1,1,10,10 at t=0,10,20,30 — best 10s-avg = 10
+    val df = Seq((1L, 0L, 1.0), (1L, 10L, 1.0), (1L, 20L, 10.0), (1L, 30L, 10.0))
+      .toDF("k", "eps", "v")
+    val mm = MeanMax.meanMax(df, "k", "eps", "v", Seq(10L)).first()
+    assert(mm.getAs[Double]("best_avg") == 10.0)
+  }
+
+  test("interpolated lookup: linear between samples") {
+    val base = Seq((1L, 0.0, 0.0), (1L, 10.0, 100.0)).toDF("k", "t", "v")
+    val probes = Seq((1L, 2.5)).toDF("k", "p")
+    val r = Lookup.interpolated(base, probes, "k", "t", "v", "p").first()
+    assert(r.getAs[Double]("interp") == 25.0)
+  }
+
+  test("timeDelay picks first sample at/after ts+delay") {
+    val base = Seq((1L, 0.0, 5.0, 100L), (1L, 50.0, 7.0, 101L), (1L, 70.0, 9.0, 102L))
+      .toDF("k", "t", "v", "id")
+    val r = Lookup.timeDelay(base, "k", "t", "v", "id", lit(60.0))
+      .orderBy("id").collect()
+    assert(r.head.getAs[Double]("delayed_value") == 9.0) // t=0 → first ≥60 is t=70
+    assert(r.length == 1) // later samples have no match
+  }
+
+  test("Fit.solve solves a known system; fits recover parameters") {
+    val x = Fit.solve(Array(Array(2.0, 0.0), Array(0.0, 4.0)), Array(4.0, 8.0))
+    assert(x.toSeq == Seq(2.0, 2.0))
+    // exact y = 3 + 2x
+    val df = (1 to 20).map(i => (i.toDouble, 3.0 + 2.0 * i)).toDF("x", "y")
+    val lin = Fit.linear(df, "x", "y").first()
+    assert(math.abs(lin.getAs[Double]("slope") - 2.0) < 1e-6)
+    assert(math.abs(lin.getAs[Double]("intercept") - 3.0) < 1e-6)
+    assert(lin.getAs[Double]("rmse") == 0.0)
+    // exact y = 1 + 2x + 3x²
+    val dfp = (1 to 20).map(i => (i.toDouble, 1.0 + 2.0 * i + 3.0 * i * i)).toDF("x", "y")
+    val coefs = Fit.polynomial(dfp, "x", "y", 2).orderBy("degree").collect().map(_.getDouble(1))
+    assert(coefs.zip(Seq(1.0, 2.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-4 })
+    // y = 2 * x^1.5
+    val dfw = (1 to 20).map(i => (i.toDouble, 2.0 * math.pow(i, 1.5))).toDF("x", "y")
+    val pw = Fit.power(dfw, "x", "y").first()
+    assert(math.abs(pw.getAs[Double]("a") - 2.0) < 1e-3)
+    assert(math.abs(pw.getAs[Double]("b") - 1.5) < 1e-3)
+  }
+
+  test("annealing minimizes a quadratic") {
+    val (best, cost) = Annealing.anneal[Double](10.0,
+      x => (x - 3) * (x - 3),
+      (x, t, rng) => x + (rng.nextDouble() - 0.5) * 4 * t,
+      iterations = 5000)
+    assert(math.abs(best - 3.0) < 0.1 && cost < 0.01)
+  }
+}

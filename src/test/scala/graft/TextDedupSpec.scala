@@ -1,0 +1,92 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Cosine
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words here entirely unrelated tokens"),
+    (4L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val m = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(m.length == 3)
+    val dup = m.find(_.getAs[Long]("cnt") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard finds near pairs, not unrelated ones") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical → jaccard 1
+    assert(pairs.contains((1L, 2L))) // one word differs
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash candidates ⊇ high-jaccard pairs, est within 0.3 of exact") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cands.contains((1L, 4L)) && cands((1L, 4L)) == 1.0)
+    assert(cands.contains((1L, 2L)))
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .filter(col("doc1") === 1 && col("doc2") === 2).first().getAs[Double]("jaccard")
+    assert(math.abs(cands((1L, 2L)) - exact) < 0.3)
+  }
+
+  test("simhash: identical texts at distance 0, near texts close, far texts blocked or distant") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) < java.lang.Long.bitCount(sh(1L) ^ sh(3L)))
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))
+  }
+
+  test("language id is deterministic and marker-driven") {
+    val d = Seq((1L, "the cat is in the house"), (2L, "der hund ist ein tier"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("g"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("winnowing fingerprints: shared window minima overlap for near-dup docs") {
+    val fp = TextAnalysis.fingerprints(docs, "text", "doc_id")
+    val by = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(by(1L) == by(4L))
+    assert((by(1L) & by(2L)).nonEmpty)
+    assert((by(1L) & by(3L)).isEmpty)
+  }
+
+  test("quality features: counts and ratios") {
+    val q = TextAnalysis.quality(docs, "text", "doc_id", Seq("the", "a", "of")).orderBy("doc_id").first()
+    assert(q.getAs[Int]("n_words") == 9)
+    assert(q.getAs[Double]("stop_ratio") == math.rint(2.0 / 9.0 * 10000) / 10000)
+  }
+
+  test("cosine topK exact vs LSH recall on fixture vectors") {
+    val vecs = (0 until 30).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 3)
+    val exact = Cosine.topK(vecs, probes, "vec_id", "embedding", 3)
+    assert(exact.count() == 9)
+    // self-similarity excluded, cos ∈ [-1, 1]
+    assert(exact.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    assert(exact.filter(abs(col("cos")) > 1.0001).count() == 0)
+    val lsh = Cosine.lshTopK(vecs, probes, "vec_id", "embedding", 3, bits = 8, bands = 4)
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val l = lsh.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((e & l).size >= 3) // banded LSH recalls a reasonable share
+  }
+}
