@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Thin frame wrapper completing the reference's frame-management API
+  * (/root/reference/private/df.rkt): named series add/del/rename/
+  * duplicate, properties (df-put-property! etc.), shallow copy,
+  * row count / contains, and point access.
+  *
+  * Divergences, by design for scale:
+  *  - immutable: mutators return a new Frame (Spark plans are DAGs,
+  *    not mutable vectors); `df-set!` becomes a declarative
+  *    `setWhere` that rewrites matching cells.
+  *  - `df-ref` by positional row index only makes sense on an ordered
+  *    frame; `refBy` does a keyed point lookup instead (broadcast-hash
+  *    at scale), which is what the reference's index-based refs do.
+  */
+final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) {
+
+  // ---- series management -------------------------------------------------
+  def seriesNames: Seq[String] = df.columns.toSeq
+  def contains(names: String*): Boolean = names.forall(df.columns.contains)
+  def containsAny(names: String*): Boolean = names.exists(df.columns.contains)
+  def rowCount: Long = df.count()
+
+  /** df-add-series! (from an expression over existing series). */
+  def addSeries(name: String, expr: Column): Frame = copy(df = df.withColumn(name, expr))
+  /** df-del-series!. */
+  def delSeries(name: String): Frame = copy(df = df.drop(name))
+  /** df-rename-series!. */
+  def renameSeries(from: String, to: String): Frame = copy(df = df.withColumnRenamed(from, to))
+  /** df-duplicate-series. */
+  def duplicateSeries(name: String, as: String): Frame = copy(df = df.withColumn(as, col(name)))
+  /** df-shallow-copy (plans are immutable — same plan, same props). */
+  def shallowCopy: Frame = copy()
+
+  // ---- properties --------------------------------------------------------
+  def putProperty(key: String, value: Any): Frame = copy(properties = properties + (key -> value))
+  def delProperty(key: String): Frame = copy(properties = properties - key)
+  def getProperty(key: String): Option[Any] = properties.get(key)
+  def propertyNames: Seq[String] = properties.keys.toSeq
+
+  // ---- point access ------------------------------------------------------
+  /** df-ref analog: value of `valueCol` at the row where keyCol = key. */
+  def refBy(keyCol: String, key: Any, valueCol: String): Option[Any] = {
+    val rows = df.filter(col(keyCol) === lit(key)).select(valueCol).limit(1).collect()
+    rows.headOption.map(r => if (r.isNullAt(0)) null else r.get(0))
+  }
+
+  /** df-set! analog: new frame with `valueCol` rewritten to `value`
+    * where cond holds. */
+  def setWhere(cond: Column, valueCol: String, value: Any): Frame =
+    copy(df = df.withColumn(valueCol, when(cond, lit(value)).otherwise(col(valueCol))))
+}
