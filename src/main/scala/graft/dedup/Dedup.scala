@@ -91,6 +91,37 @@ object Dedup {
       .select(col("doc1"), col("doc2"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Duplicate-cluster resolution: given candidate near-dup PAIRS,
+    * assign every doc the minimum id of its connected component (the
+    * survivor) — iterative min-label propagation over the pair edges,
+    * each round two hash joins + an aggregation. Rounds needed =
+    * O(log(component diameter)); near-dup components are tiny, so
+    * `maxIters` = 10 covers pathological chains. The canonical
+    * large-scale formulation (no driver graph). Returns (id, survivor).
+    */
+  def survivors(pairs: DataFrame, ids: DataFrame, idCol: String,
+                maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("survivor"))
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIters) {
+      val viaEdges = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("survivor"))
+      val next = labels.select(col("id"), col("survivor")).union(viaEdges)
+        .groupBy("id").agg(min("survivor").as("survivor"))
+        .cache()
+      next.count() // materialize before comparing
+      changed = next.join(labels.withColumnRenamed("survivor", "old"), "id")
+        .filter(col("survivor") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over word hashes: bit b is set when the sum of
     * ±1 contributions (per word, sign of bit b of xxhash64(word)) is
     * positive. Kernel is the codegen'd graft.functions.SimHash64. */

@@ -58,20 +58,21 @@ object Cosine {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane signature: bit j of the
-    * signature is the sign of Σᵢ h(seed,j,i)·vᵢ where h is xxhash64
-    * scaled to [-1,1]. Vectors in the same bucket for any band are
-    * near-duplicate candidates. */
-  def lshSignature(vec: Column, bits: Int, seed: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x * (pmod(xxhash64(lit(seed), lit(j), i), lit(2000001)).cast("double") / 1000000.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+  /** Deterministic random hyperplanes for an LSH signature: seeded
+    * driver-side RNG, shipped as literal arrays so each bit is one
+    * codegen'd array_dot against the vector (the per-element hash
+    * formulation ran interpreted and dominated the query). */
+  def hyperplanes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
   }
+
+  /** Signature column: bit j = sign of plane_j · v. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.GraftFunctions.arrayDot(vec, typedLit(p.toSeq)) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: group corpus by signature band, local top-k per
     * probe within matching buckets. Recall < 1 by construction; the
@@ -81,22 +82,28 @@ object Cosine {
     require(bits % bands == 0)
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, id: String, v: String, n: String): DataFrame = {
-      val sig = lshSignature(col("__vd"), bits, seed)
-      withNorm(df, vecCol).withColumn("__sig", sig)
-        .select((0 until bands).map(b =>
-          struct(lit(b).as("band"), shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"),
-            col(idCol).as(id), col("__vd").as(v), col("__nrm").as(n)).as(s"s$b")): _*)
-        .select(explode(array((0 until bands).map(b => col(s"s$b")): _*)).as("s"))
-        .select(col("s.band"), col("s.key"), col(s"s.$id").as(id), col(s"s.$v").as(v), col(s"s.$n").as(n))
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, bits, seed)
+    def banded(df: DataFrame, id: String): DataFrame = {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      df.withColumn("__vd", toDouble(col(vecCol)))
+        .withColumn("__sig", lshSignature(col("__vd"), planes))
+        .select(col(idCol).as(id), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("s"))
+        .select(col(id), col("s.band"), col("s.key"))
     }
-    val c = banded(corpus, "neighbor_id", "v2", "n2")
-    val p = banded(probes, "probe_id", "v1", "n1")
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    p.join(c, Seq("band", "key"))
+    // band/bucket equi-join on (band,key) ids only; vectors join back
+    // afterwards so array payloads aren't exploded per band or hashed
+    // through distinct
+    val cands = banded(probes, "probe_id")
+      .join(banded(corpus, "neighbor_id"), Seq("band", "key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), col("v1"), col("n1"), col("v2"), col("n2"))
-      .distinct()
+      .select("probe_id", "neighbor_id").distinct()
+    val pv = withNorm(probes, vecCol).select(col(idCol).as("probe_id"), col("__vd").as("v1"), col("__nrm").as("n1"))
+    val cv = withNorm(corpus, vecCol).select(col(idCol).as("neighbor_id"), col("__vd").as("v2"), col("__nrm").as("n2"))
+    cands.join(broadcast(pv), Seq("probe_id")).join(cv, Seq("neighbor_id"))
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

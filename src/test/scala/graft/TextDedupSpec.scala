@@ -73,6 +73,15 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(q.getAs[Double]("stop_ratio") == math.rint(2.0 / 9.0 * 10000) / 10000)
   }
 
+  test("survivors: min-label propagation resolves duplicate clusters") {
+    // edges: 1-2, 2-5 (chain → component {1,2,5}), 7-8; 9 isolated
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc1", "doc2")
+    val ids = Seq(1L, 2L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val surv = Dedup.survivors(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surv == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("cosine topK exact vs LSH recall on fixture vectors") {
     val vecs = (0 until 30).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
