@@ -34,4 +34,27 @@ object MeanMax {
     val stacked = durations.map(d => s"${d}L, round(`__mm_$d`, 4)").mkString(", ")
     maxes.selectExpr(s"stack(${durations.size}, $stacked) as (duration, best_avg)")
   }
+
+  /** df-mean-max-aux (reference meanmax.rkt `df-mean-max-aux`): for
+    * each duration, the AUX series' average over the window where the
+    * MAIN series attains its best average. Same single window
+    * sort/shuffle; argmax via max_by over (main_avg ordering). */
+  def meanMaxAux(df: DataFrame, keyCol: String, epochCol: String, valueCol: String,
+                 auxCol: String, durations: Seq[Long]): DataFrame = {
+    val pairs = durations.map { d =>
+      val w = Window.partitionBy(keyCol).orderBy(col(epochCol).cast("long"))
+        .rangeBetween(-d, 0)
+      (avg(col(valueCol)).over(w).as(s"__m_$d"), avg(col(auxCol)).over(w).as(s"__a_$d"))
+    }
+    val withAvgs = df.select(
+      col(keyCol) +: col(epochCol).cast("long").as("__eps") +:
+        pairs.flatMap(p => Seq(p._1, p._2)): _*)
+    val aggs = durations.map(d =>
+      max_by(struct(col(s"__m_$d"), col(s"__a_$d")),
+        struct(col(s"__m_$d"), col("__eps"), col(keyCol))).as(s"__b_$d"))
+    val best = withAvgs.agg(aggs.head, aggs.tail: _*)
+    val stacked = durations.map(d =>
+      s"${d}L, round(`__b_$d`.`__m_$d`, 4), round(`__b_$d`.`__a_$d`, 4)").mkString(", ")
+    best.selectExpr(s"stack(${durations.size}, $stacked) as (duration, best_avg, aux_avg)")
+  }
 }

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-aware equi-join via key salting.
+  *
+  * AQE's skew-join splitting handles most skew at runtime; salting is
+  * the explicit plan-level tool for the pathological case (one key =
+  * 30% of 100 TB): the skewed (large) side gets a random salt in
+  * [0, factor), the small side is replicated `factor` times, and the
+  * join key becomes (key, salt) — the hot key's rows spread over
+  * `factor` tasks instead of one straggler.
+  *
+  * Salt is deterministic (hash of the row's other columns would be
+  * ideal; monotonically_increasing_id is used so rows spread evenly
+  * regardless of value distribution).
+  */
+object SkewJoin {
+
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt", pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
+    val replicated = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

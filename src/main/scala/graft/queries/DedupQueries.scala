@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.similarity.Cosine
+import graft.similarity.{Cosine, Ivf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,15 @@ object DedupQueries {
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Cosine.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // #46b IVF ANN: k-means coarse quantizer + posting-list probe
+    // (rows-only: recall checked in spec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3)
+      Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, cents, nprobe = 3)
         .orderBy("probe_id", "rank")
     }),
   )

@@ -48,6 +48,14 @@ object MiscQueries {
         .select(col("user_id"), col("session_start_us"), col("session_end_us"),
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id", "session_start_us")),
+
+    // #52 windowed aggregation (batch flavor of the streaming op —
+    // same transform runs on readStream with a watermark).
+    "q_windowed_agg" -> ((s, dir) =>
+      EventStreams.windowedAgg(Tables.events(s, dir), "10 minutes", "30 minutes")
+        .select(unix_micros(col("win_start")).as("win_start_us"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("win_start_us", "event_type")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -72,5 +80,11 @@ object MiscQueries {
         | cast(count(*) as int) AS n_events, round(sum(value),2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_windowed_agg" ->
+      """SELECT (epoch_us(ts)//600000000)*600000000 AS win_start_us, event_type,
+        | count(*) AS cnt, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start_us, event_type""".stripMargin,
   )
 }

@@ -58,10 +58,33 @@ object Gpx {
       .toDF()
   }
 
+  case class WayPoint(file: String, lat: Double, lon: Double,
+                      ele: Option[Double], timestamp: Option[Long], name: Option[String])
+
+  private[sources] def parseWaypoints(file: String, content: String): Seq[WayPoint] = {
+    val root = scala.xml.XML.loadString(content)
+    (root \ "wpt").map { w =>
+      WayPoint(file, (w \@ "lat").toDouble, (w \@ "lon").toDouble,
+        (w \ "ele").headOption.map(_.text.trim.toDouble),
+        (w \ "time").headOption.map(t => Instant.parse(t.text.trim).toEpochMilli),
+        (w \ "name").headOption.map(_.text.trim))
+    }
+  }
+
+  /** Waypoints (the reference stores them in the 'waypoints property;
+    * lap markers round-trip as named waypoints). */
+  def readWaypoints(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.sparkContext.wholeTextFiles(path)
+    spark.createDataset(files.flatMap { case (f, c) => parseWaypoints(f, c) })(Encoders.product[WayPoint])
+      .withColumn("timestamp", (col("timestamp") / 1000).cast("timestamp"))
+      .toDF()
+  }
+
   /** df-write/gpx: rows (lat, lon, ele?, timestamp?) → one GPX file.
     * Result sets written as GPX are small (a track); the XML renders on
     * the driver via toLocalIterator to bound memory. */
-  def write(df: DataFrame, path: String, name: String = "graft export"): Unit = {
+  def write(df: DataFrame, path: String, name: String = "graft export",
+            laps: Seq[(Double, Double, Long)] = Nil): Unit = {
     val cols = df.columns.toSet
     val sel = df.select(
       col("lat"), col("lon"),
@@ -70,6 +93,11 @@ object Gpx {
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<gpx version=\"1.1\" creator=\"graft\" xmlns=\"http://www.topografix.com/GPX/1/1\">\n"
+    // reference emits lap markers as named waypoints ahead of the track
+    laps.zipWithIndex.foreach { case ((lat, lon, epochMs), i) =>
+      sb ++= s"""<wpt lat="$lat" lon="$lon"><time>${Instant.ofEpochMilli(epochMs)}</time>""" +
+        s"<name>Lap ${i + 1}</name></wpt>\n"
+    }
     sb ++= s"<trk><name>${scala.xml.Utility.escape(name)}</name><trkseg>\n"
     sel.toLocalIterator().forEachRemaining { r =>
       sb ++= s"""<trkpt lat="${r.getDouble(0)}" lon="${r.getDouble(1)}">"""

@@ -74,6 +74,25 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(mm.getAs[Double]("best_avg") == 10.0)
   }
 
+  test("meanMaxAux: aux average at the main series' best window") {
+    // main best 10s window is t∈[20,30] (10,10); aux there averages 3.5
+    val df = Seq((1L, 0L, 1.0, 9.0), (1L, 10L, 1.0, 9.0), (1L, 20L, 10.0, 3.0), (1L, 30L, 10.0, 4.0))
+      .toDF("k", "eps", "v", "aux")
+    val r = MeanMax.meanMaxAux(df, "k", "eps", "v", "aux", Seq(10L)).first()
+    assert(r.getAs[Double]("best_avg") == 10.0)
+    assert(r.getAs[Double]("aux_avg") == 3.5)
+  }
+
+  test("saltedJoin matches plain join results") {
+    val large = (1 to 1000).map(i => (i % 3, i)).toDF("key", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("key", "label")
+    val plain = large.join(small, "key").groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(large, small, "key", factor = 4)
+      .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
   test("interpolated lookup: linear between samples") {
     val base = Seq((1L, 0.0, 0.0), (1L, 10.0, 100.0)).toDF("k", "t", "v")
     val probes = Seq((1L, 2.5)).toDF("k", "p")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.similarity.Cosine
+import graft.similarity.{Cosine, Ivf}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -82,7 +82,7 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(surv == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
-  test("cosine topK exact vs LSH recall on fixture vectors") {
+  test("cosine topK exact vs LSH and IVF recall on fixture vectors") {
     val vecs = (0 until 30).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
       (i.toLong, base)
@@ -93,9 +93,17 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     // self-similarity excluded, cos ∈ [-1, 1]
     assert(exact.filter(col("probe_id") === col("neighbor_id")).count() == 0)
     assert(exact.filter(abs(col("cos")) > 1.0001).count() == 0)
-    val lsh = Cosine.lshTopK(vecs, probes, "vec_id", "embedding", 3, bits = 8, bands = 4)
     val e = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Cosine.lshTopK(vecs, probes, "vec_id", "embedding", 3, bits = 8, bands = 4)
     val l = lsh.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert((e & l).size >= 3) // banded LSH recalls a reasonable share
+    val cents = Ivf.train(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    assert(cents.length == 4 && cents.forall(_.length == 8))
+    val ivf = Ivf.topK(vecs, probes, "vec_id", "embedding", 3, cents, nprobe = 2)
+    val iv = ivf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((e & iv).size >= 4) // nprobe=2 of 4 lists recalls most
+    // determinism: same seed/iters → same centroids
+    val cents2 = Ivf.train(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
 }
