@@ -26,6 +26,10 @@ final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) 
 
   /** df-add-series! (from an expression over existing series). */
   def addSeries(name: String, expr: Column): Frame = copy(df = df.withColumn(name, expr))
+  /** df-add-lazy!: identical to addSeries — every Spark column is lazy
+    * until an action runs, which is exactly the reference's lazy-series
+    * semantics (computed on first use). */
+  def addLazySeries(name: String, expr: Column): Frame = addSeries(name, expr)
   /** df-del-series!. */
   def delSeries(name: String): Frame = copy(df = df.drop(name))
   /** df-rename-series!. */
@@ -52,4 +56,14 @@ final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) 
     * where cond holds. */
   def setWhere(cond: Column, valueCol: String, value: Any): Frame =
     copy(df = df.withColumn(valueCol, when(cond, lit(value)).otherwise(col(valueCol))))
+
+  /** in-data-frame generator analog: a driver-side row iterator over
+    * selected series (bounded memory — one partition at a time). Use
+    * only for driver-side consumption of small/ordered results; bulk
+    * processing belongs in transforms. */
+  def iterate(cols: String*): Iterator[org.apache.spark.sql.Row] = {
+    val sel = if (cols.isEmpty) df else df.select(cols.map(col): _*)
+    import scala.jdk.CollectionConverters._
+    sel.toLocalIterator().asScala
+  }
 }

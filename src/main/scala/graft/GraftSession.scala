@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 
   def local(appName: String = "graft", cpus: Int = 32): SparkSession = {
     val s = builder(appName, cpus).getOrCreate()

@@ -58,6 +58,19 @@ object Histogram {
       round(col("__r"), 4).as("rank"))
   }
 
+  /** Categorical histogram — the reference's df-histogram on a string
+    * series (bucket key = the value itself, bucket-width 1 path in
+    * histogram.rkt samples->buckets). */
+  def categorical(df: DataFrame, valueCol: String, asPercentage: Boolean = false): DataFrame = {
+    val sparse = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("bucket")).agg(count(lit(1)).cast("double").as("__r"))
+    if (!asPercentage) sparse.select(col("bucket"), col("__r").as("rank"))
+    else {
+      val total = sparse.agg(sum("__r")).first().getDouble(0)
+      sparse.select(col("bucket"), round(col("__r") * 100.0 / total, 4).as("rank"))
+    }
+  }
+
   /** trim-histogram-outliers: drop leading/trailing buckets whose rank is
     * below `percent` of total, stopping at the first kept bucket on each
     * side (reference semantics). Histogram results are tiny — computed

@@ -32,6 +32,11 @@ object StatsQueries {
       Histogram.histogram(Tables.lineitem(s, dir), "l_quantity", 5.0)
         .orderBy("bucket_start")),
 
+    // #19b categorical histogram (string series, as-percentage).
+    "q_histogram_cat" -> ((s, dir) =>
+      Histogram.categorical(Tables.events(s, dir), "event_type", asPercentage = true)
+        .orderBy("bucket")),
+
     // #20 weighted histogram, as-percentage.
     "q_histogram_weighted" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -77,6 +82,12 @@ object StatsQueries {
         |dense AS (SELECT unnest(generate_series(lo, hi)) AS b, total FROM bounds)
         |SELECT cast(b*5.0 as double) AS bucket_start, round(coalesce(r, 0.0),4) AS "rank"
         |FROM dense LEFT JOIN sparse USING (b) ORDER BY bucket_start""".stripMargin,
+
+    "q_histogram_cat" ->
+      """SELECT event_type AS bucket,
+        | round(count(*) * 100.0 / (SELECT count(*) FROM events WHERE event_type IS NOT NULL), 4) AS "rank"
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY bucket""".stripMargin,
 
     "q_histogram_weighted" ->
       """WITH s AS (SELECT epoch_us(ts)/1000000.0 AS w, value AS v, event_id FROM events),
