@@ -28,6 +28,13 @@ object Fit {
       expr(s"regr_intercept($yCol, $xCol)").as("__a"),
       expr(s"regr_r2($yCol, $xCol)").as("__r2"))
     val row = p.first()
+    if (row.isNullAt(0) || row.isNullAt(1)) {
+      // degenerate series (n < 2 or zero x-variance): undefined fit
+      val spark = df.sparkSession
+      return spark.range(1).select(lit(1).as("id"),
+        lit(null).cast("double").as("slope"), lit(null).cast("double").as("intercept"),
+        lit(null).cast("double").as("r2"), lit(null).cast("double").as("rmse"))
+    }
     val (b, a) = (row.getDouble(0), row.getDouble(1))
     df.agg(sqrt(avg(pow(col(yCol) - (lit(a) + lit(b) * col(xCol)), 2))).as("__rmse"))
       .select(lit(1).as("id"),

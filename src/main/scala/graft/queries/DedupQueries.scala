@@ -52,6 +52,11 @@ object DedupQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // #53b end-to-end corpus cleanup pipeline (rows-only).
+    "q_pipeline_clean" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline.clean(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
     // #46b IVF ANN: k-means coarse quantizer + posting-list probe
     // (rows-only: recall checked in spec).
     "q_ann_ivf" -> ((s, dir) => {

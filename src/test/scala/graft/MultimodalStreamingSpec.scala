@@ -28,6 +28,20 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     assert(frames.groupBy("asset_id").count().filter(col("count") < 2).count() == 0)
   }
 
+  test("multimodal → features → ANN integration: nearest neighbor of identical payloads") {
+    val assets = Multimodal.syntheticAssets(spark, 10)
+    // duplicate asset 3's payload as asset 100 → features identical → cos 1
+    val dup = assets.filter(col("asset_id") === 3)
+      .withColumn("asset_id", lit(100L))
+    val feats = Multimodal.extractFeatures(assets.unionByName(dup), dim = 8)
+      .select(col("asset_id").as("vec_id"),
+        expr("transform(features, x -> cast(x as float))").as("embedding"))
+    val top = graft.similarity.Cosine.topK(feats, feats.filter(col("vec_id") === 100),
+      "vec_id", "embedding", 1).first()
+    assert(top.getAs[Long]("neighbor_id") == 3L)
+    assert(top.getAs[Double]("cos") == 1.0)
+  }
+
   test("sessionize cuts at gaps; matches window-based formulation") {
     val us = 1000000L
     val df = Seq(

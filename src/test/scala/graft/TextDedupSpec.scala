@@ -73,6 +73,21 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(q.getAs[Double]("stop_ratio") == math.rint(2.0 / 9.0 * 10000) / 10000)
   }
 
+  test("corpus pipeline: quality gate + exact + near-dup dedup") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, long),                       // kept
+      (2L, long),                       // exact dup of 1 → dropped
+      (3L, long + " tail"),             // near-dup of 1 → dropped
+      (4L, "too short"),                // quality-gated
+      (5L, (1 to 30).map(i => s"z$i").mkString(" ")) // distinct → kept
+    ).toDF("doc_id", "text")
+    val cleaned = graft.pipeline.CorpusPipeline.clean(corpus, "doc_id", "text",
+      graft.pipeline.CorpusPipeline.Config(minWords = 20, estJaccard = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(1L, 5L))
+  }
+
   test("survivors: min-label propagation resolves duplicate clusters") {
     // edges: 1-2, 2-5 (chain → component {1,2,5}), 7-8; 9 isolated
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc1", "doc2")
