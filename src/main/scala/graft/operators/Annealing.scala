@@ -3,7 +3,8 @@ package graft.operators
 import scala.util.Random
 
 /** Simulated annealing — mirrors /root/reference/annealing.rkt
-  * (`annealing` with goal/neighbour/temperature/transition callbacks).
+  * (default-temperature l.29, default-transition l.39; `annealing`
+  * with goal/neighbour/temperature/transition callbacks).
   * Driver-side optimizer over a handful of parameters (the reference
   * uses it to refine least-squares fits); the *cost function* it calls
   * can itself be a distributed aggregation.

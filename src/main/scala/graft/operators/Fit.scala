@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Least-squares fitting — mirrors
-  * /root/reference/private/least-squares-fit.rkt and slr.rkt.
+  * /root/reference/private/least-squares-fit.rkt (df-least-squares-fit
+  * l.297) and slr.rkt (simple linear regression).
   *
   * linear:      y = a + b·x           (regr_* aggregates)
   * polynomial:  y = Σ cᵢ·xⁱ          (normal equations: distributed

@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.NumericType
   * df-fold, df-map with (prev,current), df-describe, …) re-expressed as
   * declarative Spark transforms so Catalyst keeps pushdown/pruning.
   *
-  * Reference: /root/reference/private/df.rkt (df-select* ~l.600s,
-  * df-add-derived! ~l.300s, df-count-na, valid-only), and
-  * /root/reference/private/describe.rkt.
+  * Reference: /root/reference/private/df.rkt (df-add-derived! l.248,
+  * df-count-na l.284, df-map l.946, df-fold l.1056) and
+  * /root/reference/private/describe.rkt (df-describe l.29).
   *
   * Scale notes:
   *  - all ops are narrow transforms or hash aggregations (map-side

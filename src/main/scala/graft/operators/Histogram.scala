@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Histogram — mirrors /root/reference/private/histogram.rkt.
+/** Histogram — mirrors /root/reference/private/histogram.rkt
+  * (samples->buckets l.37, df-histogram l.180).
   *
   * Reference semantics: bucket = trunc(v / bucket-width) (truncate
   * toward zero — bucket value is the interval start), rank = count or

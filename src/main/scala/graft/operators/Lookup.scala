@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed and interpolated lookup — the reference's secondary-index ops
-  * (`df-index-of`, `df-lookup`, `df-lookup/interpolated`,
-  * `df-equal-range`; /root/reference/private/df.rkt) re-expressed as
+  * (/root/reference/private/df.rkt: df-equal-range l.463, df-lookup
+  * l.474, df-lookup/interpolated l.514) re-expressed as
   * joins so they distribute.
   *
   * Scale notes:
@@ -50,7 +50,7 @@ object Lookup {
           (p(probeCol) - col(tsCol)) / (col("__t1") - col(tsCol))).as("interp"))
   }
 
-  /** time-delay-series (reference private/scatter.rkt): for each sample,
+  /** time-delay-series (reference private/scatter.rkt l.35): for each sample,
     * the value of the series at the first sample >= ts + delay, per key.
     * Two hash-shuffles on the key — no global sort. */
   def timeDelay(base: DataFrame, keyCol: String, tsCol: String, valueCol: String,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mean-max ("best average") — mirrors /root/reference/private/meanmax.rkt
-  * `df-mean-max`: for each duration d, the maximum over the series of
+  * (make-delta-series l.144, get-mean-max l.156, df-mean-max l.262): for each duration d, the maximum over the series of
   * the average of the value over a trailing time window of length d.
   * (The reference walks a delta series accumulating elapsed time until
   * the window covers >= d; the declarative equivalent is a RANGE-frame
@@ -35,7 +35,7 @@ object MeanMax {
     maxes.selectExpr(s"stack(${durations.size}, $stacked) as (duration, best_avg)")
   }
 
-  /** df-mean-max-aux (reference meanmax.rkt `df-mean-max-aux`): for
+  /** df-mean-max-aux (reference meanmax.rkt l.310): for
     * each duration, the AUX series' average over the window where the
     * MAIN series attains its best average. Same single window
     * sort/shuffle; argmax via max_by over (main_avg ordering). */

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
 /** Ramer–Douglas–Peucker polyline simplification — mirrors
-  * /root/reference/private/rdp-simplify.rkt (`rdp-simplify`, including
-  * `#:keep-positions`).
+  * /root/reference/private/rdp-simplify.rkt (rdp-simplify l.70,
+  * including `#:keep-positions`).
   *
   * Like the spline, a polyline is sequential within a series, so the
   * scale unit is the group: each key's polyline simplifies locally in

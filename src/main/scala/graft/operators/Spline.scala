@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Natural cubic spline interpolation — mirrors /root/reference/spline.rkt
+  * (spline-terms l.117, spline l.163)
   * (tridiagonal solve for second derivatives, natural boundary M₀=Mₙ=0,
   * piecewise-cubic evaluation).
   *

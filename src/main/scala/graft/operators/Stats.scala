@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Statistics — mirrors /root/reference/private/statistics.rkt.
+/** Statistics — mirrors /root/reference/private/statistics.rkt
+  * (weighted-statistics l.43, df-statistics l.64, df-quantile l.84).
   *
   * `df-statistics` without a weight series is a plain aggregation.
   * With a weight series the reference folds consecutive sample pairs:

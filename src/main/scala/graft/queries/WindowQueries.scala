@@ -42,10 +42,12 @@ object WindowQueries {
         .orderBy("duration")
     }),
 
-    // #23 time-delay-series: value at first sample >= ts + 60s, per user.
+    // #23 time-delay-series: value at first sample >= ts + 60s, per
+    // user — via the co-partitioned as-of merge join (AsOf), which the
+    // oracle-checked pair-join formulation validates.
     "q_time_delay" -> ((s, dir) => {
       val e = withEps(Tables.events(s, dir))
-      Lookup.timeDelay(e, "user_id", "eps", "value", "event_id", lit(60.0))
+      graft.operators.AsOf.forwardJoin(e, "user_id", "eps", "value", "event_id", 60.0)
         .select(col("user_id"), col("event_id"), round(col("delayed_value"), 4).as("delayed_value"))
         .orderBy("user_id", "event_id")
     }),

@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CSV source/sink — mirrors /root/reference/private/csv.rkt
-  * (`df-read/csv` with #:na / #:quoted-numbers?, `df-write/csv`).
+  * (df-write/csv l.81, df-read/csv l.275 with #:na /
+  * #:quoted-numbers?).
   *
   * Spark's CSV datasource is distributed (splittable reads, per-task
   * writes); these wrappers pin the reference's conventions: "" and the

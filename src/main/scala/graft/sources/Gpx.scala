@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.time.Instant
 
 /** GPX source/sink — mirrors /root/reference/private/gpx.rkt
-  * (`df-read/gpx`: lat/lon/alt/timestamp/distance series + waypoints +
+  * (df-write/gpx l.221, parse-track-point l.264, df-read/gpx l.499: lat/lon/alt/timestamp/distance series + waypoints +
   * laps; `df-write/gpx`).
   *
   * Read is distributed: one task per file (wholeTextFiles), DOM parse

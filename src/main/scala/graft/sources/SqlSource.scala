@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** SQL source — mirrors /root/reference/private/sql.rkt (`df-read/sql`:
-  * run a query, one series per result column).
+/** SQL source — mirrors /root/reference/private/sql.rkt (df-read/sql
+  * l.30: run a query, one series per result column).
   *
   * Spark's JDBC datasource already maps result columns to typed
   * DataFrame columns; the wrapper adds the reference's query-first

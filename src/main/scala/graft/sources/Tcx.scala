@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import java.time.Instant
 
 /** TCX source — mirrors /root/reference/private/tcx.rkt
-  * (`df-read/tcx`: per-activity lap + trackpoint series: time,
+  * (df-read/tcx l.269, df-read/tcx/multiple l.277: per-activity lap + trackpoint series: time,
   * lat/lon, altitude, distance, hr, cadence, watts).
   * Distributed like Gpx.read: one parse task per file.
   */

@@ -109,6 +109,19 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(r.length == 1) // later samples have no match
   }
 
+  test("AsOf merge join agrees with the pair-join timeDelay formulation") {
+    val rng = new scala.util.Random(7)
+    val base = (1 to 500).map { i =>
+      (rng.nextInt(5).toLong, rng.nextInt(1000).toDouble, rng.nextDouble() * 100, i.toLong)
+    }.toDF("k", "t", "v", "id")
+    val pair = Lookup.timeDelay(base, "k", "t", "v", "id", lit(60.0))
+      .select("k", "id", "delayed_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val merged = AsOf.forwardJoin(base, "k", "t", "v", "id", 60.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(merged == pair)
+  }
+
   test("Fit.solve solves a known system; fits recover parameters") {
     val x = Fit.solve(Array(Array(2.0, 0.0), Array(0.0, 4.0)), Array(4.0, 8.0))
     assert(x.toSeq == Seq(2.0, 2.0))
