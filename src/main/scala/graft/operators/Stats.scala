@@ -30,6 +30,19 @@ object Stats {
       round(min(col(valueCol)), 4).as("min"),
       round(max(col(valueCol)), 4).as("max"))
 
+  /** Full moments like the reference's statistics struct (adds sample
+    * skewness and excess kurtosis). Separate from `statistics` so the
+    * oracle-pinned schema stays stable. */
+  def statisticsFull(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      count(col(valueCol)).as("cnt"),
+      round(avg(col(valueCol)), 4).as("mean"),
+      round(stddev_samp(col(valueCol)), 4).as("stddev"),
+      round(min(col(valueCol)), 4).as("min"),
+      round(max(col(valueCol)), 4).as("max"),
+      round(skewness(col(valueCol)), 4).as("skewness"),
+      round(kurtosis(col(valueCol)), 4).as("kurtosis"))
+
   /** Midpoint/Δweight pairs per the reference's weighted-statistics fold.
     * Returns (..., __wx = midpoint value, __ww = Δweight) rows, Δw>0 only. */
   def weightedPairs(df: DataFrame, keyCol: Option[String], orderCols: Seq[Column],

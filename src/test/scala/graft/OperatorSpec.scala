@@ -39,6 +39,13 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[Double]("total_weight") == 30.0)
   }
 
+  test("statisticsFull adds skewness/kurtosis") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val r = Stats.statisticsFull(df, "x").first()
+    assert(r.getAs[Long]("cnt") == 5)
+    assert(r.getAs[Double]("skewness") > 1.0) // heavy right tail
+  }
+
   test("quantiles: exact linear interpolation") {
     val df = (1 to 5).map(_.toDouble).toDF("x")
     val q = Stats.quantiles(df, "x", Seq(0.5)).first()
