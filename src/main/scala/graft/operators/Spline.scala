@@ -85,4 +85,27 @@ object Spline {
   }
 
   case class SplineGroup(k: Long, xs: Seq[Double], ys: Seq[Double], pxs: Seq[Double])
+
+  /** Specialized path when probes are derived from the knots themselves
+    * (x + offset per knot, clamped): ONE aggregation + flatMap, no
+    * probe-side aggregation or join — half the work of `interpolate`. */
+  def interpolateAtOffsets(knots: DataFrame, keyCol: String, xCol: String,
+                           yCol: String, offset: Double): DataFrame = {
+    val k = knots.groupBy(col(keyCol).cast("long").as("k"))
+      .agg(sort_array(collect_list(struct(
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")))).as("__pts"))
+      .select(col("k"), col("__pts.x").as("xs"), col("__pts.y").as("ys"))
+      .as(Encoders.product[SplineKnots])
+    k.flatMap { g =>
+      val xs = g.xs.toArray; val ys = g.ys.toArray
+      if (xs.isEmpty) Iterator.empty
+      else {
+        val m = secondDerivatives(xs, ys)
+        xs.iterator.map(x => (g.k, x + offset, eval(xs, ys, m, x + offset)))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
+      .toDF(keyCol, "px", "y")
+  }
+
+  case class SplineKnots(k: Long, xs: Seq[Double], ys: Seq[Double])
 }

@@ -24,11 +24,10 @@ object MiscQueries {
     "q_spline" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .withColumn("hour", (col("eps_us") / 3.6e9).cast("double"))
-      // cached: both the knot side and the probe side read this agg
       val knots = e.groupBy(col("user_id"), floor(col("hour")).as("hx"))
-        .agg(avg("value").as("hy")).cache()
-      val probes = knots.select(col("user_id"), (col("hx") + 0.5).cast("double").as("px"))
-      Spline.interpolate(knots, probes, "user_id", "hx", "hy", "px")
+        .agg(avg("value").as("hy"))
+      // probes are knots+0.5 → fused path: one agg + flatMap, no join
+      Spline.interpolateAtOffsets(knots, "user_id", "hx", "hy", 0.5)
         .select(col("user_id"), col("px"), round(col("y"), 4).as("y"))
         .orderBy("user_id", "px")
     }),
