@@ -105,6 +105,9 @@ object Dedup {
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("survivor"))
+    // labels only ever decrease, so Σ survivor is a strictly monotone
+    // convergence witness — one cheap aggregate instead of a join+count
+    var prevSum = Option.empty[Long]
     var iter = 0
     var changed = true
     while (changed && iter < maxIters) {
@@ -113,9 +116,9 @@ object Dedup {
       val next = labels.select(col("id"), col("survivor")).union(viaEdges)
         .groupBy("id").agg(min("survivor").as("survivor"))
         .cache()
-      next.count() // materialize before comparing
-      changed = next.join(labels.withColumnRenamed("survivor", "old"), "id")
-        .filter(col("survivor") =!= col("old")).limit(1).count() > 0
+      val s = next.agg(sum("survivor")).first().getLong(0)
+      changed = !prevSum.contains(s)
+      prevSum = Some(s)
       labels = next
       iter += 1
     }

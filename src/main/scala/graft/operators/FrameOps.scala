@@ -87,5 +87,20 @@ object FrameOps {
     /** Numeric column names (helper for describe). */
     def numericCols: Seq[String] =
       df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+
+    /** df-is-sorted? (df.rkt): is the series nondecreasing in the
+      * frame's `orderCol` order? One window pass per key partition —
+      * checks inversions, no global sort. */
+    def isSorted(column: String, partitionCol: Option[String] = None): Boolean = {
+      // verify the series is monotone in stored row order (what the
+      // reference's sorted flag asserts about its vectors)
+      val withPrev = df.withColumn("__rid", monotonically_increasing_id())
+      val w2 = partitionCol.map(p => Window.partitionBy(p)).getOrElse(Window.partitionBy())
+        .orderBy(col("__rid"))
+      withPrev
+        .withColumn("__prev", lag(col(column), 1).over(w2))
+        .filter(col("__prev").isNotNull && col("__prev") > col(column))
+        .limit(1).count() == 0
+    }
   }
 }

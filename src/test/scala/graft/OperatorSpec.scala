@@ -22,6 +22,11 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(df.equalRange("x", 3, 5).count() == 3)
   }
 
+  test("isSorted detects inversions in stored order") {
+    assert(Seq(1, 2, 2, 5).toDF("x").isSorted("x"))
+    assert(!Seq(1, 3, 2).toDF("x").isSorted("x"))
+  }
+
   test("describeNumeric computes count/mean/min/max") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val r = df.describeNumeric(Seq("x")).first()
