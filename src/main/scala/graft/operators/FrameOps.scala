@@ -71,6 +71,7 @@ object FrameOps {
     def describeNumeric(cols: Seq[String]): DataFrame = {
       val aggs = cols.flatMap { c =>
         Seq(count(col(c)).as(s"${c}__cnt"),
+            (count(lit(1)) - count(col(c))).cast("long").as(s"${c}__na"),
             avg(col(c)).as(s"${c}__mean"),
             stddev_samp(col(c)).as(s"${c}__stddev"),
             min(col(c)).cast("double").as(s"${c}__min"),
@@ -78,10 +79,10 @@ object FrameOps {
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
       val stacked = cols.map { c =>
-        s"'$c', `${c}__cnt`, round(`${c}__mean`, 4), round(`${c}__stddev`, 4), `${c}__min`, `${c}__max`"
+        s"'$c', `${c}__cnt`, `${c}__na`, round(`${c}__mean`, 4), round(`${c}__stddev`, 4), `${c}__min`, `${c}__max`"
       }.mkString(", ")
       one.selectExpr(
-        s"stack(${cols.size}, $stacked) as (series, cnt, mean, stddev, min, max)")
+        s"stack(${cols.size}, $stacked) as (series, cnt, cnt_na, mean, stddev, min, max)")
     }
 
     /** Numeric column names (helper for describe). */

@@ -35,6 +35,22 @@ object MeanMax {
     maxes.selectExpr(s"stack(${durations.size}, $stacked) as (duration, best_avg)")
   }
 
+  /** df-mean-max/lap-swim preprocessing (reference meanmax.rkt l.291):
+    * lap-swim frames record one sample per length with NAs at pauses —
+    * duplicate each sample at the previous sample's time (start+end of
+    * the length) and coalesce NAs to 0 so window averages weight
+    * lengths correctly. Returns the expanded (key, eps, value) frame to
+    * feed `meanMax`. */
+  def lapSwimPrep(df: DataFrame, keyCol: String, epochCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(epochCol))
+    val base = df.select(col(keyCol), col(epochCol).cast("long").as(epochCol),
+      coalesce(col(valueCol), lit(0.0)).as(valueCol))
+      .withColumn("__prev_eps", lag(col(epochCol), 1).over(w))
+    val starts = base.filter(col("__prev_eps").isNotNull)
+      .select(col(keyCol), col("__prev_eps").as(epochCol), col(valueCol))
+    base.select(col(keyCol), col(epochCol), col(valueCol)).union(starts)
+  }
+
   /** df-mean-max-aux (reference meanmax.rkt l.310): for
     * each duration, the AUX series' average over the window where the
     * MAIN series attains its best average. Same single window

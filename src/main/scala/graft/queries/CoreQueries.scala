@@ -188,14 +188,14 @@ object CoreQueries {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q_describe" ->
-      """SELECT series, cnt, mean, stddev, min, max FROM (
-        | SELECT 'l_discount' AS series, count(l_discount) AS cnt, round(avg(l_discount),4) AS mean, round(stddev_samp(l_discount),4) AS stddev, cast(min(l_discount) as double) AS min, cast(max(l_discount) as double) AS max FROM lineitem
+      """SELECT series, cnt, cnt_na, mean, stddev, min, max FROM (
+        | SELECT 'l_discount' AS series, count(l_discount) AS cnt, count(*) - count(l_discount) AS cnt_na, round(avg(l_discount),4) AS mean, round(stddev_samp(l_discount),4) AS stddev, cast(min(l_discount) as double) AS min, cast(max(l_discount) as double) AS max FROM lineitem
         | UNION ALL
-        | SELECT 'l_extendedprice', count(l_extendedprice), round(avg(l_extendedprice),4), round(stddev_samp(l_extendedprice),4), cast(min(l_extendedprice) as double), cast(max(l_extendedprice) as double) FROM lineitem
+        | SELECT 'l_extendedprice', count(l_extendedprice), count(*) - count(l_extendedprice), round(avg(l_extendedprice),4), round(stddev_samp(l_extendedprice),4), cast(min(l_extendedprice) as double), cast(max(l_extendedprice) as double) FROM lineitem
         | UNION ALL
-        | SELECT 'l_quantity', count(l_quantity), round(avg(l_quantity),4), round(stddev_samp(l_quantity),4), cast(min(l_quantity) as double), cast(max(l_quantity) as double) FROM lineitem
+        | SELECT 'l_quantity', count(l_quantity), count(*) - count(l_quantity), round(avg(l_quantity),4), round(stddev_samp(l_quantity),4), cast(min(l_quantity) as double), cast(max(l_quantity) as double) FROM lineitem
         | UNION ALL
-        | SELECT 'l_tax', count(l_tax), round(avg(l_tax),4), round(stddev_samp(l_tax),4), cast(min(l_tax) as double), cast(max(l_tax) as double) FROM lineitem
+        | SELECT 'l_tax', count(l_tax), count(*) - count(l_tax), round(avg(l_tax),4), round(stddev_samp(l_tax),4), cast(min(l_tax) as double), cast(max(l_tax) as double) FROM lineitem
         |) ORDER BY series""".stripMargin,
   )
 }

@@ -78,6 +78,15 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(c.filter(col("rank1") =!= col("rank2")).count() == 0)
   }
 
+  test("lapSwimPrep duplicates samples at previous times and zero-fills NAs") {
+    val df = Seq((1L, 10L, Some(2.0)), (1L, 20L, None), (1L, 30L, Some(4.0)))
+      .toDF("k", "eps", "v")
+    val prep = MeanMax.lapSwimPrep(df, "k", "eps", "v")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted
+    // originals (NA→0) + each duplicated at the previous sample's time
+    assert(prep.toSeq == Seq((10L, 0.0), (10L, 2.0), (20L, 0.0), (20L, 4.0), (30L, 4.0)))
+  }
+
   test("meanMax finds the best window average") {
     // key 1: values 1,1,10,10 at t=0,10,20,30 — best 10s-avg = 10
     val df = Seq((1L, 0L, 1.0), (1L, 10L, 1.0), (1L, 20L, 10.0), (1L, 30L, 10.0))
