@@ -52,18 +52,18 @@ object Dedup {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: for each of `perms` hash permutations, the min
-    * over the doc's shingles of xxhash64(perm, shingle). One array
-    * column, no shuffle. */
+  /** MinHash signature: for each of `perms` seeded hash permutations,
+    * the min over the doc's shingles (native graft.functions.MinHashSig
+    * kernel). One array column, no shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, perms: Int = 32): DataFrame =
+                        k: Int = 3, perms: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     shingles(df, idCol, textCol, k)
       .groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__sh"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${perms - 1}), p -> " +
-          "array_min(transform(__sh, s -> xxhash64(p, s))))"))
+      .withColumn("sig", graft.functions.GraftFunctions.minhashSig(col("__sh"), perms))
       .select(col(idCol), col("sig"))
+  }
 
   /** LSH candidate pairs: docs sharing any band of the MinHash
     * signature, with estimated Jaccard (matching-permutation fraction)

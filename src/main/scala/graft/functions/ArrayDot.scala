@@ -78,7 +78,18 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (exprs: Seq[Expression]) => SimHash64(exprs.head))
     }
+    val mhId = FunctionIdentifier("minhash_sig")
+    if (!reg.functionExists(mhId)) {
+      reg.registerFunction(mhId,
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (exprs: Seq[Expression]) =>
+          MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()))
+    }
   }
+
+  /** Native MinHash signature over array<string> shingles. */
+  def minhashSig(shingles: Column, perms: Int): Column =
+    call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(perms))
 
   /** Codegen'd Σ aᵢ·bᵢ over array<double> columns. */
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
