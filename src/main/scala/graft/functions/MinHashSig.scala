@@ -27,9 +27,14 @@ case class MinHashSig(child: Expression, perms: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // empty shingle set has no defined signature — null, not a shared
+    // sentinel vector that would band every empty doc together
+    if (n == 0) return null
     val sig = Array.fill(perms)(Long.MaxValue)
     var i = 0
     while (i < n) {
