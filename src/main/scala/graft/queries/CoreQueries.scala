@@ -117,6 +117,20 @@ object CoreQueries {
       Tables.lineitem(s, dir)
         .describeNumeric(Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
         .orderBy("series")),
+
+    // SQL-API surface: the same engine driven via spark.sql over temp
+    // views (TPC-H Q3 shape) — planner/pushdown identical to the
+    // DataFrame path.
+    "q_sql_q3" -> ((s, dir) =>
+      graft.GraftSql.sql(s, dir,
+        """SELECT o_orderkey, cast(o_orderdate as date) AS odate,
+          | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+          | count(*) AS cnt
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,6 +144,16 @@ object CoreQueries {
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sql_q3" ->
+      """SELECT o_orderkey, cast(o_orderdate as date) AS odate,
+        | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        | count(*) AS cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_select_filter" ->
       """SELECT l_orderkey, l_linenumber, cast(l_shipdate as date) AS ship_date,
