@@ -93,11 +93,11 @@ object Dedup {
 
   /** Duplicate-cluster resolution: given candidate near-dup PAIRS,
     * assign every doc the minimum id of its connected component (the
-    * survivor) — iterative min-label propagation over the pair edges,
-    * each round two hash joins + an aggregation. Rounds needed =
-    * O(log(component diameter)); near-dup components are tiny, so
-    * `maxIters` = 10 covers pathological chains. The canonical
-    * large-scale formulation (no driver graph). Returns (id, survivor).
+    * survivor). Each round does one edge-hop (min label over
+    * neighbours) AND one pointer-doubling hop (label := label of my
+    * label), so convergence is O(log diameter) rounds — a 2^10-long
+    * chain resolves within the default bound. No driver-side graph.
+    * Returns (id, survivor).
     */
   def survivors(pairs: DataFrame, ids: DataFrame, idCol: String,
                 maxIters: Int = 10): DataFrame = {
@@ -105,6 +105,7 @@ object Dedup {
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("survivor"))
+    var prev: DataFrame = null
     // labels only ever decrease, so Σ survivor is a strictly monotone
     // convergence witness — one cheap aggregate instead of a join+count
     var prevSum = Option.empty[Long]
@@ -113,15 +114,22 @@ object Dedup {
     while (changed && iter < maxIters) {
       val viaEdges = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("survivor"))
-      val next = labels.select(col("id"), col("survivor")).union(viaEdges)
+      val hopped = labels.select(col("id"), col("survivor")).union(viaEdges)
         .groupBy("id").agg(min("survivor").as("survivor"))
+      // pointer doubling: survivor := survivor's survivor
+      val parents = hopped.select(col("id").as("__pid"), col("survivor").as("__psurv"))
+      val next = hopped.join(parents, hopped("survivor") === col("__pid"), "left")
+        .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor"))
         .cache()
       val s = next.agg(sum("survivor")).first().getLong(0)
       changed = !prevSum.contains(s)
       prevSum = Some(s)
+      if (prev != null) prev.unpersist()
+      prev = next
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -51,6 +51,13 @@ object Fit {
     val sums = (0 to 2 * degree).map(k => sum(pow(col(xCol), k)).as(s"s$k")) ++
       (0 to degree).map(k => sum(pow(col(xCol), k) * col(yCol)).as(s"t$k"))
     val row = df.agg(sums.head, sums.tail: _*).first()
+    // degenerate input (empty / fewer points than coefficients): typed
+    // null-coefficient rows, mirroring linear()'s guard
+    if (row.isNullAt(0) || row.getDouble(0) < n) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return (0 to degree).map(d => (d, Option.empty[Double])).toDF("degree", "coef")
+    }
     val s = (0 to 2 * degree).map(k => row.getDouble(k)).toArray
     val t = (0 to degree).map(k => row.getDouble(2 * degree + 1 + k)).toArray
     // Solve (A c = t) where A[i][j] = S_{i+j}; tiny Gaussian elimination.

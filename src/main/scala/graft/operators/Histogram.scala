@@ -67,8 +67,13 @@ object Histogram {
       .groupBy(col(valueCol).as("bucket")).agg(count(lit(1)).cast("double").as("__r"))
     if (!asPercentage) sparse.select(col("bucket"), col("__r").as("rank"))
     else {
-      val total = sparse.agg(sum("__r")).first().getDouble(0)
-      sparse.select(col("bucket"), round(col("__r") * 100.0 / total, 4).as("rank"))
+      val totalRow = sparse.agg(sum("__r")).first()
+      if (totalRow.isNullAt(0) || totalRow.getDouble(0) == 0)
+        sparse.select(col("bucket"), col("__r").as("rank")) // empty input → empty frame
+      else {
+        val total = totalRow.getDouble(0)
+        sparse.select(col("bucket"), round(col("__r") * 100.0 / total, 4).as("rank"))
+      }
     }
   }
 

@@ -40,11 +40,16 @@ object Lookup {
       .select(col(keyCol), col(tsCol), col(valueCol))
       .withColumn("__t1", lead(col(tsCol), 1).over(w))
       .withColumn("__v1", lead(col(valueCol), 1).over(w))
+      // the final segment is closed on the right so a probe exactly at
+      // the series' last sample returns that boundary value (reference
+      // behavior) instead of silently dropping
+      .withColumn("__last", lead(col(tsCol), 2).over(w).isNull)
       .filter(col("__t1").isNotNull)
     val p = broadcast(probes)
     segments.join(p,
         p(keyCol) === segments(keyCol) &&
-        p(probeCol) >= col(tsCol) && p(probeCol) < col("__t1"))
+        p(probeCol) >= col(tsCol) &&
+        (p(probeCol) < col("__t1") || (col("__last") && p(probeCol) === col("__t1"))))
       .select(segments(keyCol).as(keyCol), p(probeCol).as(probeCol),
         (col(valueCol) + (col("__v1") - col(valueCol)) *
           (p(probeCol) - col(tsCol)) / (col("__t1") - col(tsCol))).as("interp"))

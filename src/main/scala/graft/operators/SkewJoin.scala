@@ -20,6 +20,11 @@ object SkewJoin {
 
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  factor: Int = 8, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit null-padded rows for replicated
+    // small-side copies whose salt found no partner — semantically wrong
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-side join types, got $joinType")
     val salted = large.withColumn("__salt", pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))

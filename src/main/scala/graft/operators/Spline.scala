@@ -74,7 +74,7 @@ object Spline {
         col("__pxs").as("pxs"))
       .as(Encoders.product[SplineGroup])
     joined.flatMap { g =>
-      val xs = g.xs.toArray; val ys = g.ys.toArray
+      val (xs, ys) = dedupKnots(g.xs.toArray, g.ys.toArray)
       if (xs.isEmpty) Iterator.empty
       else {
         val m = secondDerivatives(xs, ys)
@@ -82,6 +82,20 @@ object Spline {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
       .toDF(keyCol, pxCol, "y")
+  }
+
+  /** Duplicate x-values would give zero-width intervals (division by
+    * zero → NaN through the tridiagonal solve); keep the LAST y per x,
+    * matching how a sorted frame overwrites a repeated sample. */
+  private[graft] def dedupKnots(xs: Array[Double], ys: Array[Double]): (Array[Double], Array[Double]) = {
+    if (xs.length < 2) return (xs, ys)
+    val bx = Array.newBuilder[Double]; val by = Array.newBuilder[Double]
+    var i = 0
+    while (i < xs.length) {
+      if (i + 1 >= xs.length || xs(i + 1) != xs(i)) { bx += xs(i); by += ys(i) }
+      i += 1
+    }
+    (bx.result(), by.result())
   }
 
   case class SplineGroup(k: Long, xs: Seq[Double], ys: Seq[Double], pxs: Seq[Double])
@@ -97,7 +111,7 @@ object Spline {
       .select(col("k"), col("__pts.x").as("xs"), col("__pts.y").as("ys"))
       .as(Encoders.product[SplineKnots])
     k.flatMap { g =>
-      val xs = g.xs.toArray; val ys = g.ys.toArray
+      val (xs, ys) = dedupKnots(g.xs.toArray, g.ys.toArray)
       if (xs.isEmpty) Iterator.empty
       else {
         val m = secondDerivatives(xs, ys)

@@ -51,7 +51,10 @@ object Stats {
       .orderBy(orderCols: _*)
     df.withColumn("__pv", lag(col(valueCol), 1).over(w))
       .withColumn("__pw", lag(col(weightCol), 1).over(w))
-      .filter(col("__pv").isNotNull && (col(weightCol) > col("__pw")))
+      // both endpoint values must be non-NA — a null current value would
+      // still add its Δw to the total weight and bias the mean
+      .filter(col("__pv").isNotNull && col(valueCol).isNotNull &&
+        (col(weightCol) > col("__pw")))
       .withColumn("__wx", (col("__pv") + col(valueCol)) / 2)
       .withColumn("__ww", col(weightCol) - col("__pw"))
   }

@@ -58,7 +58,7 @@ object StatsQueries {
       """WITH s AS (SELECT epoch_us(ts)/1000000.0 AS w, value AS v, event_id FROM events),
         |p AS (SELECT w, v, lag(v) OVER (ORDER BY w, event_id) AS pv,
         |             lag(w) OVER (ORDER BY w, event_id) AS pw FROM s),
-        |q AS (SELECT (pv+v)/2 AS wx, w-pw AS ww FROM p WHERE pv IS NOT NULL AND w > pw)
+        |q AS (SELECT (pv+v)/2 AS wx, w-pw AS ww FROM p WHERE pv IS NOT NULL AND v IS NOT NULL AND w > pw)
         |SELECT count(*) AS cnt,
         | round(sum(wx*ww)/sum(ww),4) AS wmean,
         | round(sqrt(sum(wx*wx*ww)/sum(ww) - pow(sum(wx*ww)/sum(ww),2)),4) AS wstddev,
@@ -93,7 +93,7 @@ object StatsQueries {
       """WITH s AS (SELECT epoch_us(ts)/1000000.0 AS w, value AS v, event_id FROM events),
         |p AS (SELECT w, v, lag(v) OVER (ORDER BY w, event_id) AS pv,
         |             lag(w) OVER (ORDER BY w, event_id) AS pw FROM s),
-        |q AS (SELECT (pv+v)/2 AS wx, w-pw AS ww FROM p WHERE pv IS NOT NULL AND w > pw),
+        |q AS (SELECT (pv+v)/2 AS wx, w-pw AS ww FROM p WHERE pv IS NOT NULL AND v IS NOT NULL AND w > pw),
         |sparse AS (SELECT cast(trunc(wx/10.0) as bigint) AS b, sum(ww) AS r FROM q GROUP BY 1),
         |bounds AS (SELECT min(b) AS lo, max(b) AS hi, sum(r) AS total FROM sparse),
         |dense AS (SELECT unnest(generate_series(lo, hi)) AS b, total FROM bounds)

@@ -55,6 +55,56 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(und.getString(0) == "und") // empty text → "und"
   }
 
+  test("weighted stats skip pairs with a null current value (no weight bias)") {
+    // (w,v): (0,10),(10,null),(20,10) — only invalid pairs around the null;
+    // reference semantics: the null sample contributes nothing
+    val df = Seq((0.0, Some(10.0)), (10.0, Option.empty[Double]), (20.0, Some(10.0)))
+      .toDF("w", "v")
+    val r = Stats.weightedStatistics(df, None, Seq(col("w")), "v", "w").first()
+    assert(r.getAs[Long]("cnt") == 0 || !r.isNullAt(1)) // no biased mean from null pairs
+    val pairs = Stats.weightedPairs(df, None, Seq(col("w")), "v", "w").count()
+    assert(pairs == 0) // both adjacent pairs touch the null value
+  }
+
+  test("interpolated lookup returns the boundary value at the last sample") {
+    val base = Seq((1L, 0.0, 0.0), (1L, 10.0, 100.0), (1L, 20.0, 50.0)).toDF("k", "t", "v")
+    val probes = Seq((1L, 20.0), (1L, 15.0)).toDF("k", "p")
+    val r = Lookup.interpolated(base, probes, "k", "t", "v", "p")
+      .collect().map(x => x.getDouble(1) -> x.getDouble(2)).toMap
+    assert(r(20.0) == 50.0) // exact last-sample probe kept
+    assert(r(15.0) == 75.0)
+  }
+
+  test("polynomial fit on degenerate input returns null coefficients") {
+    val one = Seq((1.0, 2.0)).toDF("x", "y")
+    val r = Fit.polynomial(one, "x", "y", 2).orderBy("degree").collect()
+    assert(r.length == 3 && r.forall(_.isNullAt(1)))
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(Fit.polynomial(empty, "x", "y", 2).collect().forall(_.isNullAt(1)))
+  }
+
+  test("spline dedups duplicate knot x-values instead of emitting NaN") {
+    val knots = Seq((1L, 0.0, 1.0), (1L, 5.0, 2.0), (1L, 5.0, 4.0), (1L, 10.0, 3.0))
+      .toDF("k", "x", "y")
+    val probes = Seq((1L, 5.0), (1L, 7.5)).toDF("k", "px")
+    val r = Spline.interpolate(knots, probes, "k", "x", "y", "px").collect()
+    assert(r.forall(row => !row.getDouble(2).isNaN))
+    assert(r.find(_.getDouble(1) == 5.0).get.getDouble(2) == 4.0) // last y wins
+  }
+
+  test("categorical histogram on empty input returns empty, not NPE") {
+    assert(Histogram.categorical(emptyDocs.select(col("text")), "text", asPercentage = true)
+      .count() == 0)
+  }
+
+  test("survivors resolves a long chain within the iteration bound (pointer doubling)") {
+    import graft.dedup.Dedup
+    val chain = (1 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("doc1", "doc2")
+    val ids = (1 to 40).map(_.toLong).toDF("doc_id")
+    val surv = Dedup.survivors(chain, ids, "doc_id")
+    assert(surv.filter(col("survivor") =!= 1L).count() == 0) // whole chain → min id 1
+  }
+
   test("spline with fewer than 3 knots degrades to linear/constant") {
     val knots = Seq((1L, 0.0, 1.0), (1L, 10.0, 3.0)).toDF("k", "x", "y")
     val probes = Seq((1L, 5.0)).toDF("k", "px")
