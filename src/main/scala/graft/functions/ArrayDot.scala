@@ -82,8 +82,17 @@ object GraftFunctions {
     if (!reg.functionExists(mhId)) {
       reg.registerFunction(mhId,
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-        (exprs: Seq[Expression]) =>
-          MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()))
+        (exprs: Seq[Expression]) => {
+          val permsExpr = exprs(1)
+          if (!permsExpr.foldable)
+            throw new IllegalArgumentException(
+              "minhash_sig(shingles, perms): perms must be an integer literal")
+          permsExpr.eval() match {
+            case n: Number if n.intValue() > 0 => MinHashSig(exprs.head, n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig(shingles, perms): perms must be a positive integer, got $other")
+          }
+        })
     }
   }
 

@@ -29,6 +29,20 @@ case class MinHashSig(child: Expression, perms: Int)
 
   override def nullable: Boolean = true
 
+  // per-permutation mix seeds (fixed golden-ratio sequence → stable
+  // signatures across runs)
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(perms)(p => (p + 1).toLong * 0x9E3779B97F4A7C15L)
+
+  /** splitmix64 finalizer: turns one base hash + a seed into an
+    * independent-enough permutation hash. */
+  @inline private def mix(h0: Long, seed: Long): Long = {
+    var z = h0 ^ seed
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -38,10 +52,12 @@ case class MinHashSig(child: Expression, perms: Int)
     val sig = Array.fill(perms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      // hash the string ONCE, then derive each permutation with a
+      // cheap splitmix finalize — O(n + n·perms·mix) not O(n·perms·hash)
+      val h0 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var p = 0
       while (p < perms) {
-        val h = XxHash64Function.hash(s, StringType, p.toLong)
+        val h = mix(h0, seeds(p))
         if (h < sig(p)) sig(p) = h
         p += 1
       }

@@ -42,15 +42,15 @@ object TextQueries {
     "q_text_tokens" ->
       """SELECT doc_id,
         | cast(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) as int) AS ws_tokens,
-        | cast(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) as int) AS bpe_tokens
+        | cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) as int) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
         |f AS (SELECT doc_id, len(ws) AS n_words,
-        |  cast(list_sum(list_transform(ws, x -> len(x))) as double) / len(ws) AS mwl,
-        |  cast(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) as double) / len(ws) AS sr
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE cast(list_sum(list_transform(ws, x -> len(x))) as double) / len(ws) END AS mwl,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE cast(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) as double) / len(ws) END AS sr
         | FROM w)
         |SELECT doc_id, cast(n_words as int) AS n_words, round(mwl, 4) AS mean_word_len,
         | round(sr, 4) AS stop_ratio,

@@ -54,32 +54,33 @@ object EventStreams {
       .toDF()
   }
 
-  /** Streaming sessionization via mapGroupsWithState (update mode):
-    * per micro-batch, folds the batch's events into the per-user
-    * session state and emits the running session; an event-time gap
-    * larger than gapMs closes the session and starts a new one.
-    * (Production variants add a GroupStateTimeout to also close
-    * sessions on wall-clock silence; kept timeout-free here so tests
-    * are deterministic.) */
+  /** Streaming sessionization via flatMapGroupsWithState (append
+    * mode): CLOSED sessions are emitted the moment an event-time gap
+    * larger than gapMs is observed; the running session stays in
+    * per-key state. (Production variants add a GroupStateTimeout to
+    * also close sessions on wall-clock silence; kept timeout-free here
+    * so tests are deterministic.) */
   def sessionizeStream(events: DataFrame, gapMs: Long): DataFrame = {
     val ds = events.select(col("user_id").cast("long"), col("eps_us").cast("long"),
       col("value").cast("double"))
       .as(Encoders.product[SessionIn])
     ds.groupByKey(_.user_id)(Encoders.scalaLong)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         (uid: Long, rows: Iterator[SessionIn], state: GroupState[SessionState]) => {
           val evs = rows.toArray.sortBy(_.eps_us)
+          val closed = List.newBuilder[SessionOut]
           var st = state.getOption.orNull
           evs.foreach { e =>
             st =
               if (st == null) SessionState(e.eps_us, e.eps_us, 1, e.value)
-              else if (e.eps_us - st.end > gapMs * 1000)
-                SessionState(e.eps_us, e.eps_us, 1, e.value) // gap → new session
-              else SessionState(st.start, e.eps_us, st.n + 1, st.vsum + e.value)
+              else if (e.eps_us - st.end > gapMs * 1000) {
+                closed += SessionOut(uid, st.start, st.end, st.n, st.vsum)
+                SessionState(e.eps_us, e.eps_us, 1, e.value)
+              } else SessionState(st.start, e.eps_us, st.n + 1, st.vsum + e.value)
           }
           if (st != null) state.update(st)
-          SessionOut(uid, if (st == null) 0 else st.start, if (st == null) 0 else st.end,
-            if (st == null) 0 else st.n, if (st == null) 0 else st.vsum)
+          closed.result().iterator
         })(Encoders.product[SessionState], Encoders.product[SessionOut])
       .toDF()
   }

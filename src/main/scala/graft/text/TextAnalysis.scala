@@ -17,7 +17,9 @@ object TextAnalysis {
   /** BPE-ish token stream: letter runs, single digits, single
     * punctuation marks. */
   def bpeTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+    // lowercase first — the letter-run branch is [a-z]+, so capitals
+    // would otherwise tokenize as single punctuation marks
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
 
   /** Total characters across words. */
   def wordChars(ws: Column): Column =
@@ -33,9 +35,12 @@ object TextAnalysis {
               stopwords: Seq[String]): DataFrame = {
     df.withColumn("__ws", words(col(textCol)))
       .withColumn("n_words", size(col("__ws")))
-      .withColumn("__sr", stopwordCount(col("__ws"), stopwords).cast("double") / col("n_words"))
-      .withColumn("mean_word_len",
-        round(wordChars(col("__ws")).cast("double") / col("n_words"), 4))
+      // empty docs: defined zeros, not null-from-division (or
+      // DIVIDE_BY_ZERO under ANSI mode)
+      .withColumn("__sr", when(col("n_words") === 0, 0.0)
+        .otherwise(stopwordCount(col("__ws"), stopwords).cast("double") / col("n_words")))
+      .withColumn("mean_word_len", when(col("n_words") === 0, 0.0)
+        .otherwise(round(wordChars(col("__ws")).cast("double") / col("n_words"), 4)))
       .withColumn("stop_ratio", round(col("__sr"), 4))
       // score from UNROUNDED ratio — rounding first would park values on
       // exact half-decimal boundaries and make cross-engine rounding flap
@@ -55,13 +60,20 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   /** Language ID: argmax of marker-hit counts, deterministic tie-break
-    * on language code ("und" when nothing matches). */
+    * on language code ("und" when nothing matches). Latin-script
+    * languages match whitespace tokens; zh matches marker CHARACTERS
+    * anywhere in the raw text (unsegmented Chinese has no whitespace
+    * word boundaries, so token matching could never fire). */
   def languageId(textCol: Column): Column = {
     val ws = words(textCol)
     // (-hits, lang) sorted ascending: most hits first, alphabetical
     // tie-break — fully deterministic.
     val scored = langMarkers.map { case (lang, markers) =>
-      struct((-stopwordCount(ws, markers)).as("neg"), lit(lang).as("lang"))
+      val hits =
+        if (lang == "zh")
+          markers.map(m => when(textCol.contains(m), 1).otherwise(0)).reduce(_ + _)
+        else stopwordCount(ws, markers)
+      struct((-hits).as("neg"), lit(lang).as("lang"))
     }
     val best = sort_array(array(scored: _*)).getItem(0)
     when(best.getField("neg") < 0, best.getField("lang")).otherwise(lit("und"))
@@ -84,10 +96,17 @@ object TextAnalysis {
     val zipped = (0 until k).map(i => expr(s"slice(__ws, ${i + 1}, size(__ws) - ${k - 1})"))
     val shingles = zipped.reduceLeft((acc, nxt) => zip_with(acc, nxt, (a, b) => concat_ws(" ", a, b)))
     val shingleHashes = transform(shingles, s => xxhash64(s))
-    val hashed = d.select(col(idCol), posexplode(shingleHashes).as(Seq("__i", "__h")))
+    val hashed = d
+      .withColumn("__nsh", size(shingles))
+      .select(col(idCol), col("__nsh"), posexplode(shingleHashes).as(Seq("__i", "__h")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__i")).rowsBetween(0, w - 1)
     hashed
-      .select(col(idCol), min(col("__h")).over(win).as("fp"))
+      .withColumn("fp", min(col("__h")).over(win))
+      // winnowing takes minima of FULL windows only (partial tail
+      // windows would unconditionally fingerprint every doc's last
+      // shingles); short docs keep position 0 (window = whole doc)
+      .filter(col("__i") <= greatest(col("__nsh") - w, lit(0)))
+      .select(col(idCol), col("fp"))
       .distinct()
   }
 }

@@ -77,17 +77,22 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
-  test("streaming sessionization emits on timeout") {
+  test("streaming sessionization emits closed sessions on gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
     val df = mem.toDF().toDF("user_id", "eps_us", "value")
     val q = EventStreams.sessionizeStream(df, gapMs = 5000)
-      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
       mem.addData((1L, 1000000L, 2.0), (1L, 2000000L, 3.0))
       q.processAllAvailable()
+      assert(spark.table("sess").isEmpty) // session still running, nothing closed
+      // next batch arrives far beyond the gap → first session closes
+      mem.addData((1L, 100000000L, 7.0))
+      q.processAllAvailable()
       val out = spark.table("sess").collect()
-      assert(out.exists(r => r.getAs[Long]("user_id") == 1L && r.getAs[Int]("n_events") == 2),
+      assert(out.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Int]("n_events") == 2 && r.getAs[Double]("sum_value") == 5.0),
         s"rows: ${out.map(_.toString).mkString("; ")}")
     } finally q.stop()
   }
