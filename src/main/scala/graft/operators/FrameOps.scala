@@ -87,7 +87,7 @@ object FrameOps {
 
     /** Numeric column names (helper for describe). */
     def numericCols: Seq[String] =
-      df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+      df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toIndexedSeq
 
     /** df-is-sorted? (df.rkt): is the series nondecreasing in the
       * frame's `orderCol` order? One window pass per key partition —

@@ -81,7 +81,7 @@ object Stats {
     * sort-based aggregate — fine for a single series; at 100 TB use
     * `approxQuantile`/percentile_approx (also provided). */
   def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
-    val arr = s"array(${qs.map(_ + "D").mkString(",")})"
+    val arr = s"array(${qs.map(q => s"${q}D").mkString(",")})"
     df.agg(expr(s"percentile($valueCol, $arr)").as("__p"))
       .select(posexplode(col("__p")).as(Seq("__i", "value")))
       .select(expr(s"$arr[__i]").as("q"), round(col("value"), 4).as("value"))
@@ -90,7 +90,7 @@ object Stats {
   /** Approximate quantiles for the 100 TB path (single pass, mergeable
     * sketch). */
   def quantilesApprox(df: DataFrame, valueCol: String, qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
-    val arr = s"array(${qs.map(_ + "D").mkString(",")})"
+    val arr = s"array(${qs.map(q => s"${q}D").mkString(",")})"
     df.agg(expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("__p"))
       .select(posexplode(col("__p")).as(Seq("__i", "value")))
       .select(expr(s"$arr[__i]").as("q"), col("value"))

@@ -25,7 +25,7 @@ object Ivf {
     val scored = cents.zipWithIndex.map { case ((c, cn2), i) =>
       struct(dist2(vd, typedLit(c.toSeq), vn2, lit(cn2)).as("d"), lit(i).as("cid"))
     }
-    sort_array(array(scored: _*)).getItem(0).getField("cid")
+    sort_array(array(scored.toIndexedSeq: _*)).getItem(0).getField("cid")
   }
 
   /** Lloyd's k-means with deterministic init (xxhash64-ordered rows).
@@ -64,12 +64,12 @@ object Ivf {
     // nprobe nearest centroids per probe
     val pBase = Cosine.withNorm(probes, vecCol)
       .select(col(idCol).as("probe_id"), col("__vd").as("v1"), col("__nrm").as("n1"))
-    val scored = withN2.zipWithIndex.map { case ((cent, cn2), i) =>
+    val scored = withN2.toSeq.zipWithIndex.map { case ((cent, cn2), i) =>
       struct(dist2(col("v1"), typedLit(cent.toSeq), col("n1") * col("n1"), lit(cn2)).as("d"),
         lit(i).as("cid"))
     }
     val p = pBase.withColumn("__cids",
-        slice(sort_array(array(scored: _*)), 1, nprobe))
+        slice(sort_array(array(scored.toIndexedSeq: _*)), 1, nprobe))
       .select(col("probe_id"), col("v1"), col("n1"), explode(col("__cids.cid")).as("__cid"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     p.join(c, Seq("__cid"))
