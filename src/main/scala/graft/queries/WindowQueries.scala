@@ -34,11 +34,14 @@ object WindowQueries {
         .orderBy("user_id", "k")
     }),
 
-    // #22 df-mean-max: best trailing-window averages per duration.
+    // #22 df-mean-max: best exact-duration trapezoid-average per
+    // duration (reference get-mean-max semantics). Integer-µs axis so
+    // window-boundary comparisons are exact across engines.
     "q_meanmax" -> ((s, dir) => {
       val e = Tables.events(s, dir)
-        .withColumn("eps", expr("eps_us div 1000000"))
-      MeanMax.meanMax(e, "user_id", "eps", "value", Seq(60L, 300L, 1800L, 7200L))
+      MeanMax.meanMax(e, "user_id", "eps_us", "value",
+          Seq(60L, 300L, 1800L, 7200L).map(_ * 1000000L))
+        .select((col("duration") / 1000000L).cast("long").as("duration"), col("best_avg"))
         .orderBy("duration")
     }),
 
@@ -84,20 +87,30 @@ object WindowQueries {
         |  ON p.user_id = s.user_id AND s.t1 IS NOT NULL AND p.probe >= s.t0 AND p.probe < s.t1
         |ORDER BY p.user_id, k""".stripMargin,
 
+    // Trapezoid integral over exact-length windows, partial final slice
+    // prorated, full-coverage only — mirrors meanmax.rkt get-mean-max.
+    // Operation order matches the Scala kernel so doubles agree bitwise:
+    // slice = dt*(y1+y2)/2; total = (cum_j + slice_j*frac) - cum_a.
     "q_meanmax" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS eps, value FROM events),
-        |a AS (SELECT
-        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS m60,
-        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS m300,
-        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS m1800,
-        |  avg(value) OVER (PARTITION BY user_id ORDER BY eps RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW) AS m7200
-        |  FROM e)
-        |SELECT duration, best_avg FROM (
-        | SELECT cast(60 as bigint) AS duration, round(max(m60),4) AS best_avg FROM a
-        | UNION ALL SELECT 300, round(max(m300),4) FROM a
-        | UNION ALL SELECT 1800, round(max(m1800),4) FROM a
-        | UNION ALL SELECT 7200, round(max(m7200),4) FROM a
-        |) ORDER BY duration""".stripMargin,
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS x, value FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT user_id, x, value,
+        |      lead(x) OVER w AS nx, lead(value) OVER w AS nv
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY x)),
+        |d AS (SELECT user_id, x AS x1, nx AS x2, (nx - x) AS dt,
+        |      (nx - x) * (value + nv) / 2 AS slice FROM s WHERE nx IS NOT NULL),
+        |c AS (SELECT *, sum(slice) OVER (PARTITION BY user_id ORDER BY x1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - slice AS cum FROM d),
+        |durs AS (SELECT cast(unnest([60,300,1800,7200]) AS BIGINT) AS dsec),
+        |tot AS (SELECT du.dsec,
+        |        (j.cum + j.slice * ((a.x1 + du.dsec*1000000 - j.x1) / (j.dt * 1.0))
+        |          - a.cum) / (du.dsec*1000000) AS mavg
+        |        FROM c a JOIN durs du ON true
+        |        JOIN c j ON j.user_id = a.user_id
+        |          AND j.x1 < a.x1 + du.dsec*1000000
+        |          AND a.x1 + du.dsec*1000000 <= j.x2)
+        |SELECT cast(dsec AS bigint) AS duration, round(max(mavg),4) AS best_avg
+        |FROM tot GROUP BY dsec ORDER BY duration""".stripMargin,
 
     "q_time_delay" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS eps, value FROM events),

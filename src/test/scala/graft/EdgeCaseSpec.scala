@@ -31,12 +31,13 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(TextAnalysis.fingerprints(emptyDocs, "text", "doc_id").count() == 0)
   }
 
-  test("single-row series: fits return nulls not crashes, meanmax returns the value") {
+  test("single-row series: fits return nulls not crashes, meanmax returns nothing") {
     val one = Seq((1.0, 2.0)).toDF("x", "y")
     val lin = Fit.linear(one, "x", "y").first()
     assert(lin.isNullAt(1)) // slope undefined on 1 point
+    // reference make-mean-max returns '() for <2 samples (meanmax.rkt l.193)
     val mm = MeanMax.meanMax(Seq((1L, 0L, 5.0)).toDF("k", "eps", "v"), "k", "eps", "v", Seq(10L))
-    assert(mm.first().getAs[Double]("best_avg") == 5.0)
+    assert(mm.count() == 0)
   }
 
   test("all-null column: countNa totals, describe, validOnly") {

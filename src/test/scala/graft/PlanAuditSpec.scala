@@ -22,12 +22,30 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("mean-max durations share one window sort") {
+  test("mean-max durations share one keyed exchange of the events scan") {
     val p = plan("q_meanmax")
-    // all four duration frames plan into Window operators over a single
-    // exchange of the events scan — no per-duration re-shuffle
+    // the per-key kernel computes all durations in one partition-local
+    // pass: one hash exchange for the data, plus one tiny exchange for
+    // the |keys|·|durations|-row winner ranking — never per-duration
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${p.take(1200)}")
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("no registered window query plans an unpartitioned Window") {
+    // an empty partitionSpec funnels ALL rows into one task — the
+    // single-partition-window scale hazard. Guard the window-bearing
+    // queries (cheap to plan; pipeline/quantile queries execute during
+    // construction and are audited by their own specs).
+    val windowed = Seq("q_meanmax", "q_weighted_stats", "q_histogram_weighted",
+      "q_interp_lookup", "q_map_window", "q_sessionize", "q_group_samples")
+    for (name <- windowed) {
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned Window")
+    }
   }
 
   test("group aggregation is partial (map-side combine)") {
