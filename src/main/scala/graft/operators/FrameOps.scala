@@ -19,9 +19,9 @@ import org.apache.spark.sql.types.NumericType
   *    partial agg) — no driver loops, no global sorts except where the
   *    caller asks for an ordered result.
   *  - windowed ops (`mapWindow`) partition by a key column so window
-  *    state is distributed; a windowed op WITHOUT a partition key is a
-  *    single-task bottleneck at scale and is only offered for the
-  *    reference's single-series (single activity) semantics.
+  *    state is distributed; the unkeyed `isSorted` windows by the
+  *    original partition id plus a boundary-row seam check, so even the
+  *    reference's single-series semantics never plan a global window.
   */
 object FrameOps {
 
@@ -89,19 +89,42 @@ object FrameOps {
     def numericCols: Seq[String] =
       df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toIndexedSeq
 
-    /** df-is-sorted? (df.rkt): is the series nondecreasing in the
-      * frame's `orderCol` order? One window pass per key partition —
-      * checks inversions, no global sort. */
+    /** df-is-sorted? (df.rkt): is the series nondecreasing in stored row
+      * order (what the reference's sorted flag asserts about its
+      * vectors)? Keyed: one window pass per key. Unkeyed: windowing by
+      * the ORIGINAL partition id keeps inversion checks distributed
+      * (each window = one input partition), and a second, tiny pass
+      * compares the #partitions boundary rows — never a global window. */
     def isSorted(column: String, partitionCol: Option[String] = None): Boolean = {
-      // verify the series is monotone in stored row order (what the
-      // reference's sorted flag asserts about its vectors)
-      val withPrev = df.withColumn("__rid", monotonically_increasing_id())
-      val w2 = partitionCol.map(p => Window.partitionBy(p)).getOrElse(Window.partitionBy())
-        .orderBy(col("__rid"))
-      withPrev
-        .withColumn("__prev", lag(col(column), 1).over(w2))
-        .filter(col("__prev").isNotNull && col("__prev") > col(column))
-        .limit(1).count() == 0
+      val withPos = df.withColumn("__rid", monotonically_increasing_id())
+      partitionCol match {
+        case Some(p) =>
+          val w2 = Window.partitionBy(p).orderBy(col("__rid"))
+          withPos
+            .withColumn("__prev", lag(col(column), 1).over(w2))
+            .filter(col("__prev").isNotNull && col("__prev") > col(column))
+            .limit(1).count() == 0
+        case None =>
+          val tagged = withPos.withColumn("__pid", spark_partition_id())
+          val w2 = Window.partitionBy("__pid").orderBy(col("__rid"))
+          val inverted = tagged
+            .withColumn("__prev", lag(col(column), 1).over(w2))
+            .filter(col("__prev").isNotNull && col("__prev") > col(column))
+            .limit(1).count() > 0
+          if (inverted) false
+          else {
+            // cross-partition seams: last non-NA value of partition p vs
+            // first non-NA of p+1 — one row per partition, so the
+            // unpartitioned window is bounded by the partition count
+            val ends = tagged.filter(col(column).isNotNull).groupBy("__pid")
+              .agg(min_by(col(column), col("__rid")).as("__first"),
+                max_by(col(column), col("__rid")).as("__last"))
+            val wb = Window.orderBy(col("__pid"))
+            ends.withColumn("__pl", lag(col("__last"), 1).over(wb))
+              .filter(col("__pl").isNotNull && col("__pl") > col("__first"))
+              .limit(1).count() == 0
+          }
+      }
     }
   }
 }
