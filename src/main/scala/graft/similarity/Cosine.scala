@@ -32,16 +32,41 @@ object Cosine {
       .withColumn("__nrm", norm(col("__vd")))
   }
 
-  /** All pairs (id1 < id2) with cosine >= threshold. Brute-force
-    * O(n²/2) pair join — correctness baseline; use `lshCandidates` to
-    * key the join at scale. */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = withNorm(df, vecCol).select(col(idCol).as("doc1"), col("__vd").as("v1"), col("__nrm").as("n1"))
-    val b = withNorm(df, vecCol).select(col(idCol).as("doc2"), col("__vd").as("v2"), col("__nrm").as("n2"))
-    a.join(b, col("doc1") < col("doc2"))
+  /** All pairs (id1 < id2) with cosine >= threshold — EXACT, via a
+    * blocked triangular self-join: rows hash into `blocks` buckets, a
+    * tiny broadcast relation enumerates the block pairs (i ≤ j), and
+    * both sides shuffle on the block-pair id, so every unordered row
+    * pair meets in exactly one balanced task. All equi-joins — no
+    * BroadcastNestedLoopJoin, no driver-side broadcast of the corpus —
+    * and each task's volume is (n/blocks)². Exact all-pairs is
+    * inherently Ω(n²) compute; this shape spreads it evenly across the
+    * cluster. For genuine near-dup thresholds (≥ ~0.8) use
+    * `lshNearDupPairs`, which prunes candidates sub-quadratically. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                   blocks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    // p(p+1)/2 block-pair tasks ≈ 2× shuffle parallelism
+    val p = if (blocks > 0) blocks
+      else math.max(4, math.ceil(math.sqrt(4.0 * spark.sessionState.conf.numShufflePartitions)).toInt)
+    import spark.implicits._
+    val blockPairs = for (i <- 0 until p; j <- i until p) yield (i * p + j, i, j)
+    val leftRel = broadcast(blockPairs.map { case (pid, i, j) => (pid, i, i == j) }
+      .toDF("__pid", "__b", "__same"))
+    val rightRel = broadcast(blockPairs.map { case (pid, _, j) => (pid, j) }
+      .toDF("__pid", "__b"))
+    val base = withNorm(df, vecCol)
+      .withColumn("__b", pmod(xxhash64(col(idCol)), lit(p)).cast("int"))
+    val a = base.select(col(idCol).as("doc1"), col("__vd").as("v1"), col("__nrm").as("n1"), col("__b"))
+      .join(leftRel, "__b")
+    val b = base.select(col(idCol).as("doc2"), col("__vd").as("v2"), col("__nrm").as("n2"), col("__b"))
+      .join(rightRel, "__b")
+    a.join(b, Seq("__pid"))
+      // same-block pairs dedup by id order; cross-block pairs meet once
+      .filter(!col("__same") || (col("doc1") < col("doc2")))
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
-      .select(col("doc1"), col("doc2"), round(col("cos"), 4).as("cos"))
+      .select(least(col("doc1"), col("doc2")).as("doc1"),
+        greatest(col("doc1"), col("doc2")).as("doc2"), round(col("cos"), 4).as("cos"))
   }
 
   /** Brute-force cosine top-k: for each probe, the k nearest vectors
@@ -74,6 +99,46 @@ object Cosine {
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** (id, band, key) rows: the vector's hyperplane signature split into
+    * per-band bucket keys — the equi-join key for all LSH candidate
+    * generation. */
+  private def bandedKeys(df: DataFrame, idCol: String, outId: String, vecCol: String,
+      planes: Array[Array[Double]], bands: Int, bandBits: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val mask = (1L << bandBits) - 1
+    df.withColumn("__vd", toDouble(col(vecCol)))
+      .withColumn("__sig", lshSignature(col("__vd"), planes))
+      .select(col(idCol).as(outId), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("s"))
+      .select(col(outId), col("s.band"), col("s.key"))
+  }
+
+  /** LSH-banded near-dup pairs: candidates = pairs sharing ≥1 band
+    * bucket (equi-join on (band, key)), then exact cosine refine on the
+    * candidates only. Sub-quadratic when the threshold is a genuine
+    * near-dup bar (≥ ~0.8): per-bit collision prob is 1−θ/π, so
+    * multi-bit bands keep buckets small while any-of-`bands` keeps
+    * recall high. Recall is probabilistic — `nearDupPairs` is the exact
+    * reference (and the spec cross-check on planted near-dups). */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                      bits: Int = 64, bands: Int = 8, seed: Int = 42): DataFrame = {
+    require(bits % bands == 0 && bits <= 64)
+    val bandBits = bits / bands
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, bits, seed)
+    val l = bandedKeys(df, idCol, "doc1", vecCol, planes, bands, bandBits)
+    val r = bandedKeys(df, idCol, "doc2", vecCol, planes, bands, bandBits)
+    val cands = l.join(r, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val v1 = withNorm(df, vecCol).select(col(idCol).as("doc1"), col("__vd").as("v1"), col("__nrm").as("n1"))
+    val v2 = withNorm(df, vecCol).select(col(idCol).as("doc2"), col("__vd").as("v2"), col("__nrm").as("n2"))
+    cands.join(v1, Seq("doc1")).join(v2, Seq("doc2"))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc1"), col("doc2"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH-bucketed ANN: group corpus by signature band, local top-k per
     * probe within matching buckets. Recall < 1 by construction; the
     * candidate join is an equi-join on (band, key) so it scales. */
@@ -81,24 +146,14 @@ object Cosine {
               k: Int, bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
     require(bits % bands == 0)
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, bits, seed)
-    def banded(df: DataFrame, id: String): DataFrame = {
-      graft.functions.GraftFunctions.register(df.sparkSession)
-      df.withColumn("__vd", toDouble(col(vecCol)))
-        .withColumn("__sig", lshSignature(col("__vd"), planes))
-        .select(col(idCol).as(id), explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("s"))
-        .select(col(id), col("s.band"), col("s.key"))
-    }
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     // band/bucket equi-join on (band,key) ids only; vectors join back
     // afterwards so array payloads aren't exploded per band or hashed
     // through distinct
-    val cands = banded(probes, "probe_id")
-      .join(banded(corpus, "neighbor_id"), Seq("band", "key"))
+    val cands = bandedKeys(probes, idCol, "probe_id", vecCol, planes, bands, bandBits)
+      .join(bandedKeys(corpus, idCol, "neighbor_id", vecCol, planes, bands, bandBits), Seq("band", "key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id").distinct()
     val pv = withNorm(probes, vecCol).select(col(idCol).as("probe_id"), col("__vd").as("v1"), col("__nrm").as("n1"))

@@ -48,6 +48,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("embedding near-dup plans no nested-loop or cartesian join") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("group aggregation is partial (map-side combine)") {
     val p = plan("q_group_agg")
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))
