@@ -22,9 +22,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
-    }
+    // optional arg: comma-separated query names (fast local loop)
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> math.min(time(fn), time(fn))
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -97,20 +97,27 @@ object Dedup {
     * neighbours) AND one pointer-doubling hop (label := label of my
     * label), so convergence is O(log diameter) rounds — a 2^10-long
     * chain resolves within the default bound. No driver-side graph.
-    * Returns (id, survivor).
-    */
+    *
+    * Cost shape: only ids that appear in a pair are iterated — every
+    * other id is trivially its own survivor and joins back at the end —
+    * and each round's result is localCheckpoint'ed so lineage (and
+    * re-planning cost) stays constant across rounds. Convergence
+    * witness: labels only ever decrease, so Σ survivor (exact DECIMAL —
+    * no overflow aliasing) is strictly monotone until the fixpoint; one
+    * cheap aggregate per round, no extra join.
+    *
+    * Returns (id, survivor) for every id in `ids`. */
   def survivors(pairs: DataFrame, ids: DataFrame, idCol: String,
                 maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-      .cache()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("survivor"))
-    var prev: DataFrame = null
-    // labels only ever decrease, so Σ survivor is a strictly monotone
-    // convergence witness — one cheap aggregate instead of a join+count
-    var prevSum = Option.empty[Long]
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("survivor"))
+      .localCheckpoint()
+    var prevSum = Option.empty[java.math.BigDecimal]
     var iter = 0
-    var changed = true
+    var changed = !labels.isEmpty
     while (changed && iter < maxIters) {
       val viaEdges = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("survivor"))
@@ -120,17 +127,17 @@ object Dedup {
       val parents = hopped.select(col("id").as("__pid"), col("survivor").as("__psurv"))
       val next = hopped.join(parents, hopped("survivor") === col("__pid"), "left")
         .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor"))
-        .cache()
-      val s = next.agg(sum("survivor")).first().getLong(0)
+        .localCheckpoint() // truncates lineage; labels stay one hop deep
+      val s = next.agg(sum(col("survivor").cast("decimal(38,0)"))).first().getDecimal(0)
       changed = !prevSum.contains(s)
       prevSum = Some(s)
-      if (prev != null) prev.unpersist()
-      prev = next
       labels = next
       iter += 1
     }
-    edges.unpersist()
-    labels
+    // untouched ids are their own survivor
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("survivor", "__s"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), col("id")).as("survivor"))
   }
 
   /** 64-bit SimHash over word hashes: bit b is set when the sum of

@@ -33,9 +33,13 @@ object CorpusPipeline {
       feats.filter(col("n_words") >= cfg.minWords && col("stop_ratio") <= cfg.maxStopRatio)
         .select(col(idCol)), Seq(idCol))
 
-    // 2. exact dedup: keep the min-id representative of each hash
+    // 2. exact dedup: keep the min-id representative of each hash.
+    // Checkpointed: three downstream consumers (candidates, survivor
+    // ids, final join) each reuse the materialized rows instead of
+    // re-running the quality+exact join chain.
     val exactKept = quality.join(
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol))
+      .localCheckpoint()
 
     // 3.–4. near-dup candidates → survivor per cluster
     val cands = Dedup.minhashCandidates(exactKept, idCol, textCol,
