@@ -46,6 +46,57 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(back.agg(max("ele")).first().getDouble(0) == 102.0)
   }
 
+  // extension series in both gpxtpx (nested TrackPointExtension) and
+  // gpxdata spellings, two track segments, file-provided distance
+  private val gpxExtXml =
+    """<?xml version="1.0"?>
+      |<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1"
+      | xmlns:gpxdata="http://www.cluetrust.com/XML/GPXDATA/1/0"
+      | xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1">
+      |<trk><name>t</name><trkseg>
+      |<trkpt lat="45.0" lon="25.0"><ele>100.0</ele><time>2024-01-01T00:00:00Z</time>
+      | <extensions><gpxtpx:TrackPointExtension><gpxtpx:hr>120</gpxtpx:hr><gpxtpx:cad>80</gpxtpx:cad>
+      | <gpxtpx:atemp>21.5</gpxtpx:atemp></gpxtpx:TrackPointExtension></extensions></trkpt>
+      |<trkpt lat="45.001" lon="25.0"><ele>101.0</ele><time>2024-01-01T00:00:10Z</time>
+      | <extensions><gpxdata:hr>125</gpxdata:hr><gpxdata:cadence>82</gpxdata:cadence>
+      | <gpxdata:speed>3.1</gpxdata:speed><gpxdata:power>250</gpxdata:power>
+      | <gpxdata:distance>111.0</gpxdata:distance></extensions></trkpt>
+      |</trkseg><trkseg>
+      |<trkpt lat="45.002" lon="25.0"><ele>102.0</ele><time>2024-01-01T00:01:00Z</time></trkpt>
+      |</trkseg></trk></gpx>""".stripMargin
+
+  test("GPX extension series: hr/cad/spd/pwr/temp in both tag spellings, file dst, multi-seg") {
+    val dir = Files.createTempDirectory("graft_gpx_ext")
+    Files.writeString(dir.resolve("a.gpx"), gpxExtXml)
+    val rows = Gpx.read(spark, dir.toString + "/*.gpx").orderBy("idx").collect()
+    assert(rows.map(_.getAs[Int]("seg")).toSeq == Seq(0, 0, 1))
+    assert(rows(0).getAs[Double]("hr") == 120.0 && rows(1).getAs[Double]("hr") == 125.0)
+    assert(rows(0).getAs[Double]("cad") == 80.0 && rows(1).getAs[Double]("cad") == 82.0)
+    assert(rows(0).getAs[Double]("temp") == 21.5)
+    assert(rows(1).getAs[Double]("spd") == 3.1 && rows(1).getAs[Double]("pwr") == 250.0)
+    // the file provides a distance series → no synthesized haversine
+    assert(rows(0).isNullAt(rows(0).fieldIndex("dst")))
+    assert(rows(1).getAs[Double]("dst") == 111.0)
+  }
+
+  test("GPX write round-trips the default export series, segments, and waypoints") {
+    val dir = Files.createTempDirectory("graft_gpx_rt")
+    Files.writeString(dir.resolve("a.gpx"), gpxExtXml)
+    val df = Gpx.read(spark, dir.toString + "/*.gpx").orderBy("idx")
+    val out = dir.resolve("out.gpx").toString
+    Gpx.write(df, out, name = "rt",
+      waypoints = Seq((45.0005, 25.0, Some(100.5), 1704067205000L, "Summit")))
+    val back = Gpx.read(spark, out).orderBy("idx").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getAs[Int]("seg")).toSeq == Seq(0, 0, 1)) // segments preserved
+    assert(back(0).getAs[Double]("hr") == 120.0 && back(0).getAs[Double]("cad") == 80.0)
+    assert(back(1).getAs[Double]("spd") == 3.1 && back(1).getAs[Double]("pwr") == 250.0)
+    assert(back(1).getAs[Double]("dst") == 111.0)
+    val wpts = Gpx.readWaypoints(spark, out).collect()
+    assert(wpts.length == 1 && wpts.head.getAs[String]("name") == "Summit")
+    assert(wpts.head.getAs[Double]("ele") == 100.5)
+  }
+
   private val tcxXml =
     """<?xml version="1.0"?>
       |<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">
@@ -82,6 +133,20 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     val df = SqlSource.read(spark, url, "SELECT id, name, v FROM t")
     assert(df.count() == 2)
     assert(df.agg(sum("v")).first().getDouble(0) == 4.0)
+    conn.close()
+  }
+
+  test("partitioned JDBC read fans out over range scans") {
+    val url = "jdbc:derby:memory:graftdb2;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE big (id INT, v DOUBLE)")
+    (1 to 10).foreach(i => st.execute(s"INSERT INTO big VALUES ($i, $i.5)"))
+    st.close()
+    val df = SqlSource.readPartitioned(spark, url, "big", "id", 1, 10, numPartitions = 3)
+    assert(df.rdd.getNumPartitions == 3) // three parallel range scans
+    assert(df.count() == 10)
+    assert(df.agg(sum("id")).first().getLong(0) == 55)
     conn.close()
   }
 }
