@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY.md §2 #51): image/audio/video as
   * opaque binary columns with typed metadata, processed per-partition.
   *
-  * The Spark-side design is real: stable schema, per-partition batch
+  * The Spark-side design: stable schema, per-partition batch
   * processing (`mapPartitions` over Rows — the Scala analogue of a
   * Pandas-UDF batch), partitioning preserved, deterministic outputs.
-  * The *codec* step is stubbed (no image/audio libs in this container):
-  * `decodeStub` derives a deterministic pseudo-feature vector from the
-  * bytes, clearly marked — swap `decodeBatch` for a real decoder
-  * without touching the pipeline shape.
+  * IMAGE payloads decode for real via javax.imageio (PNG/BMP/GIF/JPEG
+  * ship with the JDK): features are a luminance histogram over decoded
+  * pixels and `resizeImages` transcodes the payload. Payloads no
+  * installed reader recognizes (plus audio/video, whose codecs are not
+  * in this container) fall back to the clearly-marked deterministic
+  * stub, so the pipeline shape is identical either way.
   */
 object Multimodal {
 
@@ -29,10 +31,10 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true)))
 
   /** Deterministic fake "decode" of a payload into `dim` features —
-    * STUB for the real image/audio decoder (not available here).
+    * STUB used only when no installed ImageIO reader recognizes the
+    * bytes (e.g. audio/video codecs absent from this container).
     * Deterministic: features depend only on the bytes. */
-  private[multimodal] def decodeBatch(content: Array[Byte], dim: Int): Array[Double] = {
-    // ??? real decoder goes here (e.g. JPEG -> pixels -> model features)
+  private[multimodal] def decodeStub(content: Array[Byte], dim: Int): Array[Double] = {
     var h = 1125899906842597L
     content.foreach(b => h = 31 * h + b)
     Array.tabulate(dim) { i =>
@@ -42,28 +44,88 @@ object Multimodal {
     }
   }
 
+  /** Real image decode — javax.imageio ships PNG/BMP/GIF/JPEG readers
+    * with the JDK; format detection is magic-number-based. Returns null
+    * when no reader recognizes the bytes. */
+  private[multimodal] def decodeImage(content: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    catch { case _: Exception => null }
+
+  /** Content-derived features from decoded pixels: a `dim`-bin
+    * luminance histogram (Rec.601 weights) normalized to sum 1. */
+  private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
+    val bins = new Array[Double](dim)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        bins(math.min(dim - 1, (lum / 256.0 * dim).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = (w.toLong * h).toDouble
+    bins.map(_ / total)
+  }
+
   /** Feature extraction over binary payloads: batch-shaped
-    * per-partition processing, schema widened with `features`. */
+    * per-partition processing, schema widened with `features`. Images
+    * decode for real; unrecognized payloads fall back to the stub. */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = df.schema.add(StructField("features", ArrayType(DoubleType), nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex("content")
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        val feats = if (bytes == null) null else decodeBatch(bytes, dim)
+        val feats =
+          if (bytes == null) null
+          else decodeImage(bytes) match {
+            case null => decodeStub(bytes, dim)
+            case img => imageFeatures(img, dim)
+          }
         Row.fromSeq(r.toSeq :+ feats)
       }
     }(enc)
   }
 
-  /** "Resize" stub: records the target size in metadata and re-tags the
-    * payload (real implementation would transcode bytes). Keeps the
-    * narrow, no-shuffle shape a real resize kernel would have. */
-  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("width", when(col("modality") === "image", lit(w)).otherwise(col("width")))
-      .withColumn("height", when(col("modality") === "image", lit(h)).otherwise(col("height")))
+  /** Resize: image payloads that decode are area-average-scaled to
+    * w×h and re-encoded as PNG (content + width/height replaced);
+    * everything else keeps its payload with metadata-only updates.
+    * Narrow per-partition transform — no shuffle, like a real kernel. */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema)
+    val ci = df.schema.fieldIndex("content")
+    val mi = df.schema.fieldIndex("modality")
+    val wi = df.schema.fieldIndex("width")
+    val hi = df.schema.fieldIndex("height")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val isImage = !r.isNullAt(mi) && r.getString(mi) == "image"
+        if (!isImage) r
+        else {
+          val bytes = if (r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci)
+          val img = if (bytes == null) null else decodeImage(bytes)
+          val vals = r.toSeq.toArray
+          if (img != null) {
+            val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            vals(ci) = bos.toByteArray
+          }
+          vals(wi) = w
+          vals(hi) = h
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc)
+  }
 
   /** Frame sampling stub for video: emits (asset_id, frame_no) rows at
     * `everyMs` spacing from duration metadata — the distributed

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * join key becomes (key, salt) — the hot key's rows spread over
   * `factor` tasks instead of one straggler.
   *
-  * Salt is deterministic (hash of the row's other columns would be
-  * ideal; monotonically_increasing_id is used so rows spread evenly
-  * regardless of value distribution).
+  * Salt is a content hash of the large side's row (all columns), so
+  * the same row always lands in the same salt bucket: task retries and
+  * recomputations reproduce identical partition contents, unlike a
+  * positional monotonically_increasing_id salt which reshuffles
+  * whenever Spark re-splits the input. Identical rows co-locate (same
+  * bucket), which is harmless — the skew being treated lives on the
+  * join KEY, whose rows differ in their payload columns.
   */
 object SkewJoin {
 
@@ -25,7 +29,9 @@ object SkewJoin {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left-side join types, got $joinType")
-    val salted = large.withColumn("__salt", pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
+    val payload = large.columns.map(col).toIndexedSeq
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(payload: _*), lit(factor)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

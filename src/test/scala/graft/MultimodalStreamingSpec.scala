@@ -28,6 +28,34 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     assert(frames.groupBy("asset_id").count().filter(col("count") < 2).count() == 0)
   }
 
+  test("real PNG decode: luminance-histogram features and payload resize") {
+    // 8×8 PNG, left half black, right half white
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        1L, "image", png, Integer.valueOf(8), Integer.valueOf(8), null, null))),
+      Multimodal.schema)
+    val feats = Multimodal.extractFeatures(assets, dim = 8)
+      .select("features").as[Seq[Double]].first()
+    // half the pixels land in the darkest bin, half in the brightest
+    assert(feats.head == 0.5 && feats.last == 0.5)
+    assert(feats.slice(1, 7).forall(_ == 0.0))
+    // resize: payload transcodes to a real 4×4 PNG
+    val resized = Multimodal.resizeImages(assets, 4, 4).first()
+    assert(resized.getAs[Int]("width") == 4 && resized.getAs[Int]("height") == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.getAs[Array[Byte]]("content")))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // grey scaled image: left columns dark, right columns bright
+    val leftLum = back.getRGB(0, 0) & 0xFF
+    val rightLum = back.getRGB(3, 0) & 0xFF
+    assert(leftLum < 64 && rightLum > 192)
+  }
+
   test("multimodal → features → ANN integration: nearest neighbor of identical payloads") {
     val assets = Multimodal.syntheticAssets(spark, 10)
     // duplicate asset 3's payload as asset 100 → features identical → cos 1

@@ -114,6 +114,15 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("salted join salt is content-derived: stable across recomputation/repartitioning") {
+    // the implementation's salt formula: pmod(xxhash64(all cols), factor)
+    val df = (1 to 100).map(i => (i % 3, i)).toDF("key", "v")
+    val saltExpr = pmod(xxhash64(col("key"), col("v")), lit(4)).cast("int")
+    val s1 = df.withColumn("s", saltExpr).collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    val s2 = df.repartition(7).withColumn("s", saltExpr).collect().map(r => (r.getInt(1), r.getInt(2))).toMap
+    assert(s1 == s2) // a positional salt would differ after re-splitting
+  }
+
   test("interpolated lookup: linear between samples") {
     val base = Seq((1L, 0.0, 0.0), (1L, 10.0, 100.0)).toDF("k", "t", "v")
     val probes = Seq((1L, 2.5)).toDF("k", "p")
