@@ -42,6 +42,45 @@ object GraftIndex {
   def allIndicesOf(df: DataFrame, column: String, value: Any, idCol: String): DataFrame =
     df.filter(col(column) === lit(value)).select(idCol)
 
+  private def probeFrame(df: DataFrame, values: Seq[Any]) =
+    broadcast(df.sparkSession.range(1)
+      .select(explode(array(values.map(lit).toIndexedSeq: _*)).as("probe")))
+
+  /** df-index-of* (df.rkt l.429): lower-bound positions for a BATCH of
+    * probe values — for each probe, the `orderCol` id of the first row
+    * (by column asc, orderCol asc) whose value is >= the probe
+    * (`exact`: = the probe); null when no row qualifies, mirroring the
+    * reference's insertion-point-past-the-end. One broadcast join + one
+    * aggregation for the whole batch — never |values| scans. */
+  def indexOfAll(df: DataFrame, column: String, values: Seq[Any], orderCol: String,
+                 exact: Boolean = false): DataFrame = {
+    val probes = probeFrame(df, values)
+    val joined =
+      if (exact) df.join(probes, col(column) === col("probe"))
+      else df.join(probes, col(column) >= col("probe"))
+    val hits = joined.groupBy("probe")
+      .agg(min(struct(col(column), col(orderCol))).as("__m"))
+      .select(col("probe"), col(s"__m.$orderCol").as("index"))
+    probes.join(hits, Seq("probe"), "left")
+  }
+
+  /** df-lookup* (df.rkt l.489): batched keyed lookup — for each probe
+    * value over `baseCol`, the `valueCols` of the lower-bound row
+    * (nulls when the probe exceeds the series maximum, the reference's
+    * NA-past-the-end). Same single join + aggregation shape. */
+  def lookupAll(df: DataFrame, baseCol: String, valueCols: Seq[String], values: Seq[Any],
+                orderCol: String, exact: Boolean = false): DataFrame = {
+    val probes = probeFrame(df, values)
+    val joined =
+      if (exact) df.join(probes, col(baseCol) === col("probe"))
+      else df.join(probes, col(baseCol) >= col("probe"))
+    val hits = joined.groupBy("probe")
+      .agg(min_by(struct(valueCols.map(col).toIndexedSeq: _*),
+        struct(col(baseCol), col(orderCol))).as("__v"))
+      .select(col("probe") +: valueCols.map(c => col(s"__v.$c").as(c)): _*)
+    probes.join(hits, Seq("probe"), "left")
+  }
+
   /** df-equal-range on the indexed layout (partition-pruned scan). */
   def equalRange(df: DataFrame, column: String, lo: Any, hi: Any): DataFrame =
     df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))

@@ -45,4 +45,29 @@ class FrameSpec extends AnyFunSuite with SharedSpark {
     assert(GraftIndex.allIndicesOf(idx, "grp", 3, "id").count() == 143)
     assert(GraftIndex.equalRange(idx, "id", 10, 19).count() == 10)
   }
+
+  test("batched index-of*: lower-bound per probe, null past the end") {
+    // series 10,20,...,100 ordered by rid
+    val df = (1 to 10).map(i => (i.toLong, i * 10)).toDF("rid", "v")
+    val r = GraftIndex.indexOfAll(df, "v", Seq(10, 35, 100, 999), "rid")
+      .collect().map(x => x.getInt(0) -> (if (x.isNullAt(1)) null else x.getLong(1))).toMap
+    assert(r(10) == 1L)   // exact hit → its own position
+    assert(r(35) == 4L)   // insertion point: first v >= 35 is 40 at rid 4
+    assert(r(100) == 10L)
+    assert(r(999) == null) // past the end → NA (reference insertion-point = row count)
+    val exact = GraftIndex.indexOfAll(df, "v", Seq(10, 35), "rid", exact = true)
+      .collect().map(x => x.getInt(0) -> (if (x.isNullAt(1)) null else x.getLong(1))).toMap
+    assert(exact(10) == 1L && exact(35) == null)
+  }
+
+  test("batched lookup*: value columns at the lower-bound row") {
+    val df = Seq((1L, 10, "a", 1.5), (2L, 20, "b", 2.5), (3L, 30, "c", 3.5))
+      .toDF("rid", "v", "s", "x")
+    val r = GraftIndex.lookupAll(df, "v", Seq("s", "x"), Seq(15, 30, 99), "rid")
+      .collect().map(x => x.getInt(0) ->
+        (if (x.isNullAt(1)) null else (x.getString(1), x.getDouble(2)))).toMap
+    assert(r(15) == ("b", 2.5)) // first v >= 15
+    assert(r(30) == ("c", 3.5))
+    assert(r(99) == null)
+  }
 }
