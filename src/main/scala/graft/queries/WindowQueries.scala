@@ -45,6 +45,29 @@ object WindowQueries {
         .orderBy("duration")
     }),
 
+    // #22b df-mean-max inverted: best = smallest window average
+    // (pace/ground-contact-style series).
+    "q_meanmax_inv" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      MeanMax.meanMax(e, "user_id", "eps_us", "value",
+          Seq(60L, 1800L).map(_ * 1000000L), inverted = true)
+        .select((col("duration") / 1000000L).cast("long").as("duration"), col("best_avg"))
+        .orderBy("duration")
+    }),
+
+    // #22c df-mean-max-aux: auxiliary series' average over the main
+    // series' best window (aux = props length as a second telemetry
+    // channel).
+    "q_meanmax_aux" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("aux", length(col("props")).cast("double"))
+      MeanMax.meanMaxAux(e, "user_id", "eps_us", "value", "aux",
+          Seq(300L, 1800L).map(_ * 1000000L))
+        .select((col("duration") / 1000000L).cast("long").as("duration"),
+          col("best_avg"), col("aux_avg"))
+        .orderBy("duration")
+    }),
+
     // #23 time-delay-series: value at first sample >= ts + 60s, per
     // user — via the co-partitioned as-of merge join (AsOf), which the
     // oracle-checked pair-join formulation validates.
@@ -111,6 +134,66 @@ object WindowQueries {
         |          AND a.x1 + du.dsec*1000000 <= j.x2)
         |SELECT cast(dsec AS bigint) AS duration, round(max(mavg),4) AS best_avg
         |FROM tot GROUP BY dsec ORDER BY duration""".stripMargin,
+
+    "q_meanmax_inv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS x, value FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT user_id, x, value,
+        |      lead(x) OVER w AS nx, lead(value) OVER w AS nv
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY x)),
+        |d AS (SELECT user_id, x AS x1, nx AS x2, (nx - x) AS dt,
+        |      (nx - x) * (value + nv) / 2 AS slice FROM s WHERE nx IS NOT NULL),
+        |c AS (SELECT *, sum(slice) OVER (PARTITION BY user_id ORDER BY x1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - slice AS cum FROM d),
+        |durs AS (SELECT cast(unnest([60,1800]) AS BIGINT) AS dsec),
+        |tot AS (SELECT du.dsec,
+        |        (j.cum + j.slice * ((a.x1 + du.dsec*1000000 - j.x1) / (j.dt * 1.0))
+        |          - a.cum) / (du.dsec*1000000) AS mavg
+        |        FROM c a JOIN durs du ON true
+        |        JOIN c j ON j.user_id = a.user_id
+        |          AND j.x1 < a.x1 + du.dsec*1000000
+        |          AND a.x1 + du.dsec*1000000 <= j.x2)
+        |SELECT cast(dsec AS bigint) AS duration, round(min(mavg),4) AS best_avg
+        |FROM tot GROUP BY dsec ORDER BY duration""".stripMargin,
+
+    // Same delta-series machinery with a parallel aux cumsum; the
+    // winner row (argmax by total, ties x1 then user) supplies both
+    // averages — operation order mirrors the Scala kernel bitwise.
+    "q_meanmax_aux" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS x, value,
+        |             cast(length(props) AS double) AS aux FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT user_id, x, value, aux,
+        |      lead(x) OVER w AS nx, lead(value) OVER w AS nv, lead(aux) OVER w AS na
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY x)),
+        |d AS (SELECT user_id, x AS x1, nx AS x2, (nx - x) AS dt,
+        |      (nx - x) * (value + nv) / 2 AS slice,
+        |      CASE WHEN aux IS NOT NULL AND na IS NOT NULL
+        |           THEN (nx - x) * (aux + na) / 2 ELSE 0.0 END AS aslice,
+        |      CASE WHEN aux IS NOT NULL AND na IS NOT NULL
+        |           THEN cast(nx - x AS double) ELSE 0.0 END AS adt
+        |      FROM s WHERE nx IS NOT NULL),
+        |c AS (SELECT *, sum(slice) OVER pw - slice AS cum,
+        |             sum(aslice) OVER pw - aslice AS acum,
+        |             sum(adt) OVER pw - adt AS atcum
+        |      FROM d WINDOW pw AS (PARTITION BY user_id ORDER BY x1
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |durs AS (SELECT cast(unnest([300,1800]) AS BIGINT) AS dsec),
+        |tot AS (SELECT du.dsec, a.user_id, a.x1,
+        |        (j.cum + j.slice * ((a.x1 + du.dsec*1000000 - j.x1) / (j.dt * 1.0)) - a.cum) AS total,
+        |        (j.acum + j.aslice * ((a.x1 + du.dsec*1000000 - j.x1) / (j.dt * 1.0)) - a.acum) AS atotal,
+        |        (j.atcum + j.adt * ((a.x1 + du.dsec*1000000 - j.x1) / (j.dt * 1.0)) - a.atcum) AS atime
+        |        FROM c a JOIN durs du ON true
+        |        JOIN c j ON j.user_id = a.user_id
+        |          AND j.x1 < a.x1 + du.dsec*1000000
+        |          AND a.x1 + du.dsec*1000000 <= j.x2),
+        |sel AS (SELECT dsec, total, atotal, atime,
+        |        row_number() OVER (PARTITION BY dsec ORDER BY total DESC, x1, user_id) AS rn
+        |        FROM tot)
+        |SELECT cast(dsec AS bigint) AS duration,
+        |  round(total/(dsec*1000000),4) AS best_avg,
+        |  round(CASE WHEN atime > 0 THEN atotal/atime END, 4) AS aux_avg
+        |FROM sel WHERE rn = 1 ORDER BY duration""".stripMargin,
 
     "q_time_delay" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS eps, value FROM events),

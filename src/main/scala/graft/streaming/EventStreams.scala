@@ -54,6 +54,20 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup for document/event feeds: drops rows whose
+    * content hash was already seen, with bounded state — duplicates
+    * arriving within the watermark window are suppressed, older state
+    * is evicted (dropDuplicatesWithinWatermark, the streaming analogue
+    * of the batch `Dedup.exact` keep-first). `tsCol` must be a
+    * timestamp column; dedup state is keyed by xxhash64(content). */
+  def dedupStream(rows: DataFrame, contentCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("__h", xxhash64(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Streaming sessionization via flatMapGroupsWithState (append
     * mode): CLOSED sessions are emitted the moment an event-time gap
     * larger than gapMs is observed; the running session stays in

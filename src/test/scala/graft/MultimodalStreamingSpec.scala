@@ -105,6 +105,24 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = EventStreams.dedupStream(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+      mem.addData((t0, "alpha"), (t0, "beta"), (t1, "alpha")) // dup alpha
+      q.processAllAvailable()
+      mem.addData((t1, "beta"), (t1, "gamma")) // dup beta crosses batches
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").collect().map(_.getAs[String]("text")).sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions on gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
