@@ -66,6 +66,18 @@ object FrameOps {
       df.withColumn(out, f(c => lag(c, 1).over(w)))
     }
 
+    /** df-map with (prev, current) over the WHOLE frame — the
+      * reference's single-series semantics (df.rkt l.946) — without a
+      * global window: GlobalOrder boundary exchange keeps every
+      * partition working. `f` builds the output from `col(name)`
+      * (current) and its prev accessor; `carryCols` lists the columns
+      * `f` reads through prev. */
+    def mapWindowGlobal(orderCols: Seq[Column], carryCols: Seq[String], out: String,
+                        f: (String => Column) => Column): DataFrame =
+      GlobalOrder.withPrev(df, orderCols, carryCols)
+        .withColumn(out, f(c => col(s"__prev_$c")))
+        .drop(carryCols.map(c => s"__prev_$c"): _*)
+
     /** df-describe: one row per numeric column with count/mean/stddev/
       * min/max. One distributed aggregation, tiny unpivoted result. */
     def describeNumeric(cols: Seq[String]): DataFrame = {

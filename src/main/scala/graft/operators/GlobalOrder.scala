@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Global-order previous-row access without a global window.
+  *
+  * The reference's single-series operators (df-map with (prev,current)
+  * — df.rkt l.946, weighted statistics, is-sorted) walk one vector in
+  * order. The naive distributed translation — `Window.partitionBy()` —
+  * funnels every row into ONE task. This utility keeps the semantics
+  * and the parallelism: range-partition on the order columns (Spark's
+  * parallel sort), sort within partitions, then seed each partition
+  * with the LAST row of the previous non-empty partition (one boundary
+  * row per partition through the driver), so a per-partition scan sees
+  * exactly the globally-previous row.
+  */
+object GlobalOrder {
+
+  /** Appends `__prev_<c>` for each c in `carryCols`, valued as of the
+    * globally previous row in `orderCols` order (nulls for the very
+    * first row, and null fields pass through like `lag`). Output rows
+    * are range-partitioned + sorted by `orderCols`. Two jobs run over
+    * the same shuffle (boundary collect, then the downstream query), so
+    * the sort is computed once and reused as a skipped stage. */
+  def withPrev(df: DataFrame, orderCols: Seq[Column], carryCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val base = df.repartitionByRange(nPart, orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val schema = df.schema
+    val idxs = carryCols.map(schema.fieldIndex).toArray
+    val rdd0 = base.rdd
+    val lasts = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var last: Row = null
+      while (it.hasNext) last = it.next()
+      if (last == null) Iterator.empty
+      else Iterator.single((pid, idxs.map(i => if (last.isNullAt(i)) null else last.get(i))))
+    }.collect().toMap
+    val nParts = rdd0.getNumPartitions
+    // boundary for partition p = last row of the nearest earlier
+    // non-empty partition (empty partitions forward their predecessor's)
+    val bound = new Array[Array[Any]](nParts)
+    var carry: Array[Any] = null
+    for (p <- 0 until nParts) {
+      bound(p) = carry
+      lasts.get(p).foreach(l => carry = l)
+    }
+    val bc = spark.sparkContext.broadcast(bound)
+    val nulls = idxs.map(_ => null: Any)
+    val out = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var prev: Array[Any] = bc.value(pid)
+      it.map { r =>
+        val prevVals = if (prev == null) nulls else prev
+        prev = idxs.map(i => if (r.isNullAt(i)) null else r.get(i))
+        Row.fromSeq(r.toSeq ++ prevVals)
+      }
+    }
+    val outSchema = StructType(schema.fields.toIndexedSeq ++
+      carryCols.map(c => StructField(s"__prev_$c", schema(c).dataType, nullable = true)))
+    spark.createDataFrame(out, outSchema)
+  }
+}

@@ -65,62 +65,20 @@ object Stats {
     case None => globalWeightedPairs(df, orderCols, valueCol, weightCol)
   }
 
-  /** Global-order consecutive pairs with no global window: Spark's
-    * parallel range sort + a per-partition pass seeded with the previous
-    * partition's last row (only #partitions rows touch the driver). */
+  /** Global-order consecutive pairs with no global window: the
+    * GlobalOrder boundary-exchange (parallel range sort + one seed row
+    * per partition), then the same midpoint/Δweight arithmetic as the
+    * keyed path — in Catalyst, so it stays codegen'd. */
   private def globalWeightedPairs(df: DataFrame, orderCols: Seq[Column],
       valueCol: String, weightCol: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-    val spark = df.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
     val named = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
-    val ords = named.indices.map(i => col(s"__o$i"))
     val base = df.select(named :+ col(valueCol).cast("double").as("__v")
-        :+ col(weightCol).cast("double").as("__w"): _*)
-      .repartitionByRange(nPart, ords: _*)
-      .sortWithinPartitions(ords: _*)
-    val vi = named.size
-    val wi = vi + 1
-    // two jobs run over rdd0 (boundary collect, then the real pass) —
-    // the shuffle stage is computed once and reused (skipped stage)
-    val rdd0 = base.rdd
-    // last row of each partition (lag() advances past NA rows too, so
-    // the raw last row is the correct seed even when its fields are null)
-    val lasts = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      var last: Row = null
-      while (it.hasNext) last = it.next()
-      if (last == null) Iterator.empty
-      else Iterator.single((pid,
-        (if (last.isNullAt(vi)) null else Double.box(last.getDouble(vi)),
-         if (last.isNullAt(wi)) null else Double.box(last.getDouble(wi)))))
-    }.collect().toMap
-    val nParts = rdd0.getNumPartitions
-    val bound = new Array[(java.lang.Double, java.lang.Double)](nParts)
-    var carry: (java.lang.Double, java.lang.Double) = null
-    for (p <- 0 until nParts) {
-      bound(p) = carry
-      lasts.get(p).foreach(l => carry = l)
-    }
-    val bc = spark.sparkContext.broadcast(bound)
-    val pairs = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      val b = bc.value(pid)
-      var pv: java.lang.Double = if (b == null) null else b._1
-      var pw: java.lang.Double = if (b == null) null else b._2
-      it.flatMap { r =>
-        val v: java.lang.Double = if (r.isNullAt(vi)) null else Double.box(r.getDouble(vi))
-        val w: java.lang.Double = if (r.isNullAt(wi)) null else Double.box(r.getDouble(wi))
-        val out =
-          if (pv != null && v != null && pw != null && w != null && w > pw)
-            Iterator.single(Row((pv + v) / 2, w - pw))
-          else Iterator.empty
-        pv = v; pw = w
-        out
-      }
-    }
-    spark.createDataFrame(pairs, StructType(Seq(
-      StructField("__wx", DoubleType, nullable = false),
-      StructField("__ww", DoubleType, nullable = false))))
+      :+ col(weightCol).cast("double").as("__w"): _*)
+    GlobalOrder.withPrev(base, named.indices.map(i => col(s"__o$i")), Seq("__v", "__w"))
+      .filter(col("__prev___v").isNotNull && col("__v").isNotNull &&
+        (col("__w") > col("__prev___w")))
+      .select(((col("__prev___v") + col("__v")) / 2).as("__wx"),
+        (col("__w") - col("__prev___w")).as("__ww"))
   }
 
   /** df-statistics with a weight series: weighted mean + population

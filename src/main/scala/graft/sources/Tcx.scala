@@ -7,7 +7,7 @@ import java.time.Instant
 
 /** TCX source — mirrors /root/reference/private/tcx.rkt
   * (df-read/tcx l.269, df-read/tcx/multiple l.277: per-activity lap + trackpoint series: time,
-  * lat/lon, altitude, distance, hr, cadence, watts).
+  * lat/lon, altitude, distance, hr, cadence, watts, speed).
   * Distributed like Gpx.read: one parse task per file.
   */
 object Tcx {
@@ -15,7 +15,7 @@ object Tcx {
   case class TcxPoint(file: String, activity: Int, lap: Int, idx: Int,
                       timestamp: Option[Long], lat: Option[Double], lon: Option[Double],
                       alt: Option[Double], dst: Option[Double], hr: Option[Double],
-                      cad: Option[Double], watts: Option[Double])
+                      cad: Option[Double], watts: Option[Double], spd: Option[Double])
 
   private[sources] def parse(file: String, content: String): Seq[TcxPoint] = {
     val root = scala.xml.XML.loadString(content)
@@ -31,7 +31,14 @@ object Tcx {
           d(pos \ "LatitudeDegrees"), d(pos \ "LongitudeDegrees"),
           d(tp \ "AltitudeMeters"), d(tp \ "DistanceMeters"),
           d(tp \ "HeartRateBpm" \ "Value"), d(tp \ "Cadence"),
-          d(tp \\ "Watts"))
+          // TPX extension tags vary by vendor namespace (Watts,
+          // ns3:Speed, …) — scala-xml labels drop the prefix, so a
+          // label-prefix match mirrors the reference's "(^|:)Watts" /
+          // "(^|:)Speed" regexes (tcx.rkt l.73-76)
+          (tp \\ "_").collectFirst { case e if e.label.startsWith("Watts") => e }
+            .flatMap(_.text.trim.toDoubleOption),
+          (tp \\ "_").collectFirst { case e if e.label.startsWith("Speed") => e }
+            .flatMap(_.text.trim.toDoubleOption))
         idx += 1
       }
     }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.GlobalOrder
+import graft.operators.FrameOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GlobalOrder boundary exchange: must agree row-for-row with the
+  * (single-task) global-window lag it replaces, including null
+  * pass-through and empty-partition carry-forward. */
+class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("withPrev equals global-window lag on shuffled input") {
+    val rng = new scala.util.Random(5)
+    val df = rng.shuffle((1 to 500).toList)
+      .map(i => (i, if (i % 17 == 0) None else Some(i * 1.5)))
+      .toDF("ord", "v")
+    val got = GlobalOrder.withPrev(df, Seq(col("ord")), Seq("v"))
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    val w = Window.orderBy("ord") // single task — fine for a 500-row fixture
+    val want = df.withColumn("p", lag("v", 1).over(w))
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got == want)
+    assert(got(1).isEmpty) // very first row has no predecessor
+    assert(got(18).isEmpty) // 17 is null → prev passes the null through
+  }
+
+  test("mapWindowGlobal computes whole-frame deltas without a global window") {
+    val df = Seq((10, 1.0), (20, 4.0), (30, 9.0)).toDF("t", "y")
+    val r = df.mapWindowGlobal(Seq(col("t")), Seq("y"), "dy",
+        prev => col("y") - prev("y"))
+      .orderBy("t").collect().map(x => Option(x.get(2)).map(_.asInstanceOf[Double]))
+    assert(r.toSeq == Seq(None, Some(3.0), Some(5.0)))
+  }
+}

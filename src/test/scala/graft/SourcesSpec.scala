@@ -109,10 +109,12 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       |<Trackpoint><Time>2024-01-01T00:00:10Z</Time>
       | <Position><LatitudeDegrees>45.001</LatitudeDegrees><LongitudeDegrees>25.0</LongitudeDegrees></Position>
       | <AltitudeMeters>101.0</AltitudeMeters><DistanceMeters>111.0</DistanceMeters>
-      | <HeartRateBpm><Value>125</Value></HeartRateBpm><Cadence>82</Cadence></Trackpoint>
+      | <HeartRateBpm><Value>125</Value></HeartRateBpm><Cadence>82</Cadence>
+      | <Extensions><TPX xmlns="http://www.garmin.com/xmlschemas/ActivityExtension/v2">
+      |  <Speed>3.2</Speed><Watts>240</Watts></TPX></Extensions></Trackpoint>
       |</Track></Lap></Activity></Activities></TrainingCenterDatabase>""".stripMargin
 
-  test("TCX read: laps, hr, cadence") {
+  test("TCX read: laps, hr, cadence, TPX speed/watts extensions") {
     val dir = Files.createTempDirectory("graft_tcx")
     Files.writeString(dir.resolve("a.tcx"), tcxXml)
     val df = Tcx.read(spark, dir.toString + "/*.tcx")
@@ -120,6 +122,9 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     val r = df.orderBy("idx").collect()
     assert(r.head.getAs[Double]("hr") == 120.0)
     assert(r(1).getAs[Double]("cad") == 82.0)
+    assert(r(1).getAs[Double]("spd") == 3.2)
+    assert(r(1).getAs[Double]("watts") == 240.0)
+    assert(r.head.isNullAt(r.head.fieldIndex("spd")))
     assert(r.forall(_.getAs[Int]("lap") == 0))
   }
 
