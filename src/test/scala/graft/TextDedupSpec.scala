@@ -31,6 +31,22 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered ngram jaccard equals the direct shingle self-join") {
+    // 60 docs over a small shared vocab → frequent shingles everywhere,
+    // the exact regime prefix filtering must survive unharmed
+    val rng = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (0L until 60L).map { i =>
+      (i, Seq.fill(12)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = toSet(Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.2))
+    val brute = toSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.2))
+    assert(brute.nonEmpty, "fixture should produce qualifying pairs")
+    assert(pruned == brute)
+  }
+
   test("minhash candidates ⊇ high-jaccard pairs, est within 0.3 of exact") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
