@@ -131,6 +131,20 @@ object CoreQueries {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY o_orderkey, o_orderdate
           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // SQL-API surface, TPC-H Q5 shape: 6-table join where region/
+    // nation/supplier broadcast and the two fact joins shuffle —
+    // exercises Catalyst join ordering through the SQL entry point.
+    "q_sql_q5" -> ((s, dir) =>
+      graft.GraftSql.sql(s, dir,
+        """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +168,16 @@ object CoreQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_sql_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_select_filter" ->
       """SELECT l_orderkey, l_linenumber, cast(l_shipdate as date) AS ship_date,

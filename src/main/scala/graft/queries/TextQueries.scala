@@ -36,6 +36,12 @@ object TextQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id", "fp")),
+
+    // #48b unigram-LM quality signal (CCNet-style): per-doc average
+    // token log-probability under the corpus' own unigram distribution.
+    "q_text_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -56,5 +62,16 @@ object TextQueries {
         | round(sr, 4) AS stop_ratio,
         | round(least(n_words/100.0, 1.0)*0.5 + sr*0.5, 4) AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        |v AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS total FROM t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(cast(tf AS double) / total)), 4) AS avg_logprob
+        |FROM t JOIN v USING (tok), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -50,6 +50,25 @@ object TextAnalysis {
         col("stop_ratio"), col("quality_score"))
   }
 
+  /** Unigram language-model score per document — the CCNet-style
+    * quality signal: each token's log-probability under the corpus' own
+    * unigram distribution (every corpus token has tf ≥ 1, so no
+    * smoothing term is needed), averaged per document. Low scores mark
+    * gibberish/outlier documents. Shape: one vocabulary aggregation,
+    * one token-keyed equi-join, one broadcast scalar — all shuffles are
+    * keyed, nothing driver-side. Returns (idCol, n_tokens,
+    * avg_logprob); token-less documents produce no row. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val n = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("total"))), 4).as("avg_logprob"))
+  }
+
   /** Tiny per-language marker lexicons for the n-gram/stopword
     * language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

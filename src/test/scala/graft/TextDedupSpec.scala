@@ -83,6 +83,16 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert((by(1L) & by(3L)).isEmpty)
   }
 
+  test("unigram LM score: hand-computed log-probs, gibberish scores lower") {
+    val d = Seq((1L, "a a a"), (2L, "a z")).toDF("doc_id", "text")
+    // corpus tokens: a×4, z×1 (total 5) → p(a)=0.8, p(z)=0.2
+    val r = TextAnalysis.unigramLogProb(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((3L, -0.2231)))            // ln(0.8)
+    assert(r(2L) == ((2L, -0.9163)))            // (ln0.8 + ln0.2)/2
+    assert(r(2L)._2 < r(1L)._2)                 // rare-token doc scores lower
+  }
+
   test("quality features: counts and ratios") {
     val q = TextAnalysis.quality(docs, "text", "doc_id", Seq("the", "a", "of")).orderBy("doc_id").first()
     assert(q.getAs[Int]("n_words") == 9)
