@@ -45,6 +45,44 @@ final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) 
   def getProperty(key: String): Option[Any] = properties.get(key)
   def propertyNames: Seq[String] = properties.keys.toSeq
 
+  // ---- contracts (df-set-contract!) --------------------------------------
+  /** df-set-contract! analog: attach a row-level predicate to a series.
+    * Plans are immutable, so enforcement is an explicit check rather
+    * than a mutation hook; the NA value for every series is SQL NULL
+    * (df-na-value). */
+  def setContract(series: String, predicate: Column): Frame =
+    copy(properties = properties + (s"__contract_$series" -> predicate))
+
+  /** Rows violating each attached contract (violation = predicate false
+    * or null on a non-NA value; NA rows are exempt like the reference's
+    * contracts, which only see present values). 0 everywhere = frame
+    * honors its contracts. */
+  def checkContracts(): Map[String, Long] =
+    properties.collect { case (k, p: Column) if k.startsWith("__contract_") =>
+      val series = k.stripPrefix("__contract_")
+      series -> df.filter(col(series).isNotNull && !coalesce(p, lit(false))).count()
+    }
+
+  /** df-has-non-na?. */
+  def hasNonNa(series: String): Boolean =
+    df.filter(col(series).isNotNull).limit(1).count() > 0
+
+  // ---- named secondary indices (df-add-index!) ---------------------------
+  /** df-add-index! analog: register a named index on a series. The
+    * layout (range partition + in-partition sort — the distributed
+    * binary-search surface) is a plan, produced on use via `indexed`. */
+  def addIndex(name: String, column: String): Frame =
+    copy(properties = properties + (s"__index_$name" -> column))
+  def delIndex(name: String): Frame = copy(properties = properties - s"__index_$name")
+  def indexNames: Seq[String] = properties.keys
+    .collect { case k if k.startsWith("__index_") => k.stripPrefix("__index_") }.toSeq
+  /** df-index-series: the series a named index covers. */
+  def indexSeries(name: String): Option[String] =
+    getProperty(s"__index_$name").map(_.toString)
+  /** The range-sorted layout for a registered index. */
+  def indexed(name: String): Option[DataFrame] =
+    indexSeries(name).map(c => graft.operators.GraftIndex.rangeIndexed(df, c))
+
   // ---- point access ------------------------------------------------------
   /** df-ref analog: value of `valueCol` at the row where keyCol = key. */
   def refBy(keyCol: String, key: Any, valueCol: String): Option[Any] = {

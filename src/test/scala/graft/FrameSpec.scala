@@ -31,6 +31,25 @@ class FrameSpec extends AnyFunSuite with SharedSpark {
     assert(g.refBy("id", 2, "v").contains(20.0))
   }
 
+  test("contracts: violations counted, NA rows exempt; hasNonNa") {
+    val f = Frame(Seq((1, Some(5.0)), (2, Some(-3.0)), (3, None)).toDF("id", "v"))
+      .setContract("v", col("v") >= 0)
+    assert(f.checkContracts() == Map("v" -> 1L)) // only the -3 row; NA exempt
+    assert(f.setWhere(col("id") === 2, "v", 7.0).checkContracts() == Map("v" -> 0L))
+    assert(f.hasNonNa("v"))
+    assert(!Frame(Seq(Option.empty[Double]).toDF("v")).hasNonNa("v"))
+  }
+
+  test("named index registry: add/del/series/layout") {
+    val f = Frame((1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "grp"))
+      .addIndex("by_id", "id")
+    assert(f.indexNames == Seq("by_id"))
+    assert(f.indexSeries("by_id").contains("id"))
+    val layout = f.indexed("by_id").get
+    assert(layout.count() == 100)
+    assert(f.delIndex("by_id").indexNames.isEmpty)
+  }
+
   test("range index layout prunes and looks up") {
     val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "grp")
     val idx = GraftIndex.rangeIndexed(df, "id", partitions = 8)
