@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *    frame; `refBy` does a keyed point lookup instead (broadcast-hash
   *    at scale), which is what the reference's index-based refs do.
   */
-final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) {
+final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty,
+                       contracts: Map[String, Column] = Map.empty,
+                       indices: Map[String, String] = Map.empty) {
 
   // ---- series management -------------------------------------------------
   def seriesNames: Seq[String] = df.columns.toSeq
@@ -49,17 +51,17 @@ final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) 
   /** df-set-contract! analog: attach a row-level predicate to a series.
     * Plans are immutable, so enforcement is an explicit check rather
     * than a mutation hook; the NA value for every series is SQL NULL
-    * (df-na-value). */
+    * (df-na-value). Contracts live in their own registry — they never
+    * appear in `propertyNames`. */
   def setContract(series: String, predicate: Column): Frame =
-    copy(properties = properties + (s"__contract_$series" -> predicate))
+    copy(contracts = contracts + (series -> predicate))
 
   /** Rows violating each attached contract (violation = predicate false
     * or null on a non-NA value; NA rows are exempt like the reference's
     * contracts, which only see present values). 0 everywhere = frame
     * honors its contracts. */
   def checkContracts(): Map[String, Long] =
-    properties.collect { case (k, p: Column) if k.startsWith("__contract_") =>
-      val series = k.stripPrefix("__contract_")
+    contracts.map { case (series, p) =>
       series -> df.filter(col(series).isNotNull && !coalesce(p, lit(false))).count()
     }
 
@@ -70,15 +72,14 @@ final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty) 
   // ---- named secondary indices (df-add-index!) ---------------------------
   /** df-add-index! analog: register a named index on a series. The
     * layout (range partition + in-partition sort — the distributed
-    * binary-search surface) is a plan, produced on use via `indexed`. */
+    * binary-search surface) is a plan, produced on use via `indexed`.
+    * Indices live in their own registry, separate from properties. */
   def addIndex(name: String, column: String): Frame =
-    copy(properties = properties + (s"__index_$name" -> column))
-  def delIndex(name: String): Frame = copy(properties = properties - s"__index_$name")
-  def indexNames: Seq[String] = properties.keys
-    .collect { case k if k.startsWith("__index_") => k.stripPrefix("__index_") }.toSeq
+    copy(indices = indices + (name -> column))
+  def delIndex(name: String): Frame = copy(indices = indices - name)
+  def indexNames: Seq[String] = indices.keys.toSeq
   /** df-index-series: the series a named index covers. */
-  def indexSeries(name: String): Option[String] =
-    getProperty(s"__index_$name").map(_.toString)
+  def indexSeries(name: String): Option[String] = indices.get(name)
   /** The range-sorted layout for a registered index. */
   def indexed(name: String): Option[DataFrame] =
     indexSeries(name).map(c => graft.operators.GraftIndex.rangeIndexed(df, c))

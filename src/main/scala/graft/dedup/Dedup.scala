@@ -65,13 +65,19 @@ object Dedup {
       .join(sh.select(col(idCol).as("doc1"), col("shingle")), Seq("doc1"))
       .join(sh.select(col(idCol).as("doc2"), col("shingle")), Seq("doc2", "shingle"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    jaccardFromIntersections(inter, sizes, idCol, threshold)
+  }
+
+  /** Shared verify tail: (doc1, doc2, inter) + per-doc shingle counts →
+    * exact Jaccard, thresholded. */
+  private def jaccardFromIntersections(inter: DataFrame, sizes: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
     inter
       .join(sizes.select(col(idCol).as("doc1"), col("n").as("n1")), Seq("doc1"))
       .join(sizes.select(col(idCol).as("doc2"), col("n").as("n2")), Seq("doc2"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** Direct shingle self-join — O(Σ group²) fan-out on frequent
     * shingles, intended as the exact refinement AFTER MinHash banding
@@ -87,12 +93,7 @@ object Dedup {
     val b = sh.select(col(idCol).as("doc2"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc1"), col("n").as("n1")), Seq("doc1"))
-      .join(sizes.select(col(idCol).as("doc2"), col("n").as("n2")), Seq("doc2"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+    jaccardFromIntersections(inter, sizes, idCol, threshold)
   }
 
   /** MinHash signature: for each of `perms` seeded hash permutations,
@@ -144,10 +145,11 @@ object Dedup {
     * Cost shape: only ids that appear in a pair are iterated — every
     * other id is trivially its own survivor and joins back at the end —
     * and each round's result is localCheckpoint'ed so lineage (and
-    * re-planning cost) stays constant across rounds. Convergence
-    * witness: labels only ever decrease, so Σ survivor (exact DECIMAL —
-    * no overflow aliasing) is strictly monotone until the fixpoint; one
-    * cheap aggregate per round, no extra join.
+    * re-planning cost) stays constant across rounds; superseded rounds
+    * unpersist, bounding storage to two label sets. Convergence is an
+    * exact changed-row probe (join on id, works for ANY id type —
+    * numeric-only witnesses like Σ survivor go null on string ids and
+    * would fake convergence) over the tiny pair-touched frame.
     *
     * Returns (id, survivor) for every id in `ids`. */
   def survivors(pairs: DataFrame, ids: DataFrame, idCol: String,
@@ -158,7 +160,6 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("survivor"))
       .localCheckpoint()
-    var prevSum = Option.empty[java.math.BigDecimal]
     var iter = 0
     var changed = !labels.isEmpty
     while (changed && iter < maxIters) {
@@ -171,16 +172,20 @@ object Dedup {
       val next = hopped.join(parents, hopped("survivor") === col("__pid"), "left")
         .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor"))
         .localCheckpoint() // truncates lineage; labels stay one hop deep
-      val s = next.agg(sum(col("survivor").cast("decimal(38,0)"))).first().getDecimal(0)
-      changed = !prevSum.contains(s)
-      prevSum = Some(s)
+      changed = next
+        .join(labels.withColumnRenamed("survivor", "__old"), Seq("id"))
+        .filter(col("survivor") =!= col("__old"))
+        .limit(1).count() > 0
+      labels.unpersist()
       labels = next
       iter += 1
     }
     // untouched ids are their own survivor
-    ids.select(col(idCol).as("id"))
+    val out = ids.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("survivor", "__s"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), col("id")).as("survivor"))
+    edges.unpersist()
+    out
   }
 
   /** 64-bit SimHash over word hashes: bit b is set when the sum of

@@ -105,20 +105,24 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val isImage = !r.isNullAt(mi) && r.getString(mi) == "image"
-        if (!isImage) r
+        val bytes = if (!isImage || r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci)
+        val img = if (bytes == null) null else decodeImage(bytes)
+        // non-decodable payloads pass through UNCHANGED — overwriting
+        // width/height without transcoding would leave metadata that
+        // contradicts the bytes
+        if (img == null) r
         else {
-          val bytes = if (r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci)
-          val img = if (bytes == null) null else decodeImage(bytes)
+          val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          // white matte under transparency (TYPE_INT_RGB has no alpha)
+          g.setColor(java.awt.Color.WHITE)
+          g.fillRect(0, 0, w, h)
+          g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
           val vals = r.toSeq.toArray
-          if (img != null) {
-            val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = scaled.createGraphics()
-            g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-            g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(scaled, "png", bos)
-            vals(ci) = bos.toByteArray
-          }
+          vals(ci) = bos.toByteArray
           vals(wi) = w
           vals(hi) = h
           Row.fromSeq(vals.toIndexedSeq)

@@ -117,7 +117,13 @@ object FrameOps {
             .filter(col("__prev").isNotNull && col("__prev") > col(column))
             .limit(1).count() == 0
         case None =>
+          // sortedness of the non-NA subsequence: drop NA rows AFTER
+          // tagging original partition/position so the in-partition lag
+          // check and the seam check see the same (non-NA) neighbours —
+          // otherwise a null sitting at a partition boundary would make
+          // the answer depend on the physical split
           val tagged = withPos.withColumn("__pid", spark_partition_id())
+            .filter(col(column).isNotNull)
           val w2 = Window.partitionBy("__pid").orderBy(col("__rid"))
           val inverted = tagged
             .withColumn("__prev", lag(col(column), 1).over(w2))
@@ -125,10 +131,10 @@ object FrameOps {
             .limit(1).count() > 0
           if (inverted) false
           else {
-            // cross-partition seams: last non-NA value of partition p vs
-            // first non-NA of p+1 — one row per partition, so the
-            // unpartitioned window is bounded by the partition count
-            val ends = tagged.filter(col(column).isNotNull).groupBy("__pid")
+            // cross-partition seams: last value of partition p vs first
+            // of p+1 — one row per partition, so the unpartitioned
+            // window is bounded by the partition count
+            val ends = tagged.groupBy("__pid")
               .agg(min_by(col(column), col("__rid")).as("__first"),
                 max_by(col(column), col("__rid")).as("__last"))
             val wb = Window.orderBy(col("__pid"))

@@ -65,7 +65,9 @@ object MeanMax {
   /** Per-key best window totals for every duration. Rows with NA
     * epoch/value are dropped (reference df-mean-max filter-fn, l.266);
     * keys with fewer than 2 samples produce nothing (make-mean-max,
-    * l.193). `epochCol` must be numeric; durations share its unit. */
+    * l.193). `epochCol` must be numeric and `keyCol` castable to long
+    * (hash string keys through xxhash64 first); rows whose key casts to
+    * null are dropped like NA samples. */
   private def perKeyBests(df: DataFrame, keyCol: String, epochCol: String,
       valueCol: String, auxCol: Option[String], durations: Seq[Long],
       inverted: Boolean): DataFrame = {
@@ -75,7 +77,7 @@ object MeanMax {
       col(epochCol).cast("long").as("__x"), col(valueCol).cast("double").as("__y")) ++
       auxCol.map(a => col(a).cast("double").as("__a"))
     val base = df.select(cols: _*)
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .filter(col("__k").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
       .repartition(nPart, col("__k")).sortWithinPartitions("__k", "__x")
     val durs = durations.toArray.sorted
     val hasAux = auxCol.isDefined

@@ -25,11 +25,16 @@ object Cosine {
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Adds `__vd` (double vector) and `__nrm` columns; precomputing the
-    * norm once per vector avoids recomputing it per candidate pair. */
+    * norm once per vector avoids recomputing it per candidate pair.
+    * Zero-norm vectors are dropped: their cosine is 0/0 = NaN, and
+    * Spark orders NaN above every number, so a single all-zero
+    * embedding would otherwise pass every `cos >= threshold` filter and
+    * rank first in every top-k. */
   def withNorm(df: DataFrame, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("__vd", toDouble(col(vecCol)))
       .withColumn("__nrm", norm(col("__vd")))
+      .filter(col("__nrm") > 0)
   }
 
   /** All pairs (id1 < id2) with cosine >= threshold — EXACT, via a

@@ -129,7 +129,7 @@ object Gpx {
       col("lat"), col("lon"), opt("ele"),
       (if (cols("timestamp")) col("timestamp").cast("timestamp") else lit(null).cast("timestamp")).as("timestamp"),
       opt("hr"), opt("cad"), opt("spd"), opt("pwr"), opt("dst"),
-      (if (cols("seg")) col("seg") else lit(0)).cast("int").as("seg"))
+      (if (cols("seg")) coalesce(col("seg"), lit(0)) else lit(0)).cast("int").as("seg"))
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<gpx version=\"1.1\" creator=\"graft\" xmlns=\"http://www.topografix.com/GPX/1/1\"\n"

@@ -59,11 +59,14 @@ object EventStreams {
     * arriving within the watermark window are suppressed, older state
     * is evicted (dropDuplicatesWithinWatermark, the streaming analogue
     * of the batch `Dedup.exact` keep-first). `tsCol` must be a
-    * timestamp column; dedup state is keyed by xxhash64(content). */
+    * timestamp column; dedup state is keyed by md5(content) — 128 bits
+    * like the batch path, since 64-bit keys reach birthday-collision
+    * territory at billions of documents and a collision here silently
+    * drops a distinct document. */
   def dedupStream(rows: DataFrame, contentCol: String, tsCol: String,
                   watermark: String = "10 minutes"): DataFrame =
     rows
-      .withColumn("__h", xxhash64(col(contentCol)))
+      .withColumn("__h", md5(col(contentCol).cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")

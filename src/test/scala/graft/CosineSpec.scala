@@ -49,6 +49,19 @@ class CosineSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("zero-norm vectors never appear as near-dups (NaN cosine guarded)") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.0f, 0.0f)) // zero vector → cosine undefined
+    ).toDF("vec_id", "embedding")
+    val pairs = Cosine.nearDupPairs(df, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // no NaN pair involving 3
+    val top = Cosine.topK(df, df.filter($"vec_id" === 1), "vec_id", "embedding", 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!top.contains(3L))
+  }
+
   test("lshNearDupPairs finds every planted near-dup the exact operator reports") {
     val rng = new scala.util.Random(17)
     val base = (0L until 150L).map(i => (i, Array.fill(32)(rng.nextGaussian().toFloat)))

@@ -36,6 +36,7 @@ class FrameSpec extends AnyFunSuite with SharedSpark {
       .setContract("v", col("v") >= 0)
     assert(f.checkContracts() == Map("v" -> 1L)) // only the -3 row; NA exempt
     assert(f.setWhere(col("id") === 2, "v", 7.0).checkContracts() == Map("v" -> 0L))
+    assert(f.addIndex("i", "id").propertyNames.isEmpty) // registries don't leak into properties
     assert(f.hasNonNa("v"))
     assert(!Frame(Seq(Option.empty[Double]).toDF("v")).hasNonNa("v"))
   }

