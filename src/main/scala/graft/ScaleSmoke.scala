@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.{AsOf, MeanMax, Stats}
+import graft.dedup.Dedup
+import graft.operators.{AsOf, GlobalOrder, MeanMax, Stats}
+import graft.similarity.Cosine
 import org.apache.spark.sql.functions._
 
 /** Scale smoke: generate a 10M-row events-shaped table with
@@ -45,6 +47,25 @@ object ScaleSmoke {
     }
     timed("group_agg") {
       events.groupBy("user_id").agg(count(lit(1)), avg("value"), max("eps")).count()
+    }
+    timed("global_prev") {
+      // boundary-exchange global lag over the full event set
+      GlobalOrder.withPrev(events.select(col("eps"), col("value")),
+        Seq(col("eps")), Seq("value")).count()
+    }
+    timed("blocked_pairs") {
+      // 4k synthetic 16-dim vectors → ~8M pairs through the blocked
+      // triangular equi-join (the exact near-dup plan shape)
+      val vecs = spark.range(4000).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 16), i -> cast(pmod(xxhash64(id, i), 1000) as float) / 1000.0)")
+          .as("embedding"))
+      Cosine.nearDupPairs(vecs, "vec_id", "embedding", 0.99).count()
+    }
+    timed("survivors_1m") {
+      // 1M ids, 500k candidate pairs → label propagation volume check
+      val pairs = spark.range(500000).select((col("id") * 2).as("doc1"), (col("id") * 2 + 1).as("doc2"))
+      val ids = spark.range(1000000).toDF("doc_id")
+      Dedup.survivors(pairs, ids, "doc_id").count()
     }
     spark.stop()
   }
