@@ -66,6 +66,50 @@ class MeanMaxSpec extends AnyFunSuite with SharedSpark {
     assert(mm.getAs[Double]("best_avg") == 9.0 && mm.getAs[Long]("best_key") == 2L)
   }
 
+  test("property: kernel equals a direct O(n·m) evaluation on random series") {
+    // independent evaluation of the same semantics: for each start
+    // sample, walk slices until the window of exactly d is covered,
+    // prorating the final slice; None when the tail is uncovered
+    def direct(xs: Array[Long], ys: Array[Double], d: Long): Option[(Double, Long)] = {
+      var best = Option.empty[(Double, Long)]
+      for (h <- 0 until xs.length - 1) {
+        val target = xs(h) + d
+        if (xs.last >= target) {
+          var total = 0.0
+          var t = h
+          while (xs(t + 1) < target) {
+            total += (xs(t + 1) - xs(t)) * (ys(t) + ys(t + 1)) / 2
+            t += 1
+          }
+          val dt = (xs(t + 1) - xs(t)).toDouble
+          total += (xs(t + 1) - xs(t)) * (ys(t) + ys(t + 1)) / 2 * ((target - xs(t)).toDouble / dt)
+          if (best.forall(b => total / d > b._1)) best = Some((total / d, xs(h)))
+        }
+      }
+      best
+    }
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val n = 20 + rng.nextInt(60)
+      val xs = Iterator.iterate(0L)(_ + 1 + rng.nextInt(30)).take(n).toArray
+      val ys = Array.fill(n)(rng.nextDouble() * 100)
+      val durations = Seq(5L, 37L, 120L).filter(_ < xs.last - xs.head)
+      val df = xs.indices.map(i => (1L, xs(i), ys(i))).toDF("k", "eps", "v")
+      val got = MeanMax.meanMax(df, "k", "eps", "v", durations)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3))).toMap
+      for (d <- durations) {
+        val want = direct(xs, ys, d)
+        assert(want.isDefined == got.contains(d), s"trial $trial d=$d presence")
+        want.foreach { case (avg, pos) =>
+          val (gavg, gpos) = got(d)
+          // best_avg is rounded to 4 decimals by the operator
+          assert(math.abs(gavg - avg) < 1e-4, s"trial $trial d=$d value")
+          assert(gpos == pos, s"trial $trial d=$d position")
+        }
+      }
+    }
+  }
+
   test("defaultDurations merges growth fill with important durations, sorted") {
     val d = MeanMax.defaultDurations
     assert(d.head == 10L)
