@@ -42,6 +42,22 @@ object TextQueries {
     "q_text_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
+
+    // #64 deterministic content-hash split (train/holdout hygiene).
+    "q_split" -> ((s, dir) =>
+      graft.pipeline.Curation.hashSplit(Tables.documents(s, dir), "doc_id", 10)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    // #65 benchmark-contamination check: 5-gram overlap of the corpus
+    // (doc_id >= 10) against a pretend benchmark set (doc_id < 10).
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.contamination(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,5 +89,26 @@ object TextQueries {
         |  round(avg(ln(cast(tf AS double) / total)), 4) AS avg_logprob
         |FROM t JOIN v USING (tok), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id,
+        | cast(cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket,
+        | CASE WHEN cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |      THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+        |       FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t
+        |       WHERE len(ws) >= 5),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |hits AS (SELECT doc_id, count(*) AS overlap FROM corpus JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, coalesce(overlap, 0) AS overlap,
+        | round(cast(coalesce(overlap, 0) AS double) / n_shingles, 4) AS contamination
+        |FROM sizes LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -114,6 +114,23 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(cleaned == Set(1L, 5L))
   }
 
+  test("curation: hash split is deterministic and contamination counts overlapping shingles") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // contains benchmark 5-gram
+      (11L, "one two three four five six seven")      // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val c = graft.pipeline.Curation.contamination(corpus, bench, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(c(10L) == ((2L, 1L, 0.5)))  // 2 shingles, 1 overlaps
+    assert(c(11L) == ((3L, 0L, 0.0)))
+    val s1 = graft.pipeline.Curation.hashSplit(docs, "doc_id", 50)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = graft.pipeline.Curation.hashSplit(docs.repartition(3), "doc_id", 50)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2) // assignment depends only on content, not layout
+  }
+
   test("survivors: min-label propagation resolves duplicate clusters") {
     // edges: 1-2, 2-5 (chain → component {1,2,5}), 7-8; 9 isolated
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc1", "doc2")
