@@ -32,10 +32,17 @@ final case class Frame(df: DataFrame, properties: Map[String, Any] = Map.empty,
     * until an action runs, which is exactly the reference's lazy-series
     * semantics (computed on first use). */
   def addLazySeries(name: String, expr: Column): Frame = addSeries(name, expr)
-  /** df-del-series!. */
-  def delSeries(name: String): Frame = copy(df = df.drop(name))
-  /** df-rename-series!. */
-  def renameSeries(from: String, to: String): Frame = copy(df = df.withColumnRenamed(from, to))
+  /** df-del-series! — also drops the series' contract and any index
+    * registered on it, so the registries never point at missing
+    * columns. */
+  def delSeries(name: String): Frame = copy(df = df.drop(name),
+    contracts = contracts - name,
+    indices = indices.filter { case (_, c) => c != name })
+  /** df-rename-series! — contracts/indices follow the rename. */
+  def renameSeries(from: String, to: String): Frame = copy(
+    df = df.withColumnRenamed(from, to),
+    contracts = contracts.map { case (k, v) => (if (k == from) to else k) -> v },
+    indices = indices.map { case (k, c) => k -> (if (c == from) to else c) })
   /** df-duplicate-series. */
   def duplicateSeries(name: String, as: String): Frame = copy(df = df.withColumn(as, col(name)))
   /** df-shallow-copy (plans are immutable — same plan, same props). */

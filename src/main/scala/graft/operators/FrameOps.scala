@@ -108,11 +108,13 @@ object FrameOps {
       * (each window = one input partition), and a second, tiny pass
       * compares the #partitions boundary rows — never a global window. */
     def isSorted(column: String, partitionCol: Option[String] = None): Boolean = {
+      // both branches check the NON-NA subsequence (NA rows are skipped,
+      // not comparison-breaking) so keyed and unkeyed answers agree
       val withPos = df.withColumn("__rid", monotonically_increasing_id())
       partitionCol match {
         case Some(p) =>
           val w2 = Window.partitionBy(p).orderBy(col("__rid"))
-          withPos
+          withPos.filter(col(column).isNotNull)
             .withColumn("__prev", lag(col(column), 1).over(w2))
             .filter(col("__prev").isNotNull && col("__prev") > col(column))
             .limit(1).count() == 0

@@ -36,8 +36,12 @@ object Curation {
     * than k words produce no row (they have no shingles to match). */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, k: Int = 8): DataFrame = {
-    val cs = Dedup.shingles(corpus, idCol, textCol, k)
-    val bs = Dedup.shingles(benchmark, idCol, textCol, k)
+    // two consumers (sizes, hits) → materialize the shingle explode once
+    val cs = Dedup.shingles(corpus, idCol, textCol, k).cache()
+    // only the benchmark's TEXT matters — don't require it to carry the
+    // corpus's id column
+    val bs = Dedup.shingles(benchmark.select(lit(0L).as("__bid"), col(textCol)),
+        "__bid", textCol, k)
       .select("shingle").distinct()
     val sizes = cs.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val hits = cs.join(broadcast(bs), Seq("shingle"))

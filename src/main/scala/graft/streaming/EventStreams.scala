@@ -66,7 +66,9 @@ object EventStreams {
   def dedupStream(rows: DataFrame, contentCol: String, tsCol: String,
                   watermark: String = "10 minutes"): DataFrame =
     rows
-      .withColumn("__h", md5(col(contentCol).cast("binary")))
+      // via string so any content type hashes (bigint → binary is not a
+      // valid cast; its decimal string form is)
+      .withColumn("__h", md5(col(contentCol).cast("string").cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")

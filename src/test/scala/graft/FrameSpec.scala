@@ -37,6 +37,12 @@ class FrameSpec extends AnyFunSuite with SharedSpark {
     assert(f.checkContracts() == Map("v" -> 1L)) // only the -3 row; NA exempt
     assert(f.setWhere(col("id") === 2, "v", 7.0).checkContracts() == Map("v" -> 0L))
     assert(f.addIndex("i", "id").propertyNames.isEmpty) // registries don't leak into properties
+    // registries follow series lifecycle: delete drops, rename re-keys
+    assert(f.delSeries("v").checkContracts().isEmpty)
+    assert(f.renameSeries("v", "w").checkContracts() == Map("w" -> 1L))
+    val fi = f.addIndex("i", "v")
+    assert(fi.delSeries("v").indexNames.isEmpty)
+    assert(fi.renameSeries("v", "w").indexSeries("i").contains("w"))
     assert(f.hasNonNa("v"))
     assert(!Frame(Seq(Option.empty[Double]).toDF("v")).hasNonNa("v"))
   }

@@ -25,6 +25,11 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
   test("isSorted detects inversions in stored order") {
     assert(Seq(1, 2, 2, 5).toDF("x").isSorted("x"))
     assert(!Seq(1, 3, 2).toDF("x").isSorted("x"))
+    // NA rows are skipped, not comparison-breaking — keyed and unkeyed
+    // branches agree on the non-NA subsequence
+    val withNa = Seq((1, Some(5)), (1, None), (1, Some(3))).toDF("k", "x")
+    assert(!withNa.isSorted("x"))
+    assert(!withNa.isSorted("x", Some("k")))
   }
 
   test("describeNumeric computes count/mean/min/max") {
