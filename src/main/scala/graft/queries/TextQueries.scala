@@ -43,6 +43,11 @@ object TextQueries {
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // #66 corpus vocabulary statistics (exact; approx HLL variant is
+    // the 100 TB path, spec'd separately).
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabStats(Tables.documents(s, dir), "text")),
+
     // #64 deterministic content-hash split (train/holdout hygiene).
     "q_split" -> ((s, dir) =>
       graft.pipeline.Curation.hashSplit(Tables.documents(s, dir), "doc_id", 10)
@@ -89,6 +94,13 @@ object TextQueries {
         |  round(avg(ln(cast(tf AS double) / total)), 4) AS avg_logprob
         |FROM t JOIN v USING (tok), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents)
+        |SELECT count(*) AS n_tokens, count(DISTINCT tok) AS n_types,
+        | round(cast(count(DISTINCT tok) AS double) / count(*), 4) AS type_token_ratio
+        |FROM t""".stripMargin,
 
     "q_split" ->
       """SELECT doc_id,

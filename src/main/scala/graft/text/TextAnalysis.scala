@@ -69,6 +69,21 @@ object TextAnalysis {
         round(avg(log(col("tf").cast("double") / col("total"))), 4).as("avg_logprob"))
   }
 
+  /** Corpus vocabulary statistics: token and type counts plus
+    * type-token ratio. `approx=true` swaps the exact distinct (a
+    * shuffle of the full vocabulary) for HyperLogLog
+    * approx_count_distinct — the single-pass mergeable sketch to use at
+    * 100 TB, where an exact type count is rarely worth its shuffle. */
+  def vocabStats(df: DataFrame, textCol: String, approx: Boolean = false): DataFrame = {
+    val toks = df.select(explode(words(col(textCol))).as("tok"))
+    val types =
+      if (approx) approx_count_distinct(col("tok")).as("n_types")
+      else countDistinct(col("tok")).as("n_types")
+    toks.agg(count(lit(1)).as("n_tokens"), types)
+      .select(col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("type_token_ratio"))
+  }
+
   /** Tiny per-language marker lexicons for the n-gram/stopword
     * language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -54,6 +54,16 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       p.take(1200))
   }
 
+  test("curation queries keep their narrow/broadcast shapes") {
+    // the split is a per-row expression — no hash exchange at all
+    // (orderBy adds only a range exchange)
+    val split = plan("q_split")
+    assert(!split.contains("Exchange hashpartitioning"), split.take(800))
+    // the benchmark shingle set joins broadcast
+    val cont = plan("q_contamination")
+    assert(cont.contains("BroadcastHashJoin"), cont.take(800))
+  }
+
   test("group aggregation is partial (map-side combine)") {
     val p = plan("q_group_agg")
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))

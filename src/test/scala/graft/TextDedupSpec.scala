@@ -93,6 +93,17 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(r(2L)._2 < r(1L)._2)                 // rare-token doc scores lower
   }
 
+  test("vocab stats: exact counts; HLL approximation lands near the exact count") {
+    val corpus = (1L to 50L).map(i => (i, (1 to 40).map(j => s"w${(i * 40 + j) % 300}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.vocabStats(corpus, "text").first()
+    assert(exact.getAs[Long]("n_tokens") == 2000L)
+    assert(exact.getAs[Long]("n_types") == 300L) // ids cycle mod 300
+    val approx = TextAnalysis.vocabStats(corpus, "text", approx = true).first()
+    val est = approx.getAs[Long]("n_types").toDouble
+    assert(math.abs(est - 300.0) / 300.0 < 0.1) // HLL default rsd 5%
+  }
+
   test("quality features: counts and ratios") {
     val q = TextAnalysis.quality(docs, "text", "doc_id", Seq("the", "a", "of")).orderBy("doc_id").first()
     assert(q.getAs[Int]("n_words") == 9)
