@@ -55,6 +55,66 @@ object Lookup {
           (p(probeCol) - col(tsCol)) / (col("__t1") - col(tsCol))).as("interp"))
   }
 
+  /** df-lookup/interpolated at scale: when the probe set grows with the
+    * data (a per-key grid, a second series), broadcasting it stops
+    * being an option — this variant co-partitions BOTH sides by key and
+    * runs a per-partition two-pointer merge (the AsOf pattern):
+    * O(n + m) per key, no broadcast, no range join. Semantics and
+    * float operation order match `interpolated` exactly (linear
+    * interpolation, final segment closed on the right). */
+  def interpolatedMerge(base: DataFrame, probes: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, probeCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.collection.mutable.ArrayBuffer
+    val spark = base.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val b = base
+      .select(col(keyCol).cast("long"), col(tsCol).cast("double"), col(valueCol).cast("double"))
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .repartition(n, col(keyCol)).sortWithinPartitions(keyCol, tsCol)
+    val p = probes.select(col(keyCol).cast("long"), col(probeCol).cast("double"))
+      .filter(col(probeCol).isNotNull)
+      .repartition(n, col(keyCol)).sortWithinPartitions(keyCol, probeCol)
+    val out = p.rdd.zipPartitions(b.rdd) { (pi, bi) =>
+      val bBuf = bi.buffered
+      var curKey = Long.MinValue
+      var open = false
+      var ts: Array[Double] = null
+      var vs: Array[Double] = null
+      var ptr = 0
+      pi.flatMap { prow =>
+        val k = prow.getLong(0)
+        val pv = prow.getDouble(1)
+        if (!open || k != curKey) {
+          while (bBuf.hasNext && bBuf.head.getLong(0) < k) bBuf.next()
+          val tb = ArrayBuffer.empty[Double]
+          val vb = ArrayBuffer.empty[Double]
+          while (bBuf.hasNext && bBuf.head.getLong(0) == k) {
+            val r = bBuf.next(); tb += r.getDouble(1); vb += r.getDouble(2)
+          }
+          ts = tb.toArray; vs = vb.toArray; curKey = k; open = true; ptr = 0
+        }
+        if (ts.length < 2) Iterator.empty
+        else {
+          // probes ascend within the key, so the segment pointer only
+          // moves forward: advance while the next sample is <= probe
+          while (ptr < ts.length - 2 && ts(ptr + 1) <= pv) ptr += 1
+          val t0 = ts(ptr); val t1 = ts(ptr + 1)
+          val isLast = ptr == ts.length - 2
+          if (t1 > t0 && pv >= t0 && (pv < t1 || (isLast && pv == t1)))
+            Iterator.single(Row(k, pv,
+              vs(ptr) + (vs(ptr + 1) - vs(ptr)) * (pv - t0) / (t1 - t0)))
+          else Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField(probeCol, DoubleType, nullable = false),
+      StructField("interp", DoubleType, nullable = true))))
+  }
+
   /** time-delay-series (reference private/scatter.rkt l.35): for each sample,
     * the value of the series at the first sample >= ts + delay, per key.
     * Two hash-shuffles on the key — no global sort. */

@@ -20,7 +20,10 @@ object WindowQueries {
     df.withColumn("eps", col("eps_us").cast("double") / 1000000.0)
 
   val queries: Map[String, Q] = Map(
-    // #8 df-lookup/interpolated: per-user probe grid at 1/10 span steps.
+    // #8 df-lookup/interpolated: per-user probe grid at 1/10 span
+    // steps. The probe set grows with the key count, so the registered
+    // plan is the co-partitioned merge (no probe broadcast); the
+    // broadcast range-join formulation is its spec-level cross-check.
     "q_interp_lookup" -> ((s, dir) => {
       val e = withEps(Tables.events(s, dir))
       val probes = e.groupBy("user_id")
@@ -28,7 +31,7 @@ object WindowQueries {
         .select(col("user_id"), explode(sequence(lit(1), lit(9))).as("k"), col("lo"), col("hi"))
         .select(col("user_id"), col("k"),
           (col("lo") + col("k") * (col("hi") - col("lo")) / 10.0).as("probe"))
-      Lookup.interpolated(e, probes, "user_id", "eps", "value", "probe")
+      Lookup.interpolatedMerge(e, probes, "user_id", "eps", "value", "probe")
         .join(probes.select(col("user_id"), col("k"), col("probe")), Seq("user_id", "probe"))
         .select(col("user_id"), col("k"), round(col("interp"), 4).as("interp"))
         .orderBy("user_id", "k")

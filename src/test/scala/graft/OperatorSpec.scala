@@ -119,6 +119,23 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("interpolatedMerge equals the broadcast range-join formulation") {
+    val rng = new scala.util.Random(41)
+    val base = (for (k <- 1L to 5L; i <- 0 until 30) yield
+      (k, i * 10.0 + rng.nextDouble(), rng.nextDouble() * 100)).toDF("k", "t", "v")
+    val probes = (for (k <- 1L to 5L; j <- 1 to 20) yield
+      (k, rng.nextDouble() * 300)).toDF("k", "p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val merge = rows(Lookup.interpolatedMerge(base, probes, "k", "t", "v", "p"))
+    val bcast = rows(Lookup.interpolated(base, probes, "k", "t", "v", "p"))
+    assert(bcast.nonEmpty && merge == bcast)
+    // boundary: probe exactly at the final sample returns that value
+    val b2 = Seq((1L, 0.0, 10.0), (1L, 5.0, 20.0)).toDF("k", "t", "v")
+    val p2 = Seq((1L, 5.0)).toDF("k", "p")
+    assert(Lookup.interpolatedMerge(b2, p2, "k", "t", "v", "p").first().getDouble(2) == 20.0)
+  }
+
   test("salted join salt is content-derived: stable across recomputation/repartitioning") {
     // the implementation's salt formula: pmod(xxhash64(all cols), factor)
     val df = (1 to 100).map(i => (i % 3, i)).toDF("key", "v")
