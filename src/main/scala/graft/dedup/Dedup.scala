@@ -97,16 +97,23 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `perms` seeded hash permutations,
-    * the min over the doc's shingles (native graft.functions.MinHashSig
-    * kernel). One array column, no shuffle. */
+    * the min over the doc's shingles. Formulated as `perms`
+    * min-aggregates over per-shingle permutation hashes (native
+    * MinHashPermHashes kernel), so the aggregation combines MAP-SIDE —
+    * only perms longs per doc per partition cross the shuffle, never
+    * the shingle strings a collect_set would move. Signatures are
+    * bit-identical to the array-input MinHashSig kernel (same base
+    * xxhash64, same splitmix finalize; spec-pinned). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, perms: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    val mins = (0 until perms).map(p => min(col("__mix").getItem(p)).as(s"__m$p"))
     shingles(df, idCol, textCol, k)
+      .withColumn("__mix",
+        graft.functions.GraftFunctions.minhashPermHashes(xxhash64(col("shingle")), perms))
       .groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("__sh"))
-      .withColumn("sig", graft.functions.GraftFunctions.minhashSig(col("__sh"), perms))
-      .select(col(idCol), col("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until perms).map(p => col(s"__m$p")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: docs sharing any band of the MinHash

@@ -94,11 +94,33 @@ object GraftFunctions {
           }
         })
     }
+
+    val mpId = FunctionIdentifier("minhash_perm_hashes")
+    if (!reg.functionExists(mpId)) {
+      reg.registerFunction(mpId,
+        new ExpressionInfo(classOf[MinHashPermHashes].getName, "minhash_perm_hashes"),
+        (exprs: Seq[Expression]) => {
+          val permsExpr = exprs(1)
+          if (!permsExpr.foldable)
+            throw new IllegalArgumentException(
+              "minhash_perm_hashes(h0, perms): perms must be an integer literal")
+          permsExpr.eval() match {
+            case n: Number if n.intValue() > 0 => MinHashPermHashes(exprs.head, n.intValue())
+            case other => throw new IllegalArgumentException(
+              s"minhash_perm_hashes(h0, perms): perms must be a positive integer, got $other")
+          }
+        })
+    }
   }
 
   /** Native MinHash signature over array<string> shingles. */
   def minhashSig(shingles: Column, perms: Int): Column =
     call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(perms))
+
+  /** Per-shingle permutation hashes from xxhash64(shingle) — feeds the
+    * min-aggregate signature formulation. */
+  def minhashPermHashes(h0: Column, perms: Int): Column =
+    call_function("minhash_perm_hashes", h0, org.apache.spark.sql.functions.lit(perms))
 
   /** Codegen'd Σ aᵢ·bᵢ over array<double> columns. */
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)

@@ -29,19 +29,7 @@ case class MinHashSig(child: Expression, perms: Int)
 
   override def nullable: Boolean = true
 
-  // per-permutation mix seeds (fixed golden-ratio sequence → stable
-  // signatures across runs)
-  private lazy val seeds: Array[Long] =
-    Array.tabulate(perms)(p => (p + 1).toLong * 0x9E3779B97F4A7C15L)
-
-  /** splitmix64 finalizer: turns one base hash + a seed into an
-    * independent-enough permutation hash. */
-  @inline private def mix(h0: Long, seed: Long): Long = {
-    var z = h0 ^ seed
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private lazy val seeds: Array[Long] = MinHashMix.seeds(perms)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -57,13 +45,62 @@ case class MinHashSig(child: Expression, perms: Int)
       val h0 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var p = 0
       while (p < perms) {
-        val h = mix(h0, seeds(p))
+        val h = MinHashMix.mix(h0, seeds(p))
         if (h < sig(p)) sig(p) = h
         p += 1
       }
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared permutation-hash derivation: one base xxhash64 per shingle,
+  * splitmix64-finalized per permutation — stable across runs. */
+object MinHashMix {
+  /** per-permutation mix seeds (fixed golden-ratio sequence) */
+  def seeds(perms: Int): Array[Long] =
+    Array.tabulate(perms)(p => (p + 1).toLong * 0x9E3779B97F4A7C15L)
+
+  /** splitmix64 finalizer: turns one base hash + a seed into an
+    * independent-enough permutation hash. */
+  @inline def mix(h0: Long, seed: Long): Long = {
+    var z = h0 ^ seed
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Per-shingle permutation hashes from a base xxhash64: input is the
+  * bigint xxhash64(shingle) (Spark's default seed 42 — the same base
+  * hash MinHashSig computes), output the `perms` mixed hashes. This is
+  * the SHINGLE-ROW formulation's kernel: signatures then come from
+  * `perms` min-aggregates, which combine map-side — no collect_set of
+  * shingle strings ever crosses the shuffle. Bit-identical signatures
+  * to MinHashSig. */
+case class MinHashPermHashes(child: Expression, perms: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_perm_hashes requires bigint (xxhash64 of the shingle), got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_perm_hashes"
+
+  private lazy val seeds: Array[Long] = MinHashMix.seeds(perms)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h0 = input.asInstanceOf[Long]
+    val out = new Array[Long](perms)
+    var p = 0
+    while (p < perms) { out(p) = MinHashMix.mix(h0, seeds(p)); p += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

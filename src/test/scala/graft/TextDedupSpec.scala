@@ -57,6 +57,17 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(cands((1L, 2L)) - exact) < 0.3)
   }
 
+  test("min-aggregate minhash signatures are bit-identical to the array kernel") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val viaKernel = sh.groupBy("doc_id").agg(collect_set(col("shingle")).as("s"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.minhashSig(col("s"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaKernel)
+  }
+
   test("simhash: identical texts at distance 0, near texts close, far texts blocked or distant") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
