@@ -83,6 +83,9 @@ object GraftFunctions {
       reg.registerFunction(mhId,
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
         (exprs: Seq[Expression]) => {
+          if (exprs.length != 2)
+            throw new IllegalArgumentException(
+              s"minhash_sig(shingles, perms) takes 2 arguments, got ${exprs.length}")
           val permsExpr = exprs(1)
           if (!permsExpr.foldable)
             throw new IllegalArgumentException(
@@ -100,6 +103,9 @@ object GraftFunctions {
       reg.registerFunction(mpId,
         new ExpressionInfo(classOf[MinHashPermHashes].getName, "minhash_perm_hashes"),
         (exprs: Seq[Expression]) => {
+          if (exprs.length != 2)
+            throw new IllegalArgumentException(
+              s"minhash_perm_hashes(h0, perms) takes 2 arguments, got ${exprs.length}")
           val permsExpr = exprs(1)
           if (!permsExpr.foldable)
             throw new IllegalArgumentException(

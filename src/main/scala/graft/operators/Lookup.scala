@@ -59,9 +59,18 @@ object Lookup {
     * data (a per-key grid, a second series), broadcasting it stops
     * being an option — this variant co-partitions BOTH sides by key and
     * runs a per-partition two-pointer merge (the AsOf pattern):
-    * O(n + m) per key, no broadcast, no range join. Semantics and
-    * float operation order match `interpolated` exactly (linear
-    * interpolation, final segment closed on the right). */
+    * O(n + m) per key, no broadcast, no range join. Float operation
+    * order matches `interpolated` (linear interpolation, final segment
+    * closed on the right); a segment with a null endpoint value yields
+    * a null interp like the join formulation.
+    *
+    * Preconditions/divergences vs `interpolated`: keyCol must cast to
+    * long (null/uncastable keys are dropped); rows with a null
+    * timestamp are dropped; zero-width final segments (duplicate last
+    * timestamp) produce no row instead of a NaN row. Task memory is
+    * bounded by ONE key's samples — the same bound a keyed window
+    * holds, without its spill path; keys beyond that size need the
+    * range-bucketed join instead. */
   def interpolatedMerge(base: DataFrame, probes: DataFrame, keyCol: String,
       tsCol: String, valueCol: String, probeCol: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -71,17 +80,17 @@ object Lookup {
     val n = spark.sessionState.conf.numShufflePartitions
     val b = base
       .select(col(keyCol).cast("long"), col(tsCol).cast("double"), col(valueCol).cast("double"))
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull) // post-cast: uncastable keys are null
       .repartition(n, col(keyCol)).sortWithinPartitions(keyCol, tsCol)
     val p = probes.select(col(keyCol).cast("long"), col(probeCol).cast("double"))
-      .filter(col(probeCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(probeCol).isNotNull)
       .repartition(n, col(keyCol)).sortWithinPartitions(keyCol, probeCol)
     val out = p.rdd.zipPartitions(b.rdd) { (pi, bi) =>
       val bBuf = bi.buffered
       var curKey = Long.MinValue
       var open = false
       var ts: Array[Double] = null
-      var vs: Array[Double] = null
+      var vs: Array[java.lang.Double] = null
       var ptr = 0
       pi.flatMap { prow =>
         val k = prow.getLong(0)
@@ -89,9 +98,11 @@ object Lookup {
         if (!open || k != curKey) {
           while (bBuf.hasNext && bBuf.head.getLong(0) < k) bBuf.next()
           val tb = ArrayBuffer.empty[Double]
-          val vb = ArrayBuffer.empty[Double]
+          val vb = ArrayBuffer.empty[java.lang.Double]
           while (bBuf.hasNext && bBuf.head.getLong(0) == k) {
-            val r = bBuf.next(); tb += r.getDouble(1); vb += r.getDouble(2)
+            val r = bBuf.next()
+            tb += r.getDouble(1)
+            vb += (if (r.isNullAt(2)) null else Double.box(r.getDouble(2)))
           }
           ts = tb.toArray; vs = vb.toArray; curKey = k; open = true; ptr = 0
         }
@@ -102,10 +113,13 @@ object Lookup {
           while (ptr < ts.length - 2 && ts(ptr + 1) <= pv) ptr += 1
           val t0 = ts(ptr); val t1 = ts(ptr + 1)
           val isLast = ptr == ts.length - 2
-          if (t1 > t0 && pv >= t0 && (pv < t1 || (isLast && pv == t1)))
-            Iterator.single(Row(k, pv,
-              vs(ptr) + (vs(ptr + 1) - vs(ptr)) * (pv - t0) / (t1 - t0)))
-          else Iterator.empty
+          if (t1 > t0 && pv >= t0 && (pv < t1 || (isLast && pv == t1))) {
+            val v0 = vs(ptr); val v1 = vs(ptr + 1)
+            val interp: java.lang.Double =
+              if (v0 == null || v1 == null) null
+              else Double.box(v0 + (v1 - v0) * (pv - t0) / (t1 - t0))
+            Iterator.single(Row(k, pv, interp))
+          } else Iterator.empty
         }
       }
     }

@@ -134,6 +134,15 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     val b2 = Seq((1L, 0.0, 10.0), (1L, 5.0, 20.0)).toDF("k", "t", "v")
     val p2 = Seq((1L, 5.0)).toDF("k", "p")
     assert(Lookup.interpolatedMerge(b2, p2, "k", "t", "v", "p").first().getDouble(2) == 20.0)
+    // null sample values: the segment exists, its interp is null (no
+    // bridging across the null like a dropped row would cause)
+    val b3 = Seq((1L, 0.0, Some(10.0)), (1L, 4.0, Option.empty[Double]), (1L, 8.0, Some(30.0)))
+      .toDF("k", "t", "v")
+    val p3 = Seq((1L, 5.0), (1L, 2.0)).toDF("k", "p")
+    val r3 = Lookup.interpolatedMerge(b3, p3, "k", "t", "v", "p")
+      .collect().map(r => r.getDouble(1) -> (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(r3(5.0) == null) // segment [4,8] has a null endpoint
+    assert(r3(2.0) == null) // segment [0,4] too — never 10→30 bridged
   }
 
   test("salted join salt is content-derived: stable across recomputation/repartitioning") {
