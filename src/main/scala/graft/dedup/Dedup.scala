@@ -80,11 +80,10 @@ object Dedup {
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
 
   /** Direct shingle self-join — O(Σ group²) fan-out on frequent
-    * shingles, intended as the exact refinement AFTER MinHash banding
-    * restricts the candidate set (the 100 TB composition). On corpora
-    * with Zipfian shingle frequencies, `ngramJaccardPairsPrefix` is the
-    * unbanded exact path; on this synthetic flat-frequency testdata the
-    * direct join measures faster, so it stays the registered query. */
+    * shingles: on a Zipfian corpus the common shingles ("of the") put
+    * quadratic work on a few shuffle keys. Kept as the simple exact
+    * formulation and the oracle cross-check; the registered scale path
+    * is `ngramJaccardPairsBanded`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2): DataFrame = {
     val sh = shingles(df, idCol, textCol, k).cache()
@@ -96,25 +95,65 @@ object Dedup {
     jaccardFromIntersections(inter, sizes, idCol, threshold)
   }
 
-  /** MinHash signature: for each of `perms` seeded hash permutations,
-    * the min over the doc's shingles. Formulated as `perms`
-    * min-aggregates over per-shingle permutation hashes (native
-    * MinHashPermHashes kernel), so the aggregation combines MAP-SIDE —
-    * only perms longs per doc per partition cross the shuffle, never
-    * the shingle strings a collect_set would move. Signatures are
-    * bit-identical to the array-input MinHashSig kernel (same base
-    * xxhash64, same splitmix finalize; spec-pinned). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, perms: Int = 32): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+  /** The 100 TB n-gram Jaccard composition: MinHash banding generates
+    * the candidate pairs (equi-join on (band, bandHash) — fan-out is
+    * bounded by band-bucket sizes, immune to frequent-shingle skew),
+    * then an EXACT full-set intersection verifies each candidate, so
+    * every emitted pair carries its true Jaccard. Recall: a pair with
+    * Jaccard J misses all bands w.p. (1 − J^(perms/bands))^bands —
+    * with the 2-row/32-band default, < 1e-14 at J = 0.8 — so for
+    * genuine near-dup corpora (qualifying pairs are high-J) the output
+    * equals the direct join's. Shingles are computed once and reused by
+    * both the signature aggregation and the verify joins. */
+  def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, threshold: Double = 0.2,
+                              perms: Int = 64, bands: Int = 32): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val cands = bandPairs(signaturesFromShingles(sh, idCol, perms), idCol, perms, bands)
+    val inter = cands
+      .join(sh.select(col(idCol).as("doc1"), col("shingle")), Seq("doc1"))
+      .join(sh.select(col(idCol).as("doc2"), col("shingle")), Seq("doc2", "shingle"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    jaccardFromIntersections(inter, sizes, idCol, threshold)
+  }
+
+  /** MinHash signatures computed from an existing `(id, shingle)` frame
+    * (one distinct-shingle row per doc): `perms` min-aggregates over the
+    * per-shingle MinHashPermHashes kernel — map-side combinable, only
+    * `perms` longs per doc per partition cross the shuffle. */
+  def signaturesFromShingles(sh: DataFrame, idCol: String, perms: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
     val mins = (0 until perms).map(p => min(col("__mix").getItem(p)).as(s"__m$p"))
-    shingles(df, idCol, textCol, k)
-      .withColumn("__mix",
+    sh.withColumn("__mix",
         graft.functions.GraftFunctions.minhashPermHashes(xxhash64(col("shingle")), perms))
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until perms).map(p => col(s"__m$p")): _*).as("sig"))
   }
+
+  /** LSH banding over signatures: distinct candidate pairs (doc1 < doc2)
+    * sharing at least one band — an equi-join on (band, bandHash),
+    * never an all-pairs join. */
+  def bandPairs(sigs: DataFrame, idCol: String, perms: Int, bands: Int): DataFrame = {
+    require(perms % bands == 0)
+    val rows = perms / bands
+    val banded = sigs.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+      .as(Seq("band", "bh")))
+    banded.select(col(idCol).as("doc1"), col("band"), col("bh"))
+      .join(banded.select(col(idCol).as("doc2"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+  }
+
+  /** MinHash signature: for each of `perms` seeded hash permutations,
+    * the min over the doc's shingles. Signatures are bit-identical to
+    * the array-input MinHashSig kernel (same base xxhash64, same
+    * splitmix finalize; spec-pinned). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, perms: Int = 32): DataFrame =
+    signaturesFromShingles(shingles(df, idCol, textCol, k), idCol, perms)
 
   /** LSH candidate pairs: docs sharing any band of the MinHash
     * signature, with estimated Jaccard (matching-permutation fraction)
@@ -123,17 +162,8 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, perms: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
-    require(perms % bands == 0)
-    val rows = perms / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, perms).cache()
-    val banded = sigs.select(col(idCol), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
-      .as(Seq("band", "bh")))
-    val cands = banded.select(col(idCol).as("doc1"), col("band"), col("bh"))
-      .join(banded.select(col(idCol).as("doc2"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
-    cands
+    bandPairs(sigs, idCol, perms, bands)
       .join(sigs.select(col(idCol).as("doc1"), col("sig").as("sig1")), Seq("doc1"))
       .join(sigs.select(col(idCol).as("doc2"), col("sig").as("sig2")), Seq("doc2"))
       .withColumn("est_jaccard",

@@ -17,9 +17,13 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("h")),
 
-    // #43 exact n-gram Jaccard pairs.
+    // #43 exact n-gram Jaccard pairs — registered as the scale-safe
+    // banded composition (MinHash (band, bh) equi-join candidates →
+    // exact full-set verify); the direct shingle self-join stays as the
+    // spec cross-check (its fan-out detonates on Zipfian shingles).
     "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.2)
+      Dedup.ngramJaccardPairsBanded(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.2)
         .orderBy("doc1", "doc2")),
 
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).

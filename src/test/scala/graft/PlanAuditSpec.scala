@@ -51,6 +51,14 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ngram jaccard candidates come from the (band, bh) equi-join, not the shingle self-join") {
+    val p = plan("q_dedup_ngram")
+    // banding keys the candidate shuffle: the band-hash join columns
+    // appear in the executed plan, and no cartesian/BNLJ shape exists
+    assert(p.contains("band"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("embedding near-dup plans no nested-loop or cartesian join") {
     val p = plan("q_dedup_embed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -47,6 +47,39 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(pruned == brute)
   }
 
+  test("banded ngram jaccard equals the direct join; candidate fan-out stays linear on Zipfian shingles") {
+    // Zipfian stress corpus: one shingle ("zz0 zz1 zz2") appears in 50%
+    // of 400 docs — the direct shingle self-join must meet C(200,2) ≈
+    // 20k pairs on that one shuffle key alone, while MinHash banding's
+    // candidate count stays within a few hundred. 15 planted near-dup
+    // pairs (last word swapped, J ≈ 0.82) are what both paths must emit.
+    val rng = new scala.util.Random(7)
+    val baseWords: Map[Long, Seq[String]] =
+      (0L until 400L).map(i => i -> Seq.fill(30)(s"v${rng.nextInt(8000)}")).toMap
+    def text(i: Long): String = {
+      val base = if (i < 400) baseWords(i) else baseWords(i - 400).init :+ "altword"
+      val withMega = if (i % 2 == 0) Seq("zz0", "zz1", "zz2") ++ base else base
+      withMega.mkString(" ")
+    }
+    val corpus = ((0L until 400L) ++ (400L until 415L)).map(i => (i, text(i)))
+      .toDF("doc_id", "text").cache()
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3).cache()
+    // direct join's fan-out = Σ C(per-shingle group, 2)
+    val directMeetings = sh.groupBy("shingle").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).first().getLong(0)
+    val bandedCands = Dedup.bandPairs(
+      Dedup.signaturesFromShingles(sh, "doc_id", 64), "doc_id", 64, 32).count()
+    assert(directMeetings > 15000, s"Zipfian fixture should explode the direct join (got $directMeetings)")
+    assert(bandedCands < 2000, s"banded candidates should stay linear (got $bandedCands)")
+    assert(directMeetings > 5 * bandedCands)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = toSet(Dedup.ngramJaccardPairsBanded(corpus, "doc_id", "text", 3, 0.2))
+    val direct = toSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.2))
+    assert(direct.size >= 15, "planted near-dups should qualify")
+    assert(banded == direct)
+  }
+
   test("minhash candidates ⊇ high-jaccard pairs, est within 0.3 of exact") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
