@@ -12,6 +12,23 @@ object DedupQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embeddings ∪ deterministic near-dup copies: every vec_id % 10 == 0
+    * row gets a copy (id + 1000000) with dimension (vec_id % 64) scaled
+    * by 1.25 — in DOUBLE, after the float cast, so DuckDB reproduces it
+    * bit-for-bit. cos(v, copy) = (1 + 0.25f)/sqrt(1 + 0.5625f) for f =
+    * that dim's energy fraction ⇒ ≥ 0.9938 whatever the data. */
+  private def plantedNearDups(e: DataFrame): DataFrame = {
+    val orig = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val copies = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) ->
+                 CASE WHEN j = CAST(vec_id % 64 AS INT)
+                      THEN CAST(x AS DOUBLE) * 1.25
+                      ELSE CAST(x AS DOUBLE) END)""").as("embedding"))
+    orig.unionByName(copies)
+  }
+
   val queries: Map[String, Q] = Map(
     // #40 exact dedup (content hash survival map).
     "q_dedup_exact" -> ((s, dir) =>
@@ -41,6 +58,19 @@ object DedupQueries {
     "q_dedup_embed" -> ((s, dir) =>
       Cosine.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("doc1", "doc2")),
+
+    // #44b FLAGSHIP embedding near-dup at a production threshold: the
+    // banded LSH path (12-bit × 16-band hyperplane buckets → exact
+    // cosine verify on candidates only) — sub-quadratic candidate
+    // generation, the plan you'd run at 100 TB. Planted near-dups are
+    // derived deterministically from the table (one dim scaled ×1.25 in
+    // double ⇒ cos(orig, copy) ∈ [0.9938, 1] for ANY data), so recall 1
+    // is achievable and the exact DuckDB pair oracle hash-matches.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      val aug = plantedNearDups(Tables.embeddings(s, dir))
+      Cosine.lshNearDupPairs(aug, "vec_id", "embedding", 0.85, bits = 192, bands = 16)
+        .orderBy("doc1", "doc2")
+    }),
 
     // #45 brute-force cosine top-k (probes = vec_id < 10).
     "q_ann_topk" -> ((s, dir) => {
@@ -103,6 +133,24 @@ object DedupQueries {
         |SELECT doc1, doc2, round(dot/(na.nrm*nb.nrm), 4) AS cos
         |FROM d JOIN n na ON na.vec_id = doc1 JOIN n nb ON nb.vec_id = doc2
         |WHERE dot/(na.nrm*nb.nrm) >= 0.4
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |base AS (SELECT vec_id, i, cast(embedding[i] as double) AS v
+        |         FROM embeddings, g),
+        |x AS (SELECT vec_id, i, v FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 1000000 AS vec_id, i,
+        |             CASE WHEN i = vec_id % 64 + 1 THEN v * 1.25 ELSE v END AS v
+        |      FROM base WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2, sum(a.v*b.v) AS dot
+        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT doc1, doc2, round(dot/(na.nrm*nb.nrm), 4) AS cos
+        |FROM d JOIN n na ON na.vec_id = doc1 JOIN n nb ON nb.vec_id = doc2
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.85
         |ORDER BY doc1, doc2""".stripMargin,
 
     "q_ann_topk" ->

@@ -106,16 +106,21 @@ object Cosine {
 
   /** (id, band, key) rows: the vector's hyperplane signature split into
     * per-band bucket keys — the equi-join key for all LSH candidate
-    * generation. */
+    * generation. Keys are assembled per band directly from the plane
+    * dot signs (no 64-bit packed signature), so bands × bandBits may
+    * exceed 64 total planes — more planes is how recall and bucket
+    * selectivity are raised together at scale. */
   private def bandedKeys(df: DataFrame, idCol: String, outId: String, vecCol: String,
       planes: Array[Array[Double]], bands: Int, bandBits: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val mask = (1L << bandBits) - 1
     df.withColumn("__vd", toDouble(col(vecCol)))
-      .withColumn("__sig", lshSignature(col("__vd"), planes))
-      .select(col(idCol).as(outId), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("s"))
+      .select(col(idCol).as(outId), explode(array((0 until bands).map { b =>
+        val key = (0 until bandBits).map { j =>
+          when(graft.functions.GraftFunctions.arrayDot(col("__vd"),
+            typedLit(planes(b * bandBits + j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("s"))
       .select(col(outId), col("s.band"), col("s.key"))
   }
 
@@ -128,7 +133,7 @@ object Cosine {
     * reference (and the spec cross-check on planted near-dups). */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                       bits: Int = 64, bands: Int = 8, seed: Int = 42): DataFrame = {
-    require(bits % bands == 0 && bits <= 64)
+    require(bits % bands == 0)
     val bandBits = bits / bands
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, bits, seed)

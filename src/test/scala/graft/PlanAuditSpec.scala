@@ -65,6 +65,12 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       p.take(1200))
   }
 
+  test("flagship banded embedding near-dup generates candidates via the (band, key) equi-join") {
+    val p = plan("q_dedup_embed_lsh")
+    assert(p.contains("band") && p.contains("key"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("curation queries keep their narrow/broadcast shapes") {
     // the split is a per-row expression — no hash exchange at all
     // (orderBy adds only a range exchange)
