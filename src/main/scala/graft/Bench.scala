@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. Methodology: `SPARK_GRAFT_BENCH_ITERS`
+  * timed iterations per query (default 3), reporting the per-query
+  * MEDIAN — best-of-2 was noisy enough that single-query numbers swung
+  * ±50% between interleaved runs of a 50-query single-JVM session. A
+  * query that throws is recorded under "errors" with a zero time, never
+  * a silent −1 that would shrink the total. A streaming section reports
+  * MemoryStream events/sec for the stateful operators. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,24 +25,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // two timed iterations, report min — damps JIT/GC noise at
-    // seconds-scale query durations (standard best-of-N practice)
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable =>
+        Left((t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse(""))
+          .replaceAll("[\"\\\\\n\r]", " ").take(160))
+      }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+
     // optional arg: comma-separated query names (fast local loop)
     val only = args.headOption.map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        name -> math.min(time(fn), time(fn))
-      }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val runs = (1 to iters).map(_ => timeOnce(fn))
+      val ok = runs.collect { case Right(s) => s }
+      runs.collectFirst { case Left(e) => e }.foreach(errors += name -> _)
+      name -> (if (ok.nonEmpty) math.rint(median(ok) * 1000) / 1000 else 0.0)
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val streaming =
+      if (only.isEmpty)
+        graft.streaming.StreamBench.rates(spark, sfDir)
+          .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString(",\"streaming\":{", ",", "}")
+      else ""
+    val total = math.rint(results.map(_._2).sum * 1000) / 1000
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errJson$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
