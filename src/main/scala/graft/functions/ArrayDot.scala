@@ -98,6 +98,28 @@ object GraftFunctions {
         })
     }
 
+    val hpId = FunctionIdentifier("hyperplane_band_keys")
+    if (!reg.functionExists(hpId)) {
+      reg.registerFunction(hpId,
+        new ExpressionInfo(classOf[HyperplaneBandKeys].getName, "hyperplane_band_keys"),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 5)
+            throw new IllegalArgumentException(
+              s"hyperplane_band_keys(vec, dim, bits, bands, seed) takes 5 arguments, got ${exprs.length}")
+          val ints = exprs.tail.map { e =>
+            if (!e.foldable)
+              throw new IllegalArgumentException(
+                "hyperplane_band_keys: dim/bits/bands/seed must be integer literals")
+            e.eval() match {
+              case n: Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"hyperplane_band_keys: expected integer literal, got $other")
+            }
+          }
+          HyperplaneBandKeys(exprs.head, ints(0), ints(1), ints(2), ints(3))
+        })
+    }
+
     val mpId = FunctionIdentifier("minhash_perm_hashes")
     if (!reg.functionExists(mpId)) {
       reg.registerFunction(mpId,
@@ -130,6 +152,14 @@ object GraftFunctions {
 
   /** Codegen'd Σ aᵢ·bᵢ over array<double> columns. */
   def arrayDot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** Per-band hyperplane-LSH bucket keys (array<bigint>, length
+    * `bands`) — planes derived from the seed on the executors, so the
+    * task binary carries no plane literals. */
+  def hyperplaneBandKeys(vec: Column, dim: Int, bits: Int, bands: Int, seed: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("hyperplane_band_keys", vec, lit(dim), lit(bits), lit(bands), lit(seed))
+  }
 
   /** Codegen'd 64-bit SimHash over array<bigint> word hashes. */
   def simhash64(wordHashes: Column): Column = call_function("simhash64", wordHashes)

@@ -88,40 +88,28 @@ object Cosine {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Deterministic random hyperplanes for an LSH signature: seeded
-    * driver-side RNG, shipped as literal arrays so each bit is one
-    * codegen'd array_dot against the vector (the per-element hash
-    * formulation ran interpreted and dominated the query). */
-  def hyperplanes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] = {
-    val rng = new java.util.Random(seed)
-    Array.fill(bits)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
-  }
-
-  /** Signature column: bit j = sign of plane_j · v. */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(graft.functions.GraftFunctions.arrayDot(vec, typedLit(p.toSeq)) >= 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Deterministic random hyperplanes (seeded, executor-rederivable) —
+    * see [[graft.functions.Hyperplanes]]. Kept as the public generator
+    * for specs and external callers. */
+  def hyperplanes(dim: Int, bits: Int, seed: Int): Array[Array[Double]] =
+    graft.functions.Hyperplanes.planes(dim, bits, seed)
 
   /** (id, band, key) rows: the vector's hyperplane signature split into
     * per-band bucket keys — the equi-join key for all LSH candidate
-    * generation. Keys are assembled per band directly from the plane
-    * dot signs (no 64-bit packed signature), so bands × bandBits may
+    * generation. One codegen'd kernel call per row
+    * ([[graft.functions.HyperplaneBandKeys]]) computes every plane dot
+    * in a single primitive loop; the plane matrix is re-derived from
+    * the seed on the executors, so the task binary stays small (the
+    * previous per-plane `typedLit` formulation shipped ~1 MB task
+    * binaries and produced enormous codegen). bands × bandBits may
     * exceed 64 total planes — more planes is how recall and bucket
     * selectivity are raised together at scale. */
   private def bandedKeys(df: DataFrame, idCol: String, outId: String, vecCol: String,
-      planes: Array[Array[Double]], bands: Int, bandBits: Int): DataFrame = {
+      dim: Int, bits: Int, bands: Int, seed: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("__vd", toDouble(col(vecCol)))
-      .select(col(idCol).as(outId), explode(array((0 until bands).map { b =>
-        val key = (0 until bandBits).map { j =>
-          when(graft.functions.GraftFunctions.arrayDot(col("__vd"),
-            typedLit(planes(b * bandBits + j).toSeq)) >= 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(b).as("band"), key.as("key"))
-      }: _*)).as("s"))
-      .select(col(outId), col("s.band"), col("s.key"))
+    df.select(col(idCol).as(outId),
+        posexplode(graft.functions.GraftFunctions.hyperplaneBandKeys(
+          toDouble(col(vecCol)), dim, bits, bands, seed)).as(Seq("band", "key")))
   }
 
   /** LSH-banded near-dup pairs: candidates = pairs sharing ≥1 band
@@ -130,20 +118,27 @@ object Cosine {
     * near-dup bar (≥ ~0.8): per-bit collision prob is 1−θ/π, so
     * multi-bit bands keep buckets small while any-of-`bands` keeps
     * recall high. Recall is probabilistic — `nearDupPairs` is the exact
-    * reference (and the spec cross-check on planted near-dups). */
+    * reference (and the spec cross-check on planted near-dups).
+    *
+    * The banded-keys frame is built ONCE and self-joined (both join
+    * sides canonicalize to the same subplan, so the (band, key)
+    * shuffle is planned for exchange reuse rather than recomputing the
+    * signature pass per side), and one shared `withNorm` projection
+    * feeds both verify joins — at 100 TB the signature scan over the
+    * fact table happens once, not twice. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                       bits: Int = 64, bands: Int = 8, seed: Int = 42): DataFrame = {
     require(bits % bands == 0)
-    val bandBits = bits / bands
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
-    val l = bandedKeys(df, idCol, "doc1", vecCol, planes, bands, bandBits)
-    val r = bandedKeys(df, idCol, "doc2", vecCol, planes, bands, bandBits)
-    val cands = l.join(r, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+    val keyed = bandedKeys(df, idCol, "__kid", vecCol, dim, bits, bands, seed)
+    val cands = keyed.select(col("__kid").as("doc1"), col("band"), col("key"))
+      .join(keyed.select(col("__kid").as("doc2"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
-    val v1 = withNorm(df, vecCol).select(col(idCol).as("doc1"), col("__vd").as("v1"), col("__nrm").as("n1"))
-    val v2 = withNorm(df, vecCol).select(col(idCol).as("doc2"), col("__vd").as("v2"), col("__nrm").as("n2"))
-    cands.join(v1, Seq("doc1")).join(v2, Seq("doc2"))
+    val v = withNorm(df, vecCol).select(col(idCol).as("__vid"), col("__vd"), col("__nrm"))
+    cands
+      .join(v.select(col("__vid").as("doc1"), col("__vd").as("v1"), col("__nrm").as("n1")), Seq("doc1"))
+      .join(v.select(col("__vid").as("doc2"), col("__vd").as("v2"), col("__nrm").as("n2")), Seq("doc2"))
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("doc1"), col("doc2"), round(col("cos"), 4).as("cos"))
@@ -155,15 +150,13 @@ object Cosine {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
               k: Int, bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
     require(bits % bands == 0)
-    val bandBits = bits / bands
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     // band/bucket equi-join on (band,key) ids only; vectors join back
     // afterwards so array payloads aren't exploded per band or hashed
     // through distinct
-    val cands = bandedKeys(probes, idCol, "probe_id", vecCol, planes, bands, bandBits)
-      .join(bandedKeys(corpus, idCol, "neighbor_id", vecCol, planes, bands, bandBits), Seq("band", "key"))
+    val cands = bandedKeys(probes, idCol, "probe_id", vecCol, dim, bits, bands, seed)
+      .join(bandedKeys(corpus, idCol, "neighbor_id", vecCol, dim, bits, bands, seed), Seq("band", "key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id").distinct()
     val pv = withNorm(probes, vecCol).select(col(idCol).as("probe_id"), col("__vd").as("v1"), col("__nrm").as("n1"))

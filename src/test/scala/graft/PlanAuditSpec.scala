@@ -51,11 +51,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  /** A hash/merge join NODE whose leading join keys are exactly the two
+    * band columns — a bare substring ("band") could match attribute
+    * names anywhere in the plan and miss a lost equi-join. */
+  private def bandedJoinPlanned(p: String, k2: String): Boolean =
+    s"""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\\S* \\[band#\\d+L?, $k2#\\d+L?\\]""".r
+      .findFirstIn(p).isDefined
+
   test("ngram jaccard candidates come from the (band, bh) equi-join, not the shingle self-join") {
     val p = plan("q_dedup_ngram")
-    // banding keys the candidate shuffle: the band-hash join columns
-    // appear in the executed plan, and no cartesian/BNLJ shape exists
-    assert(p.contains("band"), p.take(1200))
+    // banding keys the candidate shuffle: a join NODE on (band, bh)
+    // exists, and no cartesian/BNLJ shape does
+    assert(bandedJoinPlanned(p, "bh"), p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
@@ -67,8 +74,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
 
   test("flagship banded embedding near-dup generates candidates via the (band, key) equi-join") {
     val p = plan("q_dedup_embed_lsh")
-    assert(p.contains("band") && p.contains("key"), p.take(1200))
+    assert(bandedJoinPlanned(p, "key"), p.take(1200))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the signature kernel ships seeds, not plane literals — a typedLit
+    // plane matrix (the old ~1 MB-task-binary formulation) would bloat
+    // the plan string with 192 × 64 double literals
+    assert(p.contains("hyperplane_band_keys"), "signature kernel missing from plan")
+    assert(p.length < 100000, s"plan string suspiciously large (${p.length}) — inlined literals?")
   }
 
   test("curation queries keep their narrow/broadcast shapes") {
