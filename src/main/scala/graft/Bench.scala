@@ -45,6 +45,13 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // isolate queries within the shared JVM: drop cached frames the
+      // previous query left behind (dedup shingle/signature caches rely
+      // on harness-level cleanup) and GC, so one query's storage and
+      // heap pressure can't inflate the next query's median 1.6-4× the
+      // way the round-3 interleaved run did
+      spark.catalog.clearCache()
+      System.gc()
       val runs = (1 to iters).map(_ => timeOnce(fn))
       val ok = runs.collect { case Right(s) => s }
       runs.collectFirst { case Left(e) => e }.foreach(errors += name -> _)
@@ -54,7 +61,8 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val streaming =
       if (only.isEmpty)
-        graft.streaming.StreamBench.rates(spark, sfDir)
+        graft.streaming.StreamBench.curve(spark, sfDir)
+          .toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString(",\"streaming\":{", ",", "}")
       else ""
     val total = math.rint(results.map(_._2).sum * 1000) / 1000

@@ -34,13 +34,22 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("h")),
 
-    // #43 exact n-gram Jaccard pairs — registered as the scale-safe
-    // banded composition (MinHash (band, bh) equi-join candidates →
-    // exact full-set verify); the direct shingle self-join stays as the
-    // spec cross-check (its fan-out detonates on Zipfian shingles).
+    // #43 exact n-gram Jaccard pairs via the threshold-aware router:
+    // at t = 0.2 (below the banding recall boundary ~0.69) it selects
+    // the prefix-filtered EXACT join — recall 1 by construction, still
+    // skew-resistant (frequent shingles land in non-joining suffixes).
     "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsBanded(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text",
         k = 3, threshold = 0.2)
+        .orderBy("doc1", "doc2")),
+
+    // #43b the same router at a genuine near-dup bar (t = 0.8): selects
+    // the banded MinHash→exact-verify composition — (band, bh)
+    // equi-join candidates, per-pair miss ≤ 6e-15 at the threshold, the
+    // shape you'd run at 100 TB.
+    "q_dedup_ngram_banded" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8)
         .orderBy("doc1", "doc2")),
 
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
@@ -120,6 +129,22 @@ object DedupQueries {
         | round(cast(inter as double)/(sa.n + sb.n - inter), 4) AS jaccard
         |FROM pairs JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
         |WHERE cast(inter as double)/(sa.n + sb.n - inter) >= 0.2
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q_dedup_ngram_banded" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |       WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        | round(cast(inter as double)/(sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
+        |WHERE cast(inter as double)/(sa.n + sb.n - inter) >= 0.8
         |ORDER BY doc1, doc2""".stripMargin,
 
     "q_dedup_embed" ->

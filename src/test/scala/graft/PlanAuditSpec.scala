@@ -58,11 +58,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     s"""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\\S* \\[band#\\d+L?, $k2#\\d+L?\\]""".r
       .findFirstIn(p).isDefined
 
-  test("ngram jaccard candidates come from the (band, bh) equi-join, not the shingle self-join") {
-    val p = plan("q_dedup_ngram")
+  test("ngram jaccard at a near-dup threshold routes to the (band, bh) equi-join") {
+    val p = plan("q_dedup_ngram_banded")
     // banding keys the candidate shuffle: a join NODE on (band, bh)
     // exists, and no cartesian/BNLJ shape does
     assert(bandedJoinPlanned(p, "bh"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ngram jaccard at a low threshold routes to the exact prefix join, not banding") {
+    val p = plan("q_dedup_ngram")
+    // below the banding recall boundary the router must pick the
+    // prefix-filtered exact join: candidates come from a shingle
+    // equi-join, no band columns exist, and no cartesian shape appears
+    assert(!bandedJoinPlanned(p, "bh"), "low-threshold query must not use banded candidates")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 

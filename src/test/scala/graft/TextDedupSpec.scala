@@ -78,6 +78,40 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     val direct = toSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.2))
     assert(direct.size >= 15, "planted near-dups should qualify")
     assert(banded == direct)
+    // the router must detect this hot-shingle regime and still produce
+    // the exact result (via the prefix path, which prunes the megashingle)
+    val auto = toSet(Dedup.ngramJaccardPairsAuto(corpus, "doc_id", "text", 3, 0.2))
+    assert(auto == direct)
+  }
+
+  test("ngram router: recall-1 path below the banding boundary, where banding demonstrably under-recalls") {
+    // 40 planted mid-J pairs: 12 common words + 18 unique per side →
+    // 10 of 28+28 shingles shared, J = 10/46 ≈ 0.217 — just above the
+    // registered t = 0.2, squarely below the banding recall boundary
+    val corpus = (0 until 40).flatMap { p =>
+      val common = (0 until 12).map(w => s"c${p}_$w")
+      val a = common ++ (0 until 18).map(w => s"a${p}_$w")
+      val b = common ++ (0 until 18).map(w => s"b${p}_$w")
+      Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+    }.toDF("doc_id", "text").cache()
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = toSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.2))
+    assert(exact.size == 40, s"fixture should qualify all 40 pairs (got ${exact.size})")
+    // the ROUTER at t=0.2 must select a recall-1 path and find every pair
+    val auto = toSet(Dedup.ngramJaccardPairsAuto(corpus, "doc_id", "text", 3, 0.2))
+    assert(auto == exact)
+    // the banded path at the same threshold misses pairs — each pair
+    // survives no band w.p. (1−J²)³² ≈ 27%; deterministic for this
+    // fixture + fixed hashing, and exactly why the router exists
+    val banded = toSet(Dedup.ngramJaccardPairsBanded(corpus, "doc_id", "text", 3, 0.2))
+    assert(banded.subsetOf(exact))
+    assert(banded.size < exact.size,
+      s"banded at t=0.2 should demonstrate the recall gap (found ${banded.size}/40)")
+    // and the boundary itself: 64-perm/32-band is recall-safe from ~0.69
+    val t = Dedup.bandedSafeThreshold(64, 32)
+    assert(t > 0.6 && t < 0.8, s"unexpected banding boundary $t")
+    corpus.unpersist()
   }
 
   test("minhash candidates ⊇ high-jaccard pairs, est within 0.3 of exact") {
