@@ -115,4 +115,102 @@ object Fit {
       round(expr(s"regr_intercept($yCol, ln($xCol))"), 4).as("a"),
       round(expr(s"regr_slope($yCol, ln($xCol))"), 4).as("b"))
   }
+
+  /** Annealing-refined exponential fit y = a·e^(b·x), minimizing TRUE
+    * sum-of-squares in y space — the reference's `#:annealing? #t`
+    * refinement (least-squares-fit.rkt:126-146: neighbour scales each
+    * coefficient by (1 + temp·U(−1,1)), goal = calculate-residual; its
+    * docs note the log-transform fit "is not very good" because SLR on
+    * ln y over-weights small y). Re-derived for the distributed
+    * setting: the log-transform SLR seeds the search, each annealing
+    * step is ONE aggregation over the cached (x, y) projection, and
+    * only the exponent b walks — for fixed b the optimal scale
+    * a = Σ y·e^(bx) / Σ e^(2bx) is closed-form, so every step
+    * evaluates the best point of its a-ray (dominates a random walk
+    * over (a, b) at the same iteration count). Output: a, b, sse_seed
+    * (the log-transform fit's y-space SSE), sse (≤ sse_seed by
+    * construction: the seed's b is in the search set with optimal a). */
+  def exponentialAnnealed(df: DataFrame, xCol: String, yCol: String,
+                          iterations: Int = 60, seed: Long = 42L): DataFrame = {
+    val d = df.filter(col(yCol) > 0)
+    val init = d.agg(
+      expr(s"regr_intercept(ln($yCol), $xCol)"),
+      expr(s"regr_slope(ln($yCol), $xCol)")).first()
+    annealedScale(d, xCol, yCol, b => exp(lit(b) * col("x")),
+      math.exp(init.getDouble(0)), init.getDouble(1), iterations, seed)
+  }
+
+  /** Annealing-refined power-law fit y = a·x^b (reference
+    * find-better-power-law-coefficients, least-squares-fit.rkt:204-221)
+    * — same profile-annealing scheme as [[exponentialAnnealed]] with
+    * basis x^b, seeded by the log-log SLR. */
+  def powerAnnealed(df: DataFrame, xCol: String, yCol: String,
+                    iterations: Int = 60, seed: Long = 42L): DataFrame = {
+    val d = df.filter(col(xCol) > 0 && col(yCol) > 0)
+    val init = d.agg(
+      expr(s"regr_intercept(ln($yCol), ln($xCol))"),
+      expr(s"regr_slope(ln($yCol), ln($xCol))")).first()
+    annealedScale(d, xCol, yCol, b => pow(col("x"), b),
+      math.exp(init.getDouble(0)), init.getDouble(1), iterations, seed)
+  }
+
+  /** Shared profile-annealing loop for y ≈ a·f_b(x) families: anneal b
+    * (multiplicative neighbour, reference annealing.rkt schedule) with
+    * goal(b) = min over a of Σ(y − a·f_b(x))² = Σy² − (Σy·f_b)²/Σf_b².
+    * Distributed-right batching: a sequential anneal would cost one
+    * Spark job per candidate, so each ROUND proposes a population of
+    * `pop` temperature-scaled neighbours and evaluates all of them in
+    * ONE aggregation over the cached projection (2·pop sums, codegen'd)
+    * — same Metropolis accept/cooling semantics applied to the round's
+    * best candidate, ~pop× fewer cluster passes for the same number of
+    * goal evaluations. Driver sees only scalars. */
+  private def annealedScale(d0: DataFrame, xCol: String, yCol: String,
+      basis: Double => org.apache.spark.sql.Column,
+      a0: Double, b0: Double, iterations: Int, seed: Long): DataFrame = {
+    val spark = d0.sparkSession
+    val d = d0.select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")).cache()
+    try {
+      val rng = new scala.util.Random(seed)
+      val pop = 8
+      val rounds = math.max(1, math.ceil(iterations.toDouble / pop).toInt)
+      val syy = d.agg(sum(pow(col("y"), 2))).first().getDouble(0)
+      // (sse with its optimal a, that a) per candidate, one job total;
+      // an exploding/degenerate basis poisons its candidate so it loses
+      // to every finite one
+      def evalAll(bs: Seq[Double]): Seq[(Double, Double)] = {
+        val aggs = bs.zipWithIndex.flatMap { case (b, j) =>
+          Seq(sum(col("y") * basis(b)).as(s"__syf$j"), sum(pow(basis(b), 2)).as(s"__sff$j"))
+        }
+        val r = d.agg(aggs.head, aggs.tail: _*).first()
+        bs.indices.map { j =>
+          val (si, fi) = (2 * j, 2 * j + 1)
+          if (r.isNullAt(si) || r.isNullAt(fi) || !r.getDouble(fi).isFinite ||
+              !r.getDouble(si).isFinite || r.getDouble(fi) <= 0) (Double.MaxValue, 0.0)
+          else {
+            val a = r.getDouble(si) / r.getDouble(fi)
+            (math.max(0.0, syy - a * r.getDouble(si)), a)
+          }
+        }
+      }
+      val sseSeed = d.agg(sum(pow(col("y") - lit(a0) * basis(b0), 2))).first().getDouble(0)
+      var (currentCost, currentA) = evalAll(Seq(b0)).head
+      var current = b0
+      var (best, bestCost, bestA) = (b0, currentCost, currentA)
+      for (k <- 1 to rounds) {
+        val t = math.max(1e-9, 1.0 - k.toDouble / rounds)
+        val cands = Seq.fill(pop)(current * (1 + t * (2 * rng.nextDouble() - 1)))
+        val evals = evalAll(cands)
+        val j = evals.indices.minBy(evals(_)._1)
+        val (candCost, candA) = evals(j)
+        val accept = candCost <= currentCost ||
+          rng.nextDouble() < math.exp((currentCost - candCost) / t)
+        if (accept) { current = cands(j); currentCost = candCost; currentA = candA }
+        if (candCost < bestCost) { best = cands(j); bestCost = candCost; bestA = candA }
+      }
+      import spark.implicits._
+      Seq((math.rint(bestA * 10000) / 10000, math.rint(best * 10000) / 10000,
+        math.rint(sseSeed * 10000) / 10000, math.rint(bestCost * 10000) / 10000))
+        .toDF("a", "b", "sse_seed", "sse")
+    } finally d.unpersist() // returned frame is a local Seq — safe to drop now
+  }
 }

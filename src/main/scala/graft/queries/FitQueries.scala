@@ -29,6 +29,13 @@ object FitQueries {
 
     "q_fit_log" -> ((s, dir) =>
       Fit.logarithmic(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")),
+
+    // #34 annealing-refined exponential fit (rows-only: seeded RNG walk
+    // is engine-specific; the SSE-improves-seed contract is spec'd in
+    // OperatorSpec)
+    "q_fit_exp_annealed" -> ((s, dir) =>
+      Fit.exponentialAnnealed(Tables.orders(s, dir), "o_custkey", "o_totalprice",
+        iterations = 40)),
   )
 
   val oracle: Map[String, String] = Map(

@@ -210,4 +210,27 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
       iterations = 5000)
     assert(math.abs(best - 3.0) < 0.1 && cost < 0.01)
   }
+
+  test("annealed exp/power fits strictly improve the log-transform seed's SSE") {
+    // additive noise on an exponential is the reference's documented
+    // bad-fit shape (least-squares-fit.rkt: the ln-y SLR "is not very
+    // good" — it over-weights small-y points); the annealing refinement
+    // must strictly reduce true y-space SSE and land near the generator
+    val rng = new scala.util.Random(11)
+    val dfe = (0 until 60).map { i =>
+      val x = i / 6.0
+      (x, 2.0 * math.exp(0.6 * x) + (rng.nextDouble() - 0.5) * 40.0)
+    }.filter(_._2 > 0).toDF("x", "y")
+    val re = Fit.exponentialAnnealed(dfe, "x", "y", iterations = 80).first()
+    assert(re.getAs[Double]("sse") < re.getAs[Double]("sse_seed"),
+      s"exp: ${re.getAs[Double]("sse")} !< ${re.getAs[Double]("sse_seed")}")
+    assert(math.abs(re.getAs[Double]("b") - 0.6) < 0.15)
+    val dfp = (1 to 60).map { i =>
+      (i.toDouble, 3.0 * math.pow(i, 1.8) + (rng.nextDouble() - 0.5) * 500.0)
+    }.filter(_._2 > 0).toDF("x", "y")
+    val rp = Fit.powerAnnealed(dfp, "x", "y", iterations = 80).first()
+    assert(rp.getAs[Double]("sse") < rp.getAs[Double]("sse_seed"),
+      s"power: ${rp.getAs[Double]("sse")} !< ${rp.getAs[Double]("sse_seed")}")
+    assert(math.abs(rp.getAs[Double]("b") - 1.8) < 0.2)
+  }
 }
