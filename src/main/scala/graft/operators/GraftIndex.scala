@@ -27,9 +27,22 @@ object GraftIndex {
     df.repartitionByRange(n, col(column)).sortWithinPartitions(column)
   }
 
-  /** Bucketed persistent layout for shuffle-free repeated lookups. */
-  def bucketed(df: DataFrame, table: String, column: String, buckets: Int): Unit =
+  /** Bucketed persistent layout for shuffle-free repeated lookups.
+    * Drops any prior incarnation first: a managed table written by a
+    * PREVIOUS session survives on disk while the in-memory catalog
+    * forgets it, and overwrite-CTAS then refuses with
+    * LOCATION_ALREADY_EXISTS — so both the catalog entry and any stale
+    * location are cleared before the write. */
+  def bucketed(df: DataFrame, table: String, column: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").bucketBy(buckets, column).sortBy(column).saveAsTable(table)
+  }
 
   /** df-index-of: first row (by `orderCol`) with column = value. */
   def indexOf(df: DataFrame, column: String, value: Any, orderCol: String): Option[Any] = {

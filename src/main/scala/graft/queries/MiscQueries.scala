@@ -1,18 +1,64 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Simplify, Spline, Stats}
+import graft.operators.{GraftIndex, Simplify, SkewJoin, Spline, Stats}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Spline, RDP, weighted quantile, sessionization queries
-  * (SURVEY.md §2 #18, #32, #33, #52). */
+/** Spline, RDP, weighted quantile, sessionization, bucketed-join, and
+  * skew-join queries (SURVEY.md §2 #18, #32, #33, #52, #57, #14). */
 object MiscQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** 90 %-one-key projection of lineitem: every partkey not ≡0 (mod 10)
+    * collapses onto hot key 1 — the pathological join-key distribution
+    * the salted join exists for. */
+  private def skewedLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(pmod(col("l_partkey"), lit(10)) =!= 0, lit(1L)).otherwise(col("l_partkey")).as("k"),
+      col("l_quantity"))
+
+  private def partDim(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_type"))
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    joined.groupBy("p_type")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_type")
+
   val queries: Map[String, Q] = Map(
+    // #14 bucketed co-located join (GraftIndex.bucketed): both sides
+    // pre-hashed into the same bucket count on the join key, so the
+    // merge join reads co-located buckets with NO exchange on either
+    // side (plan-audited) — at 100 TB the write cost amortizes over
+    // every subsequent join/lookup on the key. The hint pins the merge
+    // join so the demonstration doesn't silently degrade to broadcast
+    // at toy scale.
+    "q_lookup_join_bucketed" -> ((s, dir) => {
+      GraftIndex.bucketed(Tables.orders(s, dir).select("o_custkey", "o_totalprice"),
+        "g_orders_bucketed", "o_custkey", 8)
+      GraftIndex.bucketed(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+        "g_customer_bucketed", "c_custkey", 8)
+      s.table("g_orders_bucketed").hint("merge")
+        .join(s.table("g_customer_bucketed"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // #57 skew-salted join demo pair: identical semantics, identical
+    // oracle — the plain join piles the hot key onto one shuffle task,
+    // the salted join spreads it over `factor` tasks (AQE's runtime
+    // skew splitting handles most of this automatically; salting is
+    // the explicit plan-level tool, and the pair benches both).
+    "q_skew_join_plain" -> ((s, dir) =>
+      skewAgg(skewedLineitem(s, dir).join(partDim(s, dir), "k"))),
+
+    "q_skew_join_salted" -> ((s, dir) =>
+      skewAgg(SkewJoin.saltedJoin(skewedLineitem(s, dir), partDim(s, dir), "k", factor = 8))),
+
     // #18 weighted quantile (integral weights → exact cross-engine
     // threshold comparison).
     "q_weighted_quantile" -> ((s, dir) =>
@@ -57,7 +103,23 @@ object MiscQueries {
         .orderBy("win_start_us", "event_type")),
   )
 
+  private val skewOracle =
+    """WITH l AS (SELECT CASE WHEN l_partkey % 10 <> 0 THEN 1 ELSE l_partkey END AS k,
+      |                 l_quantity FROM lineitem)
+      |SELECT p_type, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      |FROM l JOIN part ON p_partkey = k
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_lookup_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the PAIR shares one oracle: salting must be output-invisible
+    "q_skew_join_plain" -> skewOracle,
+    "q_skew_join_salted" -> skewOracle,
+
     "q_weighted_quantile" ->
       """WITH c AS (SELECT l_extendedprice AS v, l_quantity AS w FROM lineitem WHERE l_quantity > 0),
         |cum AS (SELECT v, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,

@@ -92,6 +92,25 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.length < 100000, s"plan string suspiciously large (${p.length}) — inlined literals?")
   }
 
+  test("bucketed join reads co-located buckets: no exchange feeds the merge join") {
+    val p = plan("q_lookup_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    // the ONLY hash exchange allowed is the final group-by's; the join
+    // inputs come straight from the bucketed scans
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"bucketed join should exchange only for the group-by, got $exchanges\n${p.take(1500)}")
+  }
+
+  test("skew demo pair: salted join is output-identical to the plain join") {
+    val plain = SparkEntry.queries("q_skew_join_plain")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val salted = SparkEntry.queries("q_skew_join_salted")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(plain.nonEmpty)
+    assert(plain == salted)
+  }
+
   test("curation queries keep their narrow/broadcast shapes") {
     // the split is a per-row expression — no hash exchange at all
     // (orderBy adds only a range exchange)
