@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * Pandas-UDF batch), partitioning preserved, deterministic outputs.
   * IMAGE payloads decode for real via javax.imageio (PNG/BMP/GIF/JPEG
   * ship with the JDK): features are a luminance histogram over decoded
-  * pixels and `resizeImages` transcodes the payload. Payloads no
-  * installed reader recognizes (plus audio/video, whose codecs are not
-  * in this container) fall back to the clearly-marked deterministic
-  * stub, so the pipeline shape is identical either way.
+  * pixels and `resizeImages` transcodes the payload. AUDIO payloads
+  * decode for real via javax.sound.sampled (WAV/AIFF/AU PCM ship with
+  * the JDK): features are RMS + zero-crossing rate + an RMS envelope.
+  * Payloads no installed reader recognizes (video, compressed audio —
+  * codecs absent from this container) fall back to the clearly-marked
+  * deterministic stub, so the pipeline shape is identical either way.
   */
 object Multimodal {
 
@@ -51,6 +53,85 @@ object Multimodal {
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
     catch { case _: Exception => null }
 
+  /** Real audio decode — javax.sound.sampled ships WAV/AIFF/AU PCM
+    * readers with the JDK (same no-new-dependency argument that got
+    * image decode done). Channels mono-mix; 8/16-bit signed/unsigned
+    * PCM, either endianness. Returns null when no reader recognizes
+    * the bytes or the encoding isn't plain PCM (compressed codecs are
+    * not in this container — those fall back to the stub). Output:
+    * samples normalized to [−1, 1]. */
+  private[multimodal] def decodeAudio(content: Array[Byte]): Array[Double] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16)) return null
+        val raw = in.readAllBytes()
+        val ch = fmt.getChannels
+        val bps = bits / 8
+        val frames = raw.length / (bps * ch)
+        val out = new Array[Double](frames)
+        val big = fmt.isBigEndian
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = (f * ch + c) * bps
+            val v =
+              if (bits == 8) {
+                if (unsigned) ((raw(o) & 0xFF) - 128) / 128.0 else raw(o) / 128.0
+              } else {
+                val lo = raw(o + (if (big) 1 else 0)) & 0xFF
+                val hi = raw(o + (if (big) 0 else 1)).toInt
+                val s = ((hi << 8) | lo).toShort
+                (if (unsigned) (s & 0xFFFF) - 32768 else s.toInt) / 32768.0
+              }
+            acc += v
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        out
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** Content-derived audio features: [global RMS, zero-crossing rate,
+    * (dim−2)-window RMS envelope] — deterministic, O(samples). */
+  private[multimodal] def audioFeatures(samples: Array[Double], dim: Int): Array[Double] = {
+    val n = samples.length
+    val out = new Array[Double](dim)
+    if (n == 0) return out
+    var sumSq = 0.0
+    var zc = 0
+    var i = 0
+    while (i < n) {
+      sumSq += samples(i) * samples(i)
+      if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    out(0) = math.sqrt(sumSq / n)
+    out(1) = zc.toDouble / math.max(1, n - 1)
+    val env = dim - 2
+    var w = 0
+    while (w < env) {
+      val lo = (w.toLong * n / env).toInt
+      val hi = ((w + 1).toLong * n / env).toInt
+      var s = 0.0
+      var j = lo
+      while (j < hi) { s += samples(j) * samples(j); j += 1 }
+      out(2 + w) = if (hi > lo) math.sqrt(s / (hi - lo)) else 0.0
+      w += 1
+    }
+    out
+  }
+
   /** Content-derived features from decoded pixels: a `dim`-bin
     * luminance histogram (Rec.601 weights) normalized to sum 1. */
   private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
@@ -84,7 +165,11 @@ object Multimodal {
         val feats =
           if (bytes == null) null
           else decodeImage(bytes) match {
-            case null => decodeStub(bytes, dim)
+            case null =>
+              decodeAudio(bytes) match {
+                case null => decodeStub(bytes, dim)
+                case samples => audioFeatures(samples, dim)
+              }
             case img => imageFeatures(img, dim)
           }
         Row.fromSeq(r.toSeq :+ feats)

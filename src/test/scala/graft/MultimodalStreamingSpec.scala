@@ -58,6 +58,54 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     assert(leftLum < 64 && rightLum > 192)
   }
 
+  test("real WAV decode: RMS and zero-crossing features from generated PCM audio") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.5 s of a 440 Hz sine at 8 kHz, 16-bit signed little-endian PCM
+    def wav(amplitude: Double): Array[Byte] = {
+      val rate = 8000
+      val n = rate / 2
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amplitude * math.sin(2 * math.Pi * 440.0 * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val loud = wav(0.8)
+    val quiet = wav(0.1)
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "audio", loud, null, null, Integer.valueOf(8000), java.lang.Long.valueOf(500L)),
+        org.apache.spark.sql.Row(2L, "audio", quiet, null, null, Integer.valueOf(8000), java.lang.Long.valueOf(500L)))),
+      Multimodal.schema)
+    val feats = Multimodal.extractFeatures(assets, dim = 8)
+      .select("asset_id", "features").as[(Long, Seq[Double])].collect().toMap
+    // REAL decode, not the stub: a sine's RMS is amplitude/√2 and its
+    // zero-crossing rate is 2f/rate — the hash stub can't hit either
+    assert(math.abs(feats(1L).head - 0.8 / math.sqrt(2)) < 0.01,
+      s"rms ${feats(1L).head}")
+    assert(math.abs(feats(1L)(1) - 2.0 * 440 / 8000) < 0.005,
+      s"zcr ${feats(1L)(1)}")
+    assert(math.abs(feats(2L).head - 0.1 / math.sqrt(2)) < 0.01)
+    // constant-amplitude tone → flat RMS envelope at the global RMS
+    assert(feats(1L).drop(2).forall(e => math.abs(e - feats(1L).head) < 0.01))
+    // determinism
+    val again = Multimodal.extractFeatures(assets, dim = 8)
+      .select("asset_id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(again == feats)
+    // bytes no reader recognizes still flow through the stub path
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        3L, "audio", Array.tabulate[Byte](32)(_.toByte), null, null, null, null))),
+      Multimodal.schema)
+    assert(Multimodal.extractFeatures(junk, dim = 8).select("features").first().getSeq[Double](0).length == 8)
+  }
+
   test("multimodal → features → ANN integration: nearest neighbor of identical payloads") {
     val assets = Multimodal.syntheticAssets(spark, 10)
     // duplicate asset 3's payload as asset 100 → features identical → cos 1
