@@ -67,6 +67,36 @@ object ScaleSmoke {
       val ids = spark.range(1000000).toDF("doc_id")
       Dedup.survivors(pairs, ids, "doc_id").count()
     }
+    timed("interp_merge_10m") {
+      // co-partitioned two-pointer interpolation: 10M base rows,
+      // 1M probes across the same key space
+      val probes = spark.range(rows / 10).select(
+        (col("id") % keys).as("user_id"),
+        (col("id") / keys * 70 + 3).cast("double").as("px"))
+      graft.operators.Lookup.interpolatedMerge(
+        events.select(col("user_id"), col("eps"), col("value")),
+        probes, "user_id", "eps", "value", "px").count()
+    }
+    timed("banded_ngram_200k") {
+      // 200k synthetic docs (30 words over a 50k vocab + 10% near-dup
+      // tails) through the banded MinHash→exact-verify composition —
+      // signature aggregation, (band, bh) equi-join, and full-set
+      // verify at membership volumes the sf0.1 fixtures never reach
+      val docs = spark.range(200000).select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(1, 30),
+                 i -> concat('w', pmod(xxhash64(CASE WHEN id % 10 = 0 AND i > 27
+                                                     THEN id - 5 ELSE id END, i), 50000))))""")
+          .as("text"))
+      Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", k = 3, threshold = 0.8).count()
+    }
+    timed("banded_embed_100k") {
+      // 100k 64-dim vectors through the seed-derived hyperplane kernel
+      // path (192 bits × 16 bands): candidate equi-join + exact verify
+      val vecs = spark.range(100000).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> cast(pmod(xxhash64(id, i), 2000) as double) / 1000.0 - 1.0)")
+          .as("embedding"))
+      Cosine.lshNearDupPairs(vecs, "vec_id", "embedding", 0.9, bits = 192, bands = 16).count()
+    }
     spark.stop()
   }
 }

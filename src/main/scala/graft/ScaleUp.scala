@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-factor multiplier for the driver testdata:
+  * replicates every table `factor`× with disjoint key spaces so query
+  * RESULTS scale linearly and predictably instead of quadratically.
+  *
+  *  - Relational keys shift by replica · (max+1) consistently across
+  *    fact/dim tables (orders.o_custkey tracks customer.c_custkey,
+  *    lineitem tracks orders/part/supplier). nation/region stay fixed
+  *    (true dims).
+  *  - documents: replica r > 0 prefixes every word with "r{r}x", so
+  *    each replica's intra-replica shingle/Jaccard structure is
+  *    isomorphic to the original while cross-replica similarity is 0 —
+  *    near-dup pair counts scale exactly ×factor (verbatim replication
+  *    would instead create C(factor,2) exact-dup pairs per doc).
+  *  - embeddings: replica r > 0 multiplies each dimension by a
+  *    deterministic ±1 mask from hash(r, j). A diagonal ±1 transform
+  *    preserves every intra-replica cosine exactly and randomizes
+  *    cross-replica ones toward 0.
+  *  - events: ts re-encoded as µs TimestampType (the driver's
+  *    TIMESTAMP(NANOS) needs a legacy flag Spark-side and µs is what
+  *    both engines compare on anyway); per-user eps_us uniqueness is
+  *    preserved because user_id shifts per replica.
+  *
+  * Usage: runMain graft.ScaleUp [srcDir] [destDir] [factor]
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = args.lift(1).getOrElse("/tmp/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = GraftSession.local("graft-scaleup", cpus)
+
+    def keyOffset(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1
+
+    // replica column 0..factor-1; replica 0 keeps original values
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0L), lit(factor - 1L))))
+
+    def shift(c: String, offset: Long) = (col(c) + col("__r") * offset).as(c)
+
+    val customer = Tables.customer(spark, src)
+    val supplier = Tables.supplier(spark, src)
+    val part = Tables.part(spark, src)
+    val orders = Tables.orders(spark, src)
+    val custOff = keyOffset(customer, "c_custkey")
+    val suppOff = keyOffset(supplier, "s_suppkey")
+    val partOff = keyOffset(part, "p_partkey")
+    val orderOff = keyOffset(orders, "o_orderkey")
+
+    def write(name: String, df: DataFrame, files: Int): Unit = {
+      df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[scaleup] $name -> $dest/$name.parquet")
+    }
+
+    // fixed dims: straight copy
+    write("region", Tables.region(spark, src), 1)
+    write("nation", Tables.nation(spark, src), 1)
+
+    write("customer", {
+      val d = replicate(customer)
+      d.select(shift("c_custkey", custOff) +:
+        d.columns.filter(c => c != "c_custkey" && c != "__r").map(col).toIndexedSeq: _*)
+    }, 2)
+
+    write("supplier", {
+      val d = replicate(supplier)
+      d.select(shift("s_suppkey", suppOff) +:
+        d.columns.filter(c => c != "s_suppkey" && c != "__r").map(col).toIndexedSeq: _*)
+    }, 2)
+
+    write("part", {
+      val d = replicate(part)
+      d.select(shift("p_partkey", partOff) +:
+        d.columns.filter(c => c != "p_partkey" && c != "__r").map(col).toIndexedSeq: _*)
+    }, 2)
+
+    write("orders", {
+      val d = replicate(orders)
+      d.select(shift("o_orderkey", orderOff) +: shift("o_custkey", custOff) +:
+        d.columns.filter(c => !Set("o_orderkey", "o_custkey", "__r")(c)).map(col).toIndexedSeq: _*)
+    }, 4)
+
+    write("lineitem", {
+      val d = replicate(Tables.lineitem(spark, src))
+      d.select(shift("l_orderkey", orderOff) +: shift("l_partkey", partOff) +:
+        shift("l_suppkey", suppOff) +:
+        d.columns.filter(c => !Set("l_orderkey", "l_partkey", "l_suppkey", "__r")(c))
+          .map(col).toIndexedSeq: _*)
+    }, 8)
+
+    write("events", {
+      val ev = Tables.events(spark, src) // normalized: eps_us long + µs ts
+      val evOff = keyOffset(ev, "event_id")
+      val userOff = keyOffset(ev, "user_id")
+      val d = replicate(ev)
+      d.select(shift("event_id", evOff) +: col("ts") +: shift("user_id", userOff) +:
+        d.columns.filter(c => !Set("event_id", "ts", "user_id", "eps_us", "__r")(c))
+          .map(col).toIndexedSeq: _*)
+    }, 4)
+
+    write("documents", {
+      val docs = Tables.documents(spark, src)
+      val docOff = keyOffset(docs, "doc_id")
+      val d = replicate(docs)
+      val text = when(col("__r") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("r"), col("__r"), lit("x$1"))))
+      d.select(shift("doc_id", docOff), text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }, 4)
+
+    write("embeddings", {
+      val emb = Tables.embeddings(spark, src)
+      val vecOff = keyOffset(emb, "vec_id")
+      val d = replicate(emb)
+      d.select(shift("vec_id", vecOff),
+        expr("""transform(embedding, (x, j) ->
+                 CASE WHEN __r = 0 OR pmod(hash(__r, j), 2) = 0 THEN x
+                      ELSE -x END)""").as("embedding"),
+        col("label"))
+    }, 2)
+
+    spark.stop()
+  }
+}

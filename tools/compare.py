@@ -13,7 +13,11 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver tables are single files; ScaleUp-generated ones are dirs
+    src = f"{sf_dir}/{t}.parquet"
+    if glob.glob(f"{src}/*.parquet"):
+        src = f"{src}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes, rows_only = [], [], []
