@@ -36,8 +36,11 @@ object ScaleUp {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.local("graft-scaleup", cpus)
 
+    // numeric-type- and empty-safe: int-typed parquet keys and empty
+    // tables would otherwise fail with an opaque ClassCastException/NPE
     def keyOffset(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).first().getLong(0) + 1
+      Option(df.agg(max(col(key))).first().get(0))
+        .map(_.asInstanceOf[Number].longValue + 1).getOrElse(0L)
 
     // replica column 0..factor-1; replica 0 keeps original values
     def replicate(df: DataFrame): DataFrame =

@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Shingle/signature caches are consumed by the LAZY plans these
+  // operators return, so they cannot be unpersisted before the caller
+  // materializes the result. Each one is tracked (weakly) here instead;
+  // releaseCaches() lets long-lived sessions reclaim the storage once
+  // results are materialized — a plan that has not yet run stays
+  // correct and simply recomputes.
+  private val trackedCaches = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+  private def cached(df: DataFrame): DataFrame = {
+    df.cache()
+    trackedCaches.synchronized { trackedCaches.add(df) }
+    df
+  }
+
+  /** Unpersist every intermediate cache a Dedup operator has created in
+    * this JVM (JVM-wide: spans sessions). Safe at any time — plans that
+    * still reference a released cache recompute it. */
+  def releaseCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.forEach(df => df.unpersist())
+    trackedCaches.clear()
+  }
+
   private def words(text: org.apache.spark.sql.Column) =
     filter(split(text, "\\s+"), w => w =!= "")
 
@@ -47,10 +69,9 @@ object Dedup {
                               k: Int = 3, threshold: Double = 0.2): DataFrame =
     // cache lifetime: the shingle frame feeds sizes/prefix/verify
     // subtrees of the RETURNED lazy plan, so it cannot be unpersisted
-    // here; long-lived sessions reclaim it via LRU eviction or
-    // spark.catalog.clearCache() (the bench harness does the latter
-    // between queries)
-    prefixFromShingles(shingles(df, idCol, textCol, k).cache(), idCol, threshold)
+    // here; reclaim after materializing via releaseCaches() (or LRU
+    // eviction / spark.catalog.clearCache(), as the bench harness does)
+    prefixFromShingles(cached(shingles(df, idCol, textCol, k)), idCol, threshold)
 
   private[dedup] def prefixFromShingles(sh: DataFrame, idCol: String,
                                         threshold: Double): DataFrame = {
@@ -99,7 +120,7 @@ object Dedup {
     * is `ngramJaccardPairsBanded`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2): DataFrame =
-    directFromShingles(shingles(df, idCol, textCol, k).cache(), idCol, threshold)
+    directFromShingles(cached(shingles(df, idCol, textCol, k)), idCol, threshold)
 
   private[dedup] def directFromShingles(sh: DataFrame, idCol: String,
                                         threshold: Double): DataFrame = {
@@ -124,7 +145,7 @@ object Dedup {
   def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.2,
                               perms: Int = 64, bands: Int = 32): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val sh = cached(shingles(df, idCol, textCol, k))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val cands = bandPairs(signaturesFromShingles(sh, idCol, perms), idCol, perms, bands)
     val inter = cands
@@ -170,7 +191,7 @@ object Dedup {
     if (threshold >= bandedSafeThreshold(perms, bands))
       ngramJaccardPairsBanded(df, idCol, textCol, k, threshold, perms, bands)
     else {
-      val sh = shingles(df, idCol, textCol, k).cache()
+      val sh = cached(shingles(df, idCol, textCol, k))
       val meetings = expr("(df * (df - 1)) DIV 2") // exact: df*(df-1) is even
       val stats = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .agg(sum(meetings).as("total"),
@@ -226,7 +247,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, perms: Int = 32, bands: Int = 8,
                         threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, perms).cache()
+    val sigs = cached(minhashSignatures(df, idCol, textCol, k, perms))
     bandPairs(sigs, idCol, perms, bands)
       .join(sigs.select(col(idCol).as("doc1"), col("sig").as("sig1")), Seq("doc1"))
       .join(sigs.select(col(idCol).as("doc2"), col("sig").as("sig2")), Seq("doc2"))
@@ -306,7 +327,7 @@ object Dedup {
     * with Hamming distance <= maxHamming. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+    val sh = cached(simhash(df, idCol, textCol))
     val blocked = sh.select(col(idCol), col("simhash"), posexplode(expr(
       "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")).as(Seq("block", "bk")))
     val cands = blocked.select(col(idCol).as("doc1"), col("simhash").as("h1"), col("block"), col("bk"))

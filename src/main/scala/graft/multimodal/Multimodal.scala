@@ -105,6 +105,7 @@ object Multimodal {
   /** Content-derived audio features: [global RMS, zero-crossing rate,
     * (dim−2)-window RMS envelope] — deterministic, O(samples). */
   private[multimodal] def audioFeatures(samples: Array[Double], dim: Int): Array[Double] = {
+    require(dim >= 2, s"audio feature dim must be >= 2 (global RMS + ZCR), got $dim")
     val n = samples.length
     val out = new Array[Double](dim)
     if (n == 0) return out

@@ -136,8 +136,12 @@ object Fit {
     val init = d.agg(
       expr(s"regr_intercept(ln($yCol), $xCol)"),
       expr(s"regr_slope(ln($yCol), $xCol)")).first()
+    // empty / single-row / zero-variance input: SLR aggregates are null —
+    // fall back to the flat seed (a=1, b=0) instead of an executor NPE
+    val (a0, b0) = if (init.isNullAt(0) || init.isNullAt(1)) (1.0, 0.0)
+                   else (math.exp(init.getDouble(0)), init.getDouble(1))
     annealedScale(d, xCol, yCol, b => exp(lit(b) * col("x")),
-      math.exp(init.getDouble(0)), init.getDouble(1), iterations, seed)
+      a0, b0, iterations, seed)
   }
 
   /** Annealing-refined power-law fit y = a·x^b (reference
@@ -150,8 +154,10 @@ object Fit {
     val init = d.agg(
       expr(s"regr_intercept(ln($yCol), ln($xCol))"),
       expr(s"regr_slope(ln($yCol), ln($xCol))")).first()
+    val (a0, b0) = if (init.isNullAt(0) || init.isNullAt(1)) (1.0, 0.0)
+                   else (math.exp(init.getDouble(0)), init.getDouble(1))
     annealedScale(d, xCol, yCol, b => pow(col("x"), b),
-      math.exp(init.getDouble(0)), init.getDouble(1), iterations, seed)
+      a0, b0, iterations, seed)
   }
 
   /** Shared profile-annealing loop for y ≈ a·f_b(x) families: anneal b
@@ -173,7 +179,13 @@ object Fit {
       val rng = new scala.util.Random(seed)
       val pop = 8
       val rounds = math.max(1, math.ceil(iterations.toDouble / pop).toInt)
-      val syy = d.agg(sum(pow(col("y"), 2))).first().getDouble(0)
+      val syyRow = d.agg(sum(pow(col("y"), 2))).first()
+      if (syyRow.isNullAt(0)) { // empty input: undefined fit, typed nulls
+        import spark.implicits._
+        return Seq((Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double])).toDF("a", "b", "sse_seed", "sse")
+      }
+      val syy = syyRow.getDouble(0)
       // (sse with its optimal a, that a) per candidate, one job total;
       // an exploding/degenerate basis poisons its candidate so it loses
       // to every finite one
@@ -202,8 +214,12 @@ object Fit {
         val evals = evalAll(cands)
         val j = evals.indices.minBy(evals(_)._1)
         val (candCost, candA) = evals(j)
+        // Metropolis exponent normalized by candidate cost (the
+        // reference's default-transition divides by ncost·temperature) —
+        // raw SSE-scale deltas would drive uphill acceptance to 0 and
+        // degenerate the walk into greedy best-of-population
         val accept = candCost <= currentCost ||
-          rng.nextDouble() < math.exp((currentCost - candCost) / t)
+          rng.nextDouble() < math.exp((currentCost - candCost) / (math.max(candCost, Double.MinPositiveValue) * t))
         if (accept) { current = cands(j); currentCost = candCost; currentA = candA }
         if (candCost < bestCost) { best = cands(j); bestCost = candCost; bestA = candA }
       }

@@ -46,6 +46,12 @@ object CorpusPipeline {
       cfg.shingleK, cfg.minhashPerms, cfg.bands, cfg.estJaccard)
     val surv = Dedup.survivors(cands, exactKept.select(col(idCol)), idCol)
 
+    // survivors() has materialized the candidate pairs (eager
+    // localCheckpoint), so the signature cache behind `cands` is no
+    // longer referenced by the returned plan — reclaim it now instead
+    // of leaking one cached frame per clean() call in a long session
+    Dedup.releaseCaches()
+
     // 5. keep docs that are their own survivor
     exactKept.join(surv.filter(col("id") === col("survivor")).select(col("id").as(idCol)), Seq(idCol))
   }
