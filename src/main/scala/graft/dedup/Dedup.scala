@@ -173,7 +173,8 @@ object Dedup {
     * candidate generation, recall loss ≤ 1e-9 per pair). Below the
     * boundary no affordable band shape reaches recall ≈ 1, so an EXACT
     * join runs instead, chosen by MEASURED shingle skew (one scalar
-    * aggregation over the shingle frame, reused by the returned plan):
+    * aggregation over a Bernoulli sample of the cached shingle frame —
+    * unbiased for the routing ratio, see the inline note):
     * the direct shingle self-join when per-key fan-out is balanced
     * (prefix filtering prunes almost nothing at low t on flat corpora
     * — measured at sf0.1: 788k prefix candidates vs 1.27M direct
@@ -187,15 +188,27 @@ object Dedup {
   def ngramJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, threshold: Double = 0.2,
                             perms: Int = 64, bands: Int = 32,
-                            hotDf: Int = 64): DataFrame =
+                            hotDf: Int = 64, skewSampleFrac: Double = 0.1): DataFrame =
     if (threshold >= bandedSafeThreshold(perms, bands))
       ngramJaccardPairsBanded(df, idCol, textCol, k, threshold, perms, bands)
     else {
       val sh = cached(shingles(df, idCol, textCol, k))
+      // Skew is measured on a Bernoulli SAMPLE of the shingle frame:
+      // E[C(Binomial(df, p), 2)] = C(df, 2)·p², i.e. sampling scales
+      // every shingle group's meeting count by the same p², so the
+      // hot-vs-total comparison is unbiased while the measurement's
+      // shuffle volume shrinks ~p (rows) — at 100 TB the router costs a
+      // sampled aggregation, not a full-cardinality shingle agg. A
+      // sampled hot group is detected at df_sample > hotDf·p (its
+      // expectation under the sample). Both candidate paths are exact,
+      // so a flipped decision near the boundary costs time, never
+      // correctness; p = 1 recovers the exact measurement.
+      val p = math.min(1.0, math.max(1e-6, skewSampleFrac))
+      val probe = if (p >= 1.0) sh else sh.sample(withReplacement = false, p, seed = 42L)
       val meetings = expr("(df * (df - 1)) DIV 2") // exact: df*(df-1) is even
-      val stats = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val stats = probe.groupBy("shingle").agg(count(lit(1)).as("df"))
         .agg(sum(meetings).as("total"),
-          sum(when(col("df") > hotDf, meetings).otherwise(lit(0))).as("hot"))
+          sum(when(col("df") > hotDf * p, meetings).otherwise(lit(0))).as("hot"))
         .first()
       val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
       val hot = if (stats.isNullAt(1)) 0L else stats.getLong(1)

@@ -14,10 +14,23 @@ import org.apache.spark.sql.functions._
   * doubles rounded (money sums to 2, everything else to 4), timestamps
   * reduced to dates/epochs — keeps the driver's hash compare free of
   * float-ordering and timestamp-precision noise.
+  *
+  * Money sums go through DECIMAL ([[moneySum]]): a double sum over
+  * millions of unordered terms differs between engines in its last
+  * cent (summation order), which surfaced at sf1 on q_sql_q5's ~1.2M
+  * rows/group. Per-term double→decimal casts are deterministic in both
+  * engines and decimal addition is exact and commutative, so the
+  * rounded sum is sf-independent. SQL mirror:
+  * `CAST(round(sum(CAST(expr AS DECIMAL(25, 6))), 2) AS DOUBLE)`.
   */
 object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent cross-engine money sum: Σ decimal(25,6) terms,
+    * rounded to cents, back to double for a schema-stable column. */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast("decimal(25,6)")), 2).cast("double")
 
   val queries: Map[String, Q] = Map(
     // #11 df-fold/by-index* → groupBy().agg() (TPC-H Q1 shape).
@@ -26,8 +39,8 @@ object CoreQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -83,7 +96,7 @@ object CoreQueries {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("n_name")
     }),
@@ -93,7 +106,7 @@ object CoreQueries {
       Tables.lineitem(s, dir)
         .equalRange("l_quantity", 10, 20)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")),
 
     // #9 df-fold → global aggregation, one row.
@@ -124,7 +137,7 @@ object CoreQueries {
     "q_sql_q3" -> ((s, dir) =>
       graft.GraftSql.sql(s, dir,
         """SELECT o_orderkey, cast(o_orderdate as date) AS odate,
-          | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+          | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
           | count(*) AS cnt
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |JOIN lineitem ON l_orderkey = o_orderkey
@@ -137,7 +150,7 @@ object CoreQueries {
     // exercises Catalyst join ordering through the SQL entry point.
     "q_sql_q5" -> ((s, dir) =>
       graft.GraftSql.sql(s, dir,
-        """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        """SELECT n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
           |FROM customer JOIN orders ON c_custkey = o_custkey
           |JOIN lineitem ON l_orderkey = o_orderkey
           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -151,8 +164,8 @@ object CoreQueries {
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))),2) AS DOUBLE) AS sum_disc_price,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | count(*) AS count_order
@@ -161,7 +174,7 @@ object CoreQueries {
 
     "q_sql_q3" ->
       """SELECT o_orderkey, cast(o_orderdate as date) AS odate,
-        | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
         | count(*) AS cnt
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -170,7 +183,7 @@ object CoreQueries {
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_sql_q5" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -211,7 +224,7 @@ object CoreQueries {
 
     "q_lookup_join" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))),2) AS DOUBLE) AS revenue,
         | count(*) AS cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -220,7 +233,7 @@ object CoreQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_equal_range" ->
-      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice),2) AS sum_price
+      """SELECT l_returnflag, count(*) AS cnt, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))),2) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

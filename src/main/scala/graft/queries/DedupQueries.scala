@@ -36,8 +36,9 @@ object DedupQueries {
 
     // #43 exact n-gram Jaccard pairs via the threshold-aware router:
     // at t = 0.2 (below the banding recall boundary ~0.69) it selects
-    // the prefix-filtered EXACT join — recall 1 by construction, still
-    // skew-resistant (frequent shingles land in non-joining suffixes).
+    // an EXACT join — recall 1 by construction: the direct shingle
+    // self-join on this flat-df corpus, the prefix-filtered variant
+    // when measured hot-shingle skew dominates the pair fan-out.
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairsAuto(Tables.documents(s, dir), "doc_id", "text",
         k = 3, threshold = 0.2)
