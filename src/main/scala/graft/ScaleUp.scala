@@ -58,8 +58,12 @@ object ScaleUp {
     val orderOff = keyOffset(orders, "o_orderkey")
 
     def write(name: String, df: DataFrame, files: Int): Unit = {
-      df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
-      println(s"[scaleup] $name -> $dest/$name.parquet")
+      // scale the file count with the factor so the generated layout
+      // supplies scan splits the way a real table would — one giant
+      // row group per table would pin narrow stages to a few tasks
+      val n = math.min(256, files * math.max(1, factor / 4))
+      df.repartition(n).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[scaleup] $name -> $dest/$name.parquet ($n files)")
     }
 
     // fixed dims: straight copy

@@ -49,9 +49,12 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
 
-  /** Distinct k-word shingles per doc: (id, shingle) rows. */
+  /** Distinct k-word shingles per doc: (id, shingle) rows. The explode
+    * is the CPU-heavy narrow stage of every dedup composition, so the
+    * input is spread across the session's cores when the scan supplies
+    * too few splits ([[graft.Parallelism.spread]]). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.withColumn("__ws", words(col(textCol)))
+    graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
       .select(col(idCol), explode(array_distinct(expr(
         s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))")))
@@ -328,7 +331,7 @@ object Dedup {
     * positive. Kernel is the codegen'd graft.functions.SimHash64. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("__ws", words(col(textCol)))
+    graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) > 0)
       .withColumn("__wh", expr("transform(__ws, w -> xxhash64(w))"))
       .withColumn("simhash", graft.functions.GraftFunctions.simhash64(col("__wh")))

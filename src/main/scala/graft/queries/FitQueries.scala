@@ -36,6 +36,12 @@ object FitQueries {
     "q_fit_exp_annealed" -> ((s, dir) =>
       Fit.exponentialAnnealed(Tables.orders(s, dir), "o_custkey", "o_totalprice",
         iterations = 40)),
+
+    // #34b annealing-refined power-law fit (rows-only, same contract as
+    // q_fit_exp_annealed: reference find-better-power-law-coefficients)
+    "q_fit_power_annealed" -> ((s, dir) =>
+      Fit.powerAnnealed(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
+        iterations = 40)),
   )
 
   val oracle: Map[String, String] = Map(

@@ -32,7 +32,7 @@ object Cosine {
     * rank first in every top-k. */
   def withNorm(df: DataFrame, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("__vd", toDouble(col(vecCol)))
+    graft.Parallelism.spread(df).withColumn("__vd", toDouble(col(vecCol)))
       .withColumn("__nrm", norm(col("__vd")))
       .filter(col("__nrm") > 0)
   }
@@ -107,7 +107,7 @@ object Cosine {
   private def bandedKeys(df: DataFrame, idCol: String, outId: String, vecCol: String,
       dim: Int, bits: Int, bands: Int, seed: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as(outId),
+    graft.Parallelism.spread(df).select(col(idCol).as(outId),
         posexplode(graft.functions.GraftFunctions.hyperplaneBandKeys(
           toDouble(col(vecCol)), dim, bits, bands, seed)).as(Seq("band", "key")))
   }

@@ -59,7 +59,8 @@ object TextAnalysis {
     * keyed, nothing driver-side. Returns (idCol, n_tokens,
     * avg_logprob); token-less documents produce no row. */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("tok"))
+    val toks = graft.Parallelism.spread(df)
+      .select(col(idCol), explode(words(col(textCol))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     val n = toks.agg(count(lit(1)).as("total"))
     toks.join(vocab, Seq("tok"))
@@ -124,7 +125,7 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = df.withColumn("__ws", words(col(textCol)))
+    val d = graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
     // k shifted copies zipped → one shingle string per position
     val zipped = (0 until k).map(i => expr(s"slice(__ws, ${i + 1}, size(__ws) - ${k - 1})"))
