@@ -15,9 +15,13 @@ import org.apache.spark.sql.types._
   * pixels and `resizeImages` transcodes the payload. AUDIO payloads
   * decode for real via javax.sound.sampled (WAV/AIFF/AU PCM ship with
   * the JDK): features are RMS + zero-crossing rate + an RMS envelope.
-  * Payloads no installed reader recognizes (video, compressed audio —
-  * codecs absent from this container) fall back to the clearly-marked
-  * deterministic stub, so the pipeline shape is identical either way.
+  * VIDEO frame-sampling decodes real frames for animated GIF (the one
+  * multi-frame container the JDK ships a codec for), with per-frame
+  * GraphicControlExtension timing and canvas compositing. Payloads no
+  * installed reader recognizes (real video codecs, compressed audio —
+  * absent from this container) fall back to the clearly-marked
+  * deterministic stub / metadata-only path, so the pipeline shape is
+  * identical either way.
   */
 object Multimodal {
 
@@ -217,13 +221,126 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame sampling stub for video: emits (asset_id, frame_no) rows at
-    * `everyMs` spacing from duration metadata — the distributed
-    * explode shape of real frame extraction. */
-  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
-    df.filter(col("modality") === "video" && col("duration_ms").isNotNull)
-      .select(col("asset_id"),
-        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ms"))
+  /** Real multi-frame decode — animated GIF via the JDK's ImageIO GIF
+    * reader (the only multi-frame container with a built-in codec; the
+    * same no-new-dependency rule as image/audio). Per-frame timestamps
+    * come from each frame's GraphicControlExtension delay; frames are
+    * composited onto the logical-screen canvas at their descriptor
+    * offsets (disposal treated as "none", the common animation case).
+    * Returns null unless the payload is a GIF with ≥1 frames — real
+    * video codecs are absent from this container, so those payloads
+    * take the metadata-only fallback in `sampleFrames`. */
+  private[graft] def decodeVideoFrames(
+      content: Array[Byte]): Array[(Long, java.awt.image.BufferedImage)] = {
+    import javax.imageio.ImageIO
+    import javax.imageio.metadata.IIOMetadataNode
+    try {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) return null
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return null
+        def child(parent: IIOMetadataNode, name: String): IIOMetadataNode = {
+          val cs = parent.getChildNodes
+          var found: IIOMetadataNode = null
+          var j = 0
+          while (j < cs.getLength) {
+            if (cs.item(j).getNodeName == name) found = cs.item(j).asInstanceOf[IIOMetadataNode]
+            j += 1
+          }
+          found
+        }
+        // canvas size: the stream's logical screen descriptor (individual
+        // frames can be smaller patches at an offset)
+        val screen = child(reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[IIOMetadataNode], "LogicalScreenDescriptor")
+        var cw = if (screen == null) 0 else screen.getAttribute("logicalScreenWidth").toInt
+        var ch = if (screen == null) 0 else screen.getAttribute("logicalScreenHeight").toInt
+        var canvas: java.awt.image.BufferedImage = null
+        var t = 0L
+        val out = Array.newBuilder[(Long, java.awt.image.BufferedImage)]
+        var i = 0
+        while (i < n) {
+          val frame = reader.read(i)
+          val tree = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[IIOMetadataNode]
+          val gce = child(tree, "GraphicControlExtension")
+          val delayMs = if (gce == null) 100L else gce.getAttribute("delayTime").toLong * 10L
+          val desc = child(tree, "ImageDescriptor")
+          val ox = if (desc == null) 0 else desc.getAttribute("imageLeftPosition").toInt
+          val oy = if (desc == null) 0 else desc.getAttribute("imageTopPosition").toInt
+          if (cw == 0) { cw = ox + frame.getWidth; ch = oy + frame.getHeight }
+          val next = new java.awt.image.BufferedImage(cw, ch,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = next.createGraphics()
+          g.setColor(java.awt.Color.WHITE)
+          g.fillRect(0, 0, cw, ch)
+          if (canvas != null) g.drawImage(canvas, 0, 0, null)
+          g.drawImage(frame, ox, oy, null)
+          g.dispose()
+          canvas = next
+          out += ((t, next))
+          t += math.max(10L, delayMs) // browsers clamp 0-delay frames the same way
+          i += 1
+        }
+        out.result()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** Frame sampling for video: one row per `everyMs` tick. Payloads
+    * that decode as animated GIF yield REAL frames — the composited
+    * frame active at each tick, re-encoded as PNG, with true
+    * dimensions and frame index. Payloads no codec recognizes fall
+    * back to metadata-only rows (null frame/width/height) from
+    * `duration_ms`, so the distributed explode shape — and everything
+    * downstream of it — is identical either way. Narrow per-partition
+    * transform, no shuffle. */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_ms", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("frame", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val vids = df.filter(col("modality") === "video")
+    val ii = vids.schema.fieldIndex("asset_id")
+    val ci = vids.schema.fieldIndex("content")
+    val di = vids.schema.fieldIndex("duration_ms")
+    vids.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(ii)
+        val bytes = if (r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci)
+        val frames = if (bytes == null) null else decodeVideoFrames(bytes)
+        if (frames != null && frames.nonEmpty) {
+          val total = frames.last._1 + 1 // ticks cover every frame start
+          val pngs = new Array[Array[Byte]](frames.length)
+          (0L to total by everyMs).iterator.map { t =>
+            // active frame = last whose start is <= t
+            var f = frames.length - 1
+            while (f > 0 && frames(f)._1 > t) f -= 1
+            if (pngs(f) == null) {
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(frames(f)._2, "png", bos)
+              pngs(f) = bos.toByteArray
+            }
+            Row(id, t, Integer.valueOf(f), Integer.valueOf(frames(f)._2.getWidth),
+              Integer.valueOf(frames(f)._2.getHeight), pngs(f))
+          }
+        } else if (!r.isNullAt(di)) {
+          (0L to r.getLong(di) by everyMs).iterator.map(t =>
+            Row(id, t, null, null, null, null))
+        } else Iterator.empty
+      }
+    }(enc)
+  }
 
   /** Synthetic deterministic asset table for tests/demos. */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {

@@ -70,9 +70,16 @@ object Lookup {
     * timestamp) produce no row instead of a NaN row. Task memory is
     * bounded by ONE key's samples — the same bound a keyed window
     * holds, without its spill path; keys beyond that size need the
-    * range-bucketed join instead. */
+    * range-bucketed join instead.
+    *
+    * `carryCols`: extra probe columns passed through to the output
+    * unchanged. Without this, a caller that needs probe context (a grid
+    * index, a label) has to re-join the probe frame on (key, probe) —
+    * a second probe computation plus a shuffle join the merge already
+    * paid for. */
   def interpolatedMerge(base: DataFrame, probes: DataFrame, keyCol: String,
-      tsCol: String, valueCol: String, probeCol: String): DataFrame = {
+      tsCol: String, valueCol: String, probeCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     import scala.collection.mutable.ArrayBuffer
@@ -82,9 +89,11 @@ object Lookup {
       .select(col(keyCol).cast("long"), col(tsCol).cast("double"), col(valueCol).cast("double"))
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull) // post-cast: uncastable keys are null
       .repartition(n, col(keyCol)).sortWithinPartitions(keyCol, tsCol)
-    val p = probes.select(col(keyCol).cast("long"), col(probeCol).cast("double"))
+    val p = probes.select(col(keyCol).cast("long") +: col(probeCol).cast("double") +:
+        carryCols.map(probes(_)): _*)
       .filter(col(keyCol).isNotNull && col(probeCol).isNotNull)
       .repartition(n, col(keyCol)).sortWithinPartitions(keyCol, probeCol)
+    val carrySchema = carryCols.map(c => p.schema(c))
     val out = p.rdd.zipPartitions(b.rdd) { (pi, bi) =>
       val bBuf = bi.buffered
       var curKey = Long.MinValue
@@ -118,15 +127,17 @@ object Lookup {
             val interp: java.lang.Double =
               if (v0 == null || v1 == null) null
               else Double.box(v0 + (v1 - v0) * (pv - t0) / (t1 - t0))
-            Iterator.single(Row(k, pv, interp))
+            Iterator.single(Row.fromSeq(k +: pv +: interp +:
+              (2 until prow.length).map(prow.get)))
           } else Iterator.empty
         }
       }
     }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField(keyCol, LongType, nullable = false),
-      StructField(probeCol, DoubleType, nullable = false),
-      StructField("interp", DoubleType, nullable = true))))
+    spark.createDataFrame(out, StructType(
+      StructField(keyCol, LongType, nullable = false) +:
+      StructField(probeCol, DoubleType, nullable = false) +:
+      StructField("interp", DoubleType, nullable = true) +:
+      carrySchema))
   }
 
   /** time-delay-series (reference private/scatter.rkt l.35): for each sample,

@@ -31,8 +31,8 @@ object WindowQueries {
         .select(col("user_id"), explode(sequence(lit(1), lit(9))).as("k"), col("lo"), col("hi"))
         .select(col("user_id"), col("k"),
           (col("lo") + col("k") * (col("hi") - col("lo")) / 10.0).as("probe"))
-      Lookup.interpolatedMerge(e, probes, "user_id", "eps", "value", "probe")
-        .join(probes.select(col("user_id"), col("k"), col("probe")), Seq("user_id", "probe"))
+      Lookup.interpolatedMerge(e, probes, "user_id", "eps", "value", "probe",
+          carryCols = Seq("k"))
         .select(col("user_id"), col("k"), round(col("interp"), 4).as("interp"))
         .orderBy("user_id", "k")
     }),
