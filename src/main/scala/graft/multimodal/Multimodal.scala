@@ -342,6 +342,97 @@ object Multimodal {
     }(enc)
   }
 
+  /** Encode frames as an animated GIF (delay in centiseconds per
+    * frame) — the write half of `decodeVideoFrames`, JDK-only. */
+  def encodeAnimatedGif(frames: Seq[java.awt.image.BufferedImage], delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      val md = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img), writer.getDefaultWriteParam)
+      val fmt = md.getNativeMetadataFormatName
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val existing = root.getElementsByTagName("GraphicControlExtension")
+      val gce = if (existing.getLength > 0) existing.item(0).asInstanceOf[IIOMetadataNode]
+        else { val n = new IIOMetadataNode("GraphicControlExtension"); root.appendChild(n); n }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Derive a REAL multimodal asset table from any (id, text) frame:
+    * per row, the text bytes deterministically seed a genuine encoded
+    * payload — PNG (id%3==0), WAV PCM (==1), or animated GIF (==2) —
+    * so every downstream decode path (ImageIO, javax.sound, the GIF
+    * frame reader) runs on real codec output at whatever scale the
+    * source table has. Narrow per-partition transform; payloads are
+    * small (8×8 pixels / 800 samples / 2 frames) so the synthesized
+    * table stays proportional to the source row count. */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val src = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        var h = 1125899906842597L
+        r.getString(1).getBytes("UTF-8").foreach(b => h = 31 * h + b)
+        def byteAt(i: Int): Int = ((h >>> ((i % 8) * 8)) & 0xFF).toInt
+        (id % 3) match {
+          case 0 => // PNG: 8×8 image whose pixels mix id-independent hash bytes
+            val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until 8; x <- 0 until 8)
+              img.setRGB(x, y, (byteAt(x) << 16) | (byteAt(y + 3) << 8) | byteAt(x + y))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, "image", bos.toByteArray, Integer.valueOf(8), Integer.valueOf(8), null, null)
+          case 1 => // WAV: 0.1 s of a hash-pitched sine, 8 kHz 16-bit mono PCM
+            import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+            val freq = 200.0 + (byteAt(0) * 4)
+            val n = 800
+            val pcm = new Array[Byte](n * 2)
+            for (i <- 0 until n) {
+              val s = (0.5 * math.sin(2 * math.Pi * freq * i / 8000.0) * 32767).toInt.toShort
+              pcm(2 * i) = (s & 0xFF).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            }
+            val fmt = new AudioFormat(8000f, 16, 1, true, false)
+            val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+            Row(id, "audio", bos.toByteArray, null, null, Integer.valueOf(8000),
+              java.lang.Long.valueOf(100L))
+          case _ => // animated GIF: two solid hash-colored frames, 100 ms apart
+            def solid(rgb: Int): java.awt.image.BufferedImage = {
+              val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 8, 8); g.dispose()
+              img
+            }
+            val gif = encodeAnimatedGif(Seq(
+              solid((byteAt(0) << 16) | (byteAt(1) << 8) | byteAt(2)),
+              solid((byteAt(3) << 16) | (byteAt(4) << 8) | byteAt(5))), delayCs = 10)
+            Row(id, "video", gif, Integer.valueOf(8), Integer.valueOf(8), null,
+              java.lang.Long.valueOf(200L))
+        }
+      }
+    }(enc)
+  }
+
   /** Synthetic deterministic asset table for tests/demos. */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.multimodal.Multimodal
 import graft.operators.{GraftIndex, Simplify, SkewJoin, Spline, Stats}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -74,6 +75,27 @@ object MiscQueries {
 
     "q_skew_join_salted" -> ((s, dir) =>
       skewAgg(SkewJoin.saltedJoin(skewedLineitem(s, dir), partDim(s, dir), "k", factor = 8))),
+
+    // #51 multimodal: REAL codec round-trip at table scale — text
+    // rows deterministically seed genuine PNG / WAV-PCM / animated-GIF
+    // payloads, which then run the real decode paths (ImageIO
+    // luminance histograms, javax.sound RMS+ZCR, GIF frame sampling).
+    // Rows-only: 3 modality rows with per-modality asset counts,
+    // mean first feature, and sampled-frame counts for video.
+    "q_multimodal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val assets = Multimodal.assetsFromText(
+        graft.Parallelism.spread(docs), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(assets, dim = 8)
+      val frameCounts = Multimodal.sampleFrames(assets, everyMs = 50)
+        .agg(count(lit(1)).as("n_frames"))
+        .select(lit("video").as("modality"), col("n_frames"))
+      feats.groupBy("modality")
+        .agg(count(lit(1)).as("n_assets"),
+          round(avg(element_at(col("features"), 1)), 4).as("mean_f0"))
+        .join(frameCounts, Seq("modality"), "left")
+        .orderBy("modality")
+    }),
 
     // #18 weighted quantile (integral weights → exact cross-engine
     // threshold comparison).
