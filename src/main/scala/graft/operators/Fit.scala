@@ -140,8 +140,7 @@ object Fit {
     // fall back to the flat seed (a=1, b=0) instead of an executor NPE
     val (a0, b0) = if (init.isNullAt(0) || init.isNullAt(1)) (1.0, 0.0)
                    else (math.exp(init.getDouble(0)), init.getDouble(1))
-    annealedScale(d, xCol, yCol, b => exp(lit(b) * col("x")),
-      a0, b0, iterations, seed)
+    annealedScale(d, col(xCol), yCol, a0, b0, iterations, seed)
   }
 
   /** Annealing-refined power-law fit y = a·x^b (reference
@@ -156,25 +155,30 @@ object Fit {
       expr(s"regr_slope(ln($yCol), ln($xCol))")).first()
     val (a0, b0) = if (init.isNullAt(0) || init.isNullAt(1)) (1.0, 0.0)
                    else (math.exp(init.getDouble(0)), init.getDouble(1))
-    annealedScale(d, xCol, yCol, b => pow(col("x"), b),
-      a0, b0, iterations, seed)
+    annealedScale(d, log(col(xCol)), yCol, a0, b0, iterations, seed)
   }
 
-  /** Shared profile-annealing loop for y ≈ a·f_b(x) families: anneal b
-    * (multiplicative neighbour, reference annealing.rkt schedule) with
-    * goal(b) = min over a of Σ(y − a·f_b(x))² = Σy² − (Σy·f_b)²/Σf_b².
+  /** Shared profile-annealing loop for the log-linear families
+    * y ≈ a·e^(b·t) (exponential: t = x; power law: t = ln x — both
+    * bases are exp-affine in b, which is what makes one code path
+    * serve both): anneal b (multiplicative neighbour, reference
+    * annealing.rkt schedule) with
+    * goal(b) = min over a of Σ(y − a·e^(b·t))² = Σy² − (Σy·e^(b·t))²/Σe^(2b·t).
     * Distributed-right batching: a sequential anneal would cost one
     * Spark job per candidate, so each ROUND proposes a population of
     * `pop` temperature-scaled neighbours and evaluates all of them in
-    * ONE aggregation over the cached projection (2·pop sums, codegen'd)
-    * — same Metropolis accept/cooling semantics applied to the round's
-    * best candidate, ~pop× fewer cluster passes for the same number of
-    * goal evaluations. Driver sees only scalars. */
-  private def annealedScale(d0: DataFrame, xCol: String, yCol: String,
-      basis: Double => org.apache.spark.sql.Column,
+    * ONE aggregation over the cached (t, y) projection — same
+    * Metropolis accept/cooling semantics applied to the round's best
+    * candidate, ~pop× fewer cluster passes for the same number of goal
+    * evaluations. Per row and candidate the kernel is a single exp():
+    * t is precomputed in the cache (no per-candidate ln/pow — pow(x,b)
+    * costs several× exp and was the whole-suite's hottest scalar) and
+    * the squared basis reuses it as e·e. Driver sees only scalars. */
+  private def annealedScale(d0: DataFrame, tExpr: org.apache.spark.sql.Column, yCol: String,
       a0: Double, b0: Double, iterations: Int, seed: Long): DataFrame = {
     val spark = d0.sparkSession
-    val d = d0.select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")).cache()
+    def basis(b: Double): org.apache.spark.sql.Column = exp(lit(b) * col("t"))
+    val d = d0.select(tExpr.cast("double").as("t"), col(yCol).cast("double").as("y")).cache()
     try {
       val rng = new scala.util.Random(seed)
       val pop = 8
@@ -191,7 +195,8 @@ object Fit {
       // to every finite one
       def evalAll(bs: Seq[Double]): Seq[(Double, Double)] = {
         val aggs = bs.zipWithIndex.flatMap { case (b, j) =>
-          Seq(sum(col("y") * basis(b)).as(s"__syf$j"), sum(pow(basis(b), 2)).as(s"__sff$j"))
+          val e = basis(b) // codegen CSE shares the one exp() across both sums
+          Seq(sum(col("y") * e).as(s"__syf$j"), sum(e * e).as(s"__sff$j"))
         }
         val r = d.agg(aggs.head, aggs.tail: _*).first()
         bs.indices.map { j =>
