@@ -52,4 +52,43 @@ object Curation {
         round(coalesce(col("overlap"), lit(0L)).cast("double") / col("n_shingles"), 4)
           .as("contamination"))
   }
+
+  /** Bloom of the benchmark's shingle hashes, broadcast to executors.
+    *
+    * Sizing uses approx_count_distinct (one pass, no distinct shuffle
+    * — duplicate inserts are idempotent so only the BITS sizing needs
+    * the cardinality), then [[graft.functions.GraftBloom.build]] ORs
+    * per-partition bitsets in a tree; the driver holds only the final
+    * bits. At fpp=1e-6, 100 M benchmark shingles is ~340 MB of bits —
+    * broadcastable where the exact 100 M-row hash set is not. */
+  def shingleBloom(benchmark: DataFrame, textCol: String, k: Int = 8,
+                   fpp: Double = 1e-6): graft.functions.BroadcastBloom = {
+    val bs = Dedup.shingles(benchmark.select(lit(0L).as("__bid"), col(textCol)),
+        "__bid", textCol, k)
+      .select(xxhash64(col("shingle")).as("h"))
+    val n = math.max(bs.agg(approx_count_distinct("h")).first().getLong(0), 1L)
+    graft.functions.GraftBloom.build(bs, "h", n, fpp)
+  }
+
+  /** [[contamination]] with the benchmark side as a broadcast Bloom
+    * filter — the 100 TB decontamination shape. The exact variant
+    * broadcasts the benchmark's shingle SET into a hash join; past
+    * ~10 M benchmark shingles that build explodes, while the bloom
+    * stays ~3.4 bytes/shingle at fpp=1e-6. The probe replaces the join
+    * entirely: ONE scan of the corpus, one partially-aggregated
+    * shuffle, no cache, no join — strictly fewer exchanges than the
+    * exact path. `overlap` becomes an upper bound (no false negatives;
+    * expected excess = probes·fpp, ~0 at any realistic fpp), so a
+    * clean document is guaranteed clean. */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, k: Int = 8, fpp: Double = 1e-6): DataFrame = {
+    val bloom = shingleBloom(benchmark, textCol, k, fpp)
+    val hit = bloom.mightContain(xxhash64(col("shingle")))
+    Dedup.shingles(corpus, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("overlap"))
+      .select(col(idCol), col("n_shingles"), col("overlap"),
+        round(col("overlap").cast("double") / col("n_shingles"), 4).as("contamination"))
+  }
 }

@@ -63,6 +63,20 @@ object TextQueries {
           "doc_id", "text", k = 5)
         .orderBy("doc_id")
     }),
+
+    // #65b contamination via broadcast Bloom (the shape that survives a
+    // benchmark set too big to broadcast exactly): no join at all — one
+    // corpus scan, one partial-agg shuffle, probe codegen'd. Shares
+    // q_contamination's exact oracle: no false negatives ever, and at
+    // fpp=1e-8 the expected false-positive excess stays ≪1 through
+    // sf10's ~3M probes (measured rate tracks fpp — BloomFpSpec).
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.contaminationBloom(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+          "doc_id", "text", k = 5, fpp = 1e-8)
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,6 +124,24 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s
+        |       FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t
+        |       WHERE len(ws) >= 5),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |hits AS (SELECT doc_id, count(*) AS overlap FROM corpus JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, coalesce(overlap, 0) AS overlap,
+        | round(cast(coalesce(overlap, 0) AS double) / n_shingles, 4) AS contamination
+        |FROM sizes LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // bloom probe has no false negatives and (at fpp=1e-8, ~1e5 fewer
+    // expected FPs than one) no false positives on this corpus — the
+    // exact-join SQL IS its oracle (fpp=1e-8); any FP would surface as a hash
+    // mismatch here.
+    "q_contamination_bloom" ->
       """WITH mk AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS s

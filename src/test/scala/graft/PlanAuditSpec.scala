@@ -119,6 +119,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // the benchmark shingle set joins broadcast
     val cont = plan("q_contamination")
     assert(cont.contains("BroadcastHashJoin"), cont.take(800))
+    // the bloom variant needs NO join at all — the probe is a per-row
+    // filter, so the whole query is scan → partial agg → one exchange
+    val bloom = plan("q_contamination_bloom")
+    assert(!bloom.contains("Join"), bloom.take(1200))
+    assert(bloom.contains("bloom_might_contain"), bloom.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(bloom).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${bloom.take(1200)}")
   }
 
   test("group aggregation is partial (map-side combine)") {

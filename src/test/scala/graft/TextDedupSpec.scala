@@ -220,6 +220,28 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(s1 == s2) // assignment depends only on content, not layout
   }
 
+  test("curation: bloom contamination matches exact, stays an upper bound at high fpp") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "alpha beta gamma delta epsilon completely different tail words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = asMap(graft.pipeline.Curation.contamination(corpus, bench, "doc_id", "text", k = 5))
+    val bloom = asMap(graft.pipeline.Curation.contaminationBloom(corpus, bench, "doc_id", "text", k = 5))
+    assert(bloom == exact) // tight fpp: no FP on this corpus, never FN
+    // deliberately terrible fpp → overlap may inflate but NEVER deflates
+    // (a bloom has no false negatives), and sizes are untouched
+    val loose = asMap(graft.pipeline.Curation.contaminationBloom(
+      corpus, bench, "doc_id", "text", k = 5, fpp = 0.5))
+    exact.foreach { case (id, (n, ov)) =>
+      val (ln, lov) = loose(id)
+      assert(ln == n && lov >= ov, s"doc $id: exact=($n,$ov) loose=($ln,$lov)")
+    }
+  }
+
   test("survivors: min-label propagation resolves duplicate clusters") {
     // edges: 1-2, 2-5 (chain → component {1,2,5}), 7-8; 9 isolated
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc1", "doc2")
