@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-layout management for the write side of a 100 TB pipeline:
+  * directory partitioning for planner-time pruning, in-file ordering
+  * for parquet row-group (min/max) skipping, and file-count control.
+  *
+  * Why each knob matters at scale:
+  *
+  *   - `partitionBy` alone is a small-file bomb: every write task
+  *     holds an open writer per partition value it sees, so T tasks ×
+  *     P directories → T·P files (and T·P writer buffers in memory).
+  *     Repartitioning BY THE PARTITION COLUMNS first routes each
+  *     directory's rows to one task: exactly `filesPerPartition`
+  *     files per directory, bounded writer memory.
+  *   - `sortWithinPartitions` on the probe columns gives every parquet
+  *     row group tight min/max bounds on them, so point/range reads
+  *     skip row groups inside the files the directory pruning kept.
+  *   - Readers need no special API — `spark.read.parquet(path)
+  *     .filter(...)` gets directory pruning at planning time
+  *     (PartitionFilters) and row-group skipping at scan time
+  *     (PushedFilters), which LayoutSpec pins via scan metrics.
+  *
+  * Reference scope note: alex-hhh/data-frame ships value-level sinks
+  * only (df-write/csv — csv.rkt); layout management is part of graft's
+  * LLM-pipeline extension surface (SURVEY.md §2 #67).
+  */
+object Layout {
+
+  /** Write `df` as parquet partitioned by `partCols`, each directory
+    * holding `filesPerPartition` files sorted within by `sortCols`.
+    *
+    * The shuffle keys on (partCols, file split) — a salt in
+    * [0, filesPerPartition) — so directory fan-in is explicit, then
+    * sorts (partCols, sortCols) WITHIN partitions only: no global
+    * range exchange, and each task writes one run of one directory. */
+  def writeSorted(df: DataFrame, path: String, partCols: Seq[String],
+                  sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val salted = df.withColumn("__split",
+      pmod(xxhash64(sortCols.map(col) :+ monotonically_increasing_id(): _*),
+        lit(filesPerPartition)))
+    salted
+      .repartition((partCols.map(col) :+ col("__split")): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .drop("__split")
+      .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeSorted]] table. Plain `spark.read.parquet` — the
+    * layout benefits need no reader cooperation; this exists so call
+    * sites document intent. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{CsvOps, Gpx, SqlSource, Tcx}
+import graft.sources.{CsvOps, Gpx, Layout, SqlSource, Tcx}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -139,6 +139,52 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(df.count() == 2)
     assert(df.agg(sum("v")).first().getDouble(0) == 4.0)
     conn.close()
+  }
+
+  test("layout: partitioned+sorted write prunes directories and bounds file counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val events = Tables.events(spark, sf)
+      .withColumn("bucket", pmod(col("user_id"), lit(4)))
+    Layout.writeSorted(events, tmp, partCols = Seq("bucket"),
+      sortCols = Seq("user_id", "eps_us"), filesPerPartition = 2)
+
+    // every directory holds at most filesPerPartition parquet files
+    val dirs = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("bucket="))
+    assert(dirs.length == 4, dirs.map(_.getName).mkString(","))
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= 2, s"${d.getName}: ${files.length} files")
+    }
+
+    // a bucket filter reads ONLY that directory's files (planner-time
+    // partition pruning), and the probe-column filter pushes to the scan
+    val pruned = Layout.read(spark, tmp).filter(col("bucket") === 2 && col("user_id") > 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(900))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(user_id,10)"), plan.take(900))
+    val filesRead = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(_.contains("bucket=2")), filesRead.mkString("\n"))
+    assert(filesRead.length <= 2)
+
+    // in-file ordering: along READ order (monotonically_increasing_id
+    // within a scan partition × file), the sort key never decreases —
+    // this is what gives row groups tight min/max bounds
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(spark_partition_id(), input_file_name()).orderBy("mid")
+    val disordered = Layout.read(spark, tmp)
+      .select(monotonically_increasing_id().as("mid"), col("user_id"), col("eps_us"))
+      .withColumn("pu", lag("user_id", 1).over(w))
+      .withColumn("pe", lag("eps_us", 1).over(w))
+      .filter(col("pu") > col("user_id") ||
+        (col("pu") === col("user_id") && col("pe") > col("eps_us")))
+      .count()
+    assert(disordered == 0)
+
+    // content round-trips exactly
+    val back = Layout.read(spark, tmp).select("user_id", "eps_us", "value")
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events.select("user_id", "eps_us", "value")).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   test("partitioned JDBC read fans out over range scans") {
