@@ -89,6 +89,16 @@ object ScaleSmoke {
           .as("text"))
       Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", k = 3, threshold = 0.8).count()
     }
+    timed("bloom_1m_x_10m") {
+      // 1M-item bloom (fpp 1e-8, ~5.7 MB bits) probed by 10M corpus
+      // hashes — the decontamination filter at volumes where the exact
+      // broadcast set would already be hundreds of MB of strings
+      val bench = spark.range(1000000).select(xxhash64(col("id"), lit(7)).as("h"))
+      val bloom = graft.functions.GraftBloom.build(bench, "h", 1000000L, 1e-8)
+      val probes = spark.range(rows).select(xxhash64(col("id"), lit(8)).as("h"))
+      // disjoint hash domains → ~everything misses; count forces the probe
+      probes.filter(!bloom.mightContain(col("h"))).count()
+    }
     timed("banded_embed_100k") {
       // 100k 64-dim vectors through the seed-derived hyperplane kernel
       // path (192 bits × 16 bands): candidate equi-join + exact verify
