@@ -91,4 +91,28 @@ object Curation {
       .select(col(idCol), col("n_shingles"), col("overlap"),
         round(col("overlap").cast("double") / col("n_shingles"), 4).as("contamination"))
   }
+
+  /** [[contaminationBloom]] without even the aggregation shuffle: the
+    * per-document shingle set stays an ARRAY inside the row and the
+    * bloom probe runs inside higher-order functions, so the whole
+    * check is a stateless per-row projection. That makes it legal in
+    * Structured Streaming (no aggregation state, no watermark needed)
+    * — the ingest-time decontamination gate: score documents against
+    * a broadcast benchmark bloom as they arrive. Same output schema
+    * and values as [[contaminationBloom]] (docs with < k words carry
+    * no shingles and are dropped, matching the batch semantics). */
+  def contaminationPerRow(corpus: DataFrame, bloom: graft.functions.BroadcastBloom,
+                          idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val arr = array_distinct(expr(
+      s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))"))
+    corpus
+      .withColumn("__ws", graft.text.TextAnalysis.words(col(textCol)))
+      .filter(size(col("__ws")) >= k)
+      .withColumn("__sh", arr)
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
+        size(filter(col("__sh"), s => bloom.mightContain(xxhash64(s))))
+          .cast("long").as("overlap"))
+      .withColumn("contamination",
+        round(col("overlap").cast("double") / col("n_shingles"), 4))
+  }
 }

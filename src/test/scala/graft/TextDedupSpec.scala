@@ -242,6 +242,39 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("curation: per-row contamination equals the aggregated bloom path, batch and stream") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven"),
+      (12L, "alpha beta gamma delta epsilon completely different tail words here"),
+      (13L, "too short")                                  // < k words → no row
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bloom = graft.pipeline.Curation.shingleBloom(bench, "text", k = 5)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+    val agg = asMap(graft.pipeline.Curation.contaminationBloom(corpus, bench, "doc_id", "text", k = 5))
+    val perRow = asMap(graft.pipeline.Curation.contaminationPerRow(corpus, bloom, "doc_id", "text", k = 5))
+    assert(perRow == agg)
+    assert(!perRow.contains(13L))
+
+    // stateless per-row shape → legal in a stream with no watermark:
+    // the ingest-time decontamination gate
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.pipeline.Curation.contaminationPerRow(
+        mem.toDF().toDF("doc_id", "text"), bloom, "doc_id", "text", k = 5)
+      .writeStream.format("memory").queryName("decontam").outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha beta gamma delta epsilon zeta"), (13L, "too short"))
+      q.processAllAvailable()
+      val out = spark.table("decontam").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(out == Map(10L -> agg(10L)))
+    } finally q.stop()
+  }
+
   test("survivors: min-label propagation resolves duplicate clusters") {
     // edges: 1-2, 2-5 (chain → component {1,2,5}), 7-8; 9 isolated
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc1", "doc2")
