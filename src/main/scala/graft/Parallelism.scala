@@ -18,7 +18,12 @@ object Parallelism {
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // partition probing needs a batch plan
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd only plans (lists splits); nothing executes here
+    // .rdd plans the query (no execution) to read its split count —
+    // one extra driver-side planning pass per operator call. File
+    // listings behind it are served by the session's shared
+    // FileStatusCache, so the probe stays milliseconds even on wide
+    // tables; accepted as the price of knowing, rather than guessing,
+    // whether the scan supplies enough splits.
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 }

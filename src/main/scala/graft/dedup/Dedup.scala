@@ -21,24 +21,53 @@ object Dedup {
 
   // Shingle/signature caches are consumed by the LAZY plans these
   // operators return, so they cannot be unpersisted before the caller
-  // materializes the result. Each one is tracked (weakly) here instead;
-  // releaseCaches() lets long-lived sessions reclaim the storage once
-  // results are materialized — a plan that has not yet run stays
-  // correct and simply recomputes.
-  private val trackedCaches = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+  // materializes the result. Each one is tracked STRONGLY here (a weak
+  // entry would vanish whenever GC collected the Dataset wrapper —
+  // Spark's CacheManager retains only the logical plan — turning the
+  // tracked cache back into the nondeterministic leak this registry
+  // exists to fix), tagged with the innermost [[withCacheScope]] on
+  // the constructing thread (0 = unscoped).
+  private final case class Tracked(df: DataFrame, scope: Long)
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Tracked]
+  private val scopeIds = new java.util.concurrent.atomic.AtomicLong()
+  private val currentScope = ThreadLocal.withInitial[java.util.ArrayDeque[java.lang.Long]](
+    () => new java.util.ArrayDeque[java.lang.Long]())
   private def cached(df: DataFrame): DataFrame = {
     df.cache()
-    trackedCaches.synchronized { trackedCaches.add(df) }
+    val sc = Option(currentScope.get().peek()).map(_.longValue).getOrElse(0L)
+    tracked.synchronized { tracked += Tracked(df, sc) }
     df
   }
 
+  /** Run `f` in a cache scope: intermediate caches created by Dedup
+    * operators ON THIS THREAD inside `f` are unpersisted when `f`
+    * returns — and ONLY those, so a concurrent caller's shingle cache
+    * (already paid for, not yet materialized) is never yanked by
+    * someone else's cleanup. Materialize results inside `f` (an eager
+    * localCheckpoint suffices); plans escaping un-materialized stay
+    * correct and recompute. */
+  def withCacheScope[T](f: => T): T = {
+    val id = scopeIds.incrementAndGet()
+    currentScope.get().push(id)
+    try f
+    finally {
+      currentScope.get().pop()
+      tracked.synchronized {
+        val (mine, rest) = tracked.partition(_.scope == id)
+        mine.foreach(_.df.unpersist())
+        tracked.clear()
+        tracked ++= rest
+      }
+    }
+  }
+
   /** Unpersist every intermediate cache a Dedup operator has created in
-    * this JVM (JVM-wide: spans sessions). Safe at any time — plans that
-    * still reference a released cache recompute it. */
-  def releaseCaches(): Unit = trackedCaches.synchronized {
-    trackedCaches.forEach(df => df.unpersist())
-    trackedCaches.clear()
+    * this JVM (JVM-wide: spans sessions and scopes). Safe at any time —
+    * plans that still reference a released cache recompute it. Prefer
+    * [[withCacheScope]] when other Dedup users may be active. */
+  def releaseCaches(): Unit = tracked.synchronized {
+    tracked.foreach(_.df.unpersist())
+    tracked.clear()
   }
 
   private def words(text: org.apache.spark.sql.Column) =

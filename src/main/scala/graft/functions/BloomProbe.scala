@@ -87,7 +87,13 @@ object GraftBloom {
             fpp: Double): BroadcastBloom = {
     val m = optimalBits(math.max(expectedItems, 1L), fpp)
     val k = optimalK(math.max(expectedItems, 1L), m)
-    val words = ((m + 63) / 64).toInt
+    val wordsL = (m + 63) / 64
+    // one JVM long[] caps the filter at ~16 GiB of bits (~4.5e9 items
+    // at fpp=1e-6); beyond that, fail loudly instead of wrapping toInt
+    require(wordsL <= Int.MaxValue - 8,
+      s"bloom of $expectedItems items at fpp=$fpp needs $m bits — exceeds a single " +
+        "long[]; shard the benchmark set over several filters or raise fpp")
+    val words = wordsL.toInt
     val spark = hashes.sparkSession
     import spark.implicits._
     val rdd = hashes.select(hashCol).as[Long].rdd

@@ -232,6 +232,15 @@ object Multimodal {
     * take the metadata-only fallback in `sampleFrames`. */
   private[graft] def decodeVideoFrames(
       content: Array[Byte]): Array[(Long, java.awt.image.BufferedImage)] = {
+    val timed = decodeVideoFramesTimed(content)
+    if (timed == null) null else timed._1
+  }
+
+  /** As [[decodeVideoFrames]], also returning the total animation
+    * duration (sum of clamped frame delays — the last frame's display
+    * interval included, which frame starts alone cannot give). */
+  private[graft] def decodeVideoFramesTimed(
+      content: Array[Byte]): (Array[(Long, java.awt.image.BufferedImage)], Long) = {
     import javax.imageio.ImageIO
     import javax.imageio.metadata.IIOMetadataNode
     try {
@@ -287,18 +296,21 @@ object Multimodal {
           t += math.max(10L, delayMs) // browsers clamp 0-delay frames the same way
           i += 1
         }
-        out.result()
+        (out.result(), t)
       } finally iis.close()
     } catch { case _: Exception => null }
   }
 
-  /** Frame sampling for video: one row per `everyMs` tick. Payloads
-    * that decode as animated GIF yield REAL frames — the composited
-    * frame active at each tick, re-encoded as PNG, with true
-    * dimensions and frame index. Payloads no codec recognizes fall
-    * back to metadata-only rows (null frame/width/height) from
-    * `duration_ms`, so the distributed explode shape — and everything
-    * downstream of it — is identical either way. Narrow per-partition
+  /** Frame sampling for video: one row per `everyMs` tick over
+    * [0, duration]. Payloads that decode as animated GIF yield REAL
+    * frames — the composited frame active at each tick, re-encoded as
+    * PNG, with true dimensions and frame index. Payloads no codec
+    * recognizes fall back to metadata-only rows (null
+    * frame/width/height). The tick set is the SAME either way: the
+    * `duration_ms` metadata when present (decoded-duration fallback
+    * otherwise), so whether the codec recognized the bytes changes
+    * frame CONTENT, never row counts — the distributed explode shape
+    * and everything downstream are identical. Narrow per-partition
     * transform, no shuffle. */
   def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
     require(everyMs > 0, s"everyMs must be positive, got $everyMs")
@@ -318,9 +330,11 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(ii)
         val bytes = if (r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci)
-        val frames = if (bytes == null) null else decodeVideoFrames(bytes)
-        if (frames != null && frames.nonEmpty) {
-          val total = frames.last._1 + 1 // ticks cover every frame start
+        val timed = if (bytes == null) null else decodeVideoFramesTimed(bytes)
+        if (timed != null && timed._1.nonEmpty) {
+          val frames = timed._1
+          // same tick range the metadata-only fallback would produce
+          val total = if (!r.isNullAt(di)) r.getLong(di) else timed._2
           val pngs = new Array[Array[Byte]](frames.length)
           (0L to total by everyMs).iterator.map { t =>
             // active frame = last whose start is <= t

@@ -41,16 +41,16 @@ object CorpusPipeline {
       Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol))
       .localCheckpoint()
 
-    // 3.–4. near-dup candidates → survivor per cluster
-    val cands = Dedup.minhashCandidates(exactKept, idCol, textCol,
-      cfg.shingleK, cfg.minhashPerms, cfg.bands, cfg.estJaccard)
-    val surv = Dedup.survivors(cands, exactKept.select(col(idCol)), idCol)
-
-    // survivors() has materialized the candidate pairs (eager
-    // localCheckpoint), so the signature cache behind `cands` is no
-    // longer referenced by the returned plan — reclaim it now instead
-    // of leaking one cached frame per clean() call in a long session
-    Dedup.releaseCaches()
+    // 3.–4. near-dup candidates → survivor per cluster. Scoped: the
+    // signature cache behind `cands` is no longer referenced once
+    // survivors() materializes the pairs (eager localCheckpoint), so
+    // the scope exit reclaims it — and only it, never a concurrent
+    // Dedup caller's still-pending caches.
+    val surv = Dedup.withCacheScope {
+      val cands = Dedup.minhashCandidates(exactKept, idCol, textCol,
+        cfg.shingleK, cfg.minhashPerms, cfg.bands, cfg.estJaccard)
+      Dedup.survivors(cands, exactKept.select(col(idCol)), idCol)
+    }
 
     // 5. keep docs that are their own survivor
     exactKept.join(surv.filter(col("id") === col("survivor")).select(col("id").as(idCol)), Seq(idCol))

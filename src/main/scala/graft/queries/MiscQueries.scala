@@ -30,19 +30,24 @@ object MiscQueries {
       .orderBy("p_type")
 
   /** Bucket layouts already materialized this session, keyed by
-    * (session, source dir): the whole point of a bucketed layout is
-    * write-once/join-many, so repeated calls (bench iterations, a
+    * (session UUID, source dir): the whole point of a bucketed layout
+    * is write-once/join-many, so repeated calls (bench iterations, a
     * long-lived session) reuse the table instead of re-running the
-    * CTAS. A new session or a different data dir always rebuilds —
-    * stale-table reuse across processes is impossible because the
-    * memo dies with the JVM. */
+    * CTAS. The physical table name is dir-qualified — two dirs used
+    * from one session get two distinct tables, so a memo hit can never
+    * serve another dir's rows — and the session keys by reference
+    * (held strongly; sessions are few and long-lived), not an identity
+    * hash a GC'd session could free for reuse. Returns the resolved
+    * table name. */
   private val bucketedReady =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Boolean]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
-  private def ensureBucketed(s: SparkSession, dir: String, df: DataFrame,
-      table: String, column: String, buckets: Int): Unit =
-    bucketedReady.getOrElseUpdate((System.identityHashCode(s), dir, table), {
-      GraftIndex.bucketed(df, table, column, buckets); true
+  private def ensureBucketed(s: SparkSession, dir: String, df: => DataFrame,
+      table: String, column: String, buckets: Int): String =
+    bucketedReady.getOrElseUpdate((s, dir, table), {
+      val name = s"${table}_${java.lang.Integer.toHexString(dir.hashCode)}"
+      GraftIndex.bucketed(df, name, column, buckets)
+      name
     })
 
   val queries: Map[String, Q] = Map(
@@ -54,12 +59,14 @@ object MiscQueries {
     // join so the demonstration doesn't silently degrade to broadcast
     // at toy scale.
     "q_lookup_join_bucketed" -> ((s, dir) => {
-      ensureBucketed(s, dir, Tables.orders(s, dir).select("o_custkey", "o_totalprice"),
+      val ordersT = ensureBucketed(s, dir,
+        Tables.orders(s, dir).select("o_custkey", "o_totalprice"),
         "g_orders_bucketed", "o_custkey", 8)
-      ensureBucketed(s, dir, Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      val customerT = ensureBucketed(s, dir,
+        Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
         "g_customer_bucketed", "c_custkey", 8)
-      s.table("g_orders_bucketed").hint("merge")
-        .join(s.table("g_customer_bucketed"), col("o_custkey") === col("c_custkey"))
+      s.table(ordersT).hint("merge")
+        .join(s.table(customerT), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("c_mktsegment")
@@ -84,8 +91,10 @@ object MiscQueries {
     // mean first feature, and sampled-frame counts for video.
     "q_multimodal" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      // two consumers (features, frame sampling) — materialize the
+      // per-row codec synthesis once instead of encoding everything twice
       val assets = Multimodal.assetsFromText(
-        graft.Parallelism.spread(docs), "doc_id", "text")
+        graft.Parallelism.spread(docs), "doc_id", "text").localCheckpoint()
       val feats = Multimodal.extractFeatures(assets, dim = 8)
       val frameCounts = Multimodal.sampleFrames(assets, everyMs = 50)
         .agg(count(lit(1)).as("n_frames"))

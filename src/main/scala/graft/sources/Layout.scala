@@ -35,14 +35,21 @@ object Layout {
     * The shuffle keys on (partCols, file split) — a salt in
     * [0, filesPerPartition) — so directory fan-in is explicit, then
     * sorts (partCols, sortCols) WITHIN partitions only: no global
-    * range exchange, and each task writes one run of one directory. */
+    * range exchange, and each task writes one run of one directory.
+    *
+    * The salt hashes the ROW CONTENT (sort columns), never a
+    * nondeterministic expression like monotonically_increasing_id: a
+    * map task recomputed after executor loss must route every row to
+    * the same reducer as the fetched copies of its first run, or the
+    * written table silently gains/loses rows. Determinism costs split
+    * balance only when sortCols are low-cardinality — rows with equal
+    * keys land in one file, which the sort would cluster anyway. */
   def writeSorted(df: DataFrame, path: String, partCols: Seq[String],
                   sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     require(partCols.nonEmpty, "partCols must be non-empty")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val salted = df.withColumn("__split",
-      pmod(xxhash64(sortCols.map(col) :+ monotonically_increasing_id(): _*),
-        lit(filesPerPartition)))
+      pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition)))
     salted
       .repartition((partCols.map(col) :+ col("__split")): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)

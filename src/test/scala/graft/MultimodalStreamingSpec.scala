@@ -107,40 +107,16 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("real animated-GIF frame sampling: timing, compositing, fallback") {
-    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
-    import javax.imageio.metadata.IIOMetadataNode
-    // 3 solid 10×10 frames (red, green, blue), 50 cs = 500 ms apart
+    import javax.imageio.ImageIO
+    // 3 solid 10×10 frames (red, green, blue), 50 cs = 500 ms apart —
+    // encoded with the production encoder (also under test here)
     def solid(rgb: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = img.createGraphics(); g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 10, 10); g.dispose()
       img
     }
-    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    colors.foreach { c =>
-      val img = solid(c)
-      val md = writer.getDefaultImageMetadata(
-        ImageTypeSpecifier.createFromRenderedImage(img), writer.getDefaultWriteParam)
-      val fmt = md.getNativeMetadataFormatName
-      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
-      val existing = root.getElementsByTagName("GraphicControlExtension")
-      val gce = if (existing.getLength > 0) existing.item(0).asInstanceOf[IIOMetadataNode]
-        else { val n = new IIOMetadataNode("GraphicControlExtension"); root.appendChild(n); n }
-      gce.setAttribute("disposalMethod", "none")
-      gce.setAttribute("userInputFlag", "FALSE")
-      gce.setAttribute("transparentColorFlag", "FALSE")
-      gce.setAttribute("transparentColorIndex", "0")
-      gce.setAttribute("delayTime", "50")
-      md.setFromTree(fmt, root)
-      writer.writeToSequence(new IIOImage(img, null, md), null)
-    }
-    writer.endWriteSequence()
-    ios.close()
-    val gif = bos.toByteArray
+    val gif = Multimodal.encodeAnimatedGif(
+      Seq(solid(0xFF0000), solid(0x00FF00), solid(0x0000FF)), delayCs = 50)
 
     val decoded = Multimodal.decodeVideoFrames(gif)
     assert(decoded != null && decoded.length == 3)
@@ -156,9 +132,11 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
     val frames = Multimodal.sampleFrames(assets, everyMs = 400)
       .orderBy("asset_id", "frame_ms").collect()
     val real = frames.filter(_.getLong(0) == 1L)
-    // ticks 0/400/800 → active frames 0 (t<500), 0, 1 (500≤t<1000)
-    assert(real.map(_.getLong(1)).toSeq == Seq(0L, 400L, 800L))
-    assert(real.map(_.getInt(2)).toSeq == Seq(0, 0, 1))
+    // ticks span [0, duration_ms=1500] — the SAME range the fallback
+    // path would emit — active frames 0 (t<500), 0, 1 (500≤t<1000),
+    // 2 (1000≤t)
+    assert(real.map(_.getLong(1)).toSeq == Seq(0L, 400L, 800L, 1200L))
+    assert(real.map(_.getInt(2)).toSeq == Seq(0, 0, 1, 2))
     assert(real.forall(r => r.getInt(3) == 10 && r.getInt(4) == 10))
     // the sampled frame is the REAL pixel content (GIF palette keeps
     // pure primaries exact)
@@ -166,7 +144,8 @@ class MultimodalStreamingSpec extends AnyFunSuite with SharedSpark {
       val img = ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
       img.getRGB(5, 5) & 0xFFFFFF
     }
-    assert(center(real(0)) == 0xFF0000 && center(real(2)) == 0x00FF00)
+    assert(center(real(0)) == 0xFF0000 && center(real(2)) == 0x00FF00 &&
+      center(real(3)) == 0x0000FF)
     val fallback = frames.filter(_.getLong(0) == 2L)
     assert(fallback.map(_.getLong(1)).toSeq == Seq(0L, 400L, 800L))
     assert(fallback.forall(_.isNullAt(2)))
