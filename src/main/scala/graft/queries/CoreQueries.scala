@@ -133,27 +133,24 @@ object CoreQueries {
 
     // SQL-API surface: the same engine driven via spark.sql over temp
     // views (TPC-H Q3 shape) — planner/pushdown identical to the
-    // DataFrame path. The lineitem aggregate is pushed BELOW the join
-    // (valid because o_orderkey is the orders PK, so grouping by
-    // (o_orderkey, o_orderdate) ≡ grouping lineitem by l_orderkey):
-    // the exchange feeding the fact join carries ~1 map-side-combined
-    // row per order instead of every raw lineitem row — Catalyst does
-    // not perform this rewrite itself, and at 100 TB it is the
-    // difference between shuffling the fact table and shuffling a
-    // quarter of it. The oracle keeps the canonical Q3 formulation, so
-    // the hash match proves the rewrite's equivalence. The decimal sum
-    // completes in the subquery (1:1 join) before the single round.
+    // DataFrame path. Deliberately the CANONICAL formulation: the
+    // grouping keys contain the join key, so the post-join aggregate
+    // is already colocated with the single lineitem exchange — the
+    // "push the aggregate below the join" rewrite shuffles the same
+    // fact volume on the same key, only with a full-cardinality hash
+    // table instead of a post-filter one, and MEASURED ~2× slower at
+    // sf1 (a semi-join-filtered push-down sat between the two: the qo
+    // subplan gets computed twice). The pushed form's earlier sf10 win
+    // was in-suite storage-pressure relief, not a better shape.
     "q_sql_q3" -> ((s, dir) =>
       graft.GraftSql.sql(s, dir,
         """SELECT o_orderkey, cast(o_orderdate as date) AS odate,
-          | CAST(round(l.rev, 2) AS DOUBLE) AS revenue, l.cnt AS cnt
-          |FROM (SELECT l_orderkey,
-          |        sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS rev,
-          |        count(*) AS cnt
-          |      FROM lineitem GROUP BY l_orderkey) l
-          |JOIN orders ON l_orderkey = o_orderkey
-          |JOIN customer ON c_custkey = o_custkey
+          | CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+          | count(*) AS cnt
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
           |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate
           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)),
 
     // SQL-API surface, TPC-H Q5 shape: 6-table join where region/
