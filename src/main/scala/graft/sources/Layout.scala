@@ -62,4 +62,50 @@ object Layout {
     * sites document intent. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a parquet table's accumulated small files — the
+    * maintenance half of layout management: streaming/incremental
+    * writers leave a long tail of KB-scale files whose per-file open
+    * cost eventually dominates scans. Rewrites the table through
+    * [[writeSorted]] (directory partitioning, in-file sort order, and
+    * file counts re-established from scratch) into a sibling temp
+    * directory, then swaps it in with two filesystem renames — readers
+    * never observe a half-written table, only strictly-before or
+    * strictly-after.
+    *
+    * `filesPerPartition` defaults to re-sizing from the table's actual
+    * bytes: ceil(largest directory / targetFileBytes), so a compaction
+    * after heavy growth produces proportionally more files rather than
+    * one giant row group per directory. */
+  def compact(spark: SparkSession, path: String, partCols: Seq[String],
+              sortCols: Seq[String], targetFileBytes: Long = 128L << 20,
+              filesPerPartition: Int = 0): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val perDir =
+      if (filesPerPartition > 0) filesPerPartition
+      else {
+        // largest leaf directory's bytes decide the file count
+        def dirBytes(d: org.apache.hadoop.fs.Path): Long =
+          fs.listStatus(d).map(s =>
+            if (s.isDirectory) dirBytes(s.getPath)
+            else if (s.getPath.getName.endsWith(".parquet")) s.getLen else 0L).sum
+        val leaves = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        val maxDir = if (leaves.isEmpty) dirBytes(p) else leaves.map(dirBytes).max
+        math.max(1L, (maxDir + targetFileBytes - 1) / targetFileBytes).toInt
+      }
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    writeSorted(spark.read.parquet(path), tmp.toString, partCols, sortCols, perDir)
+    if (!fs.rename(p, old)) throw new java.io.IOException(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) { // roll back
+      fs.rename(old, p)
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(old, true)
+  }
 }

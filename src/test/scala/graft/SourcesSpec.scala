@@ -187,6 +187,34 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("layout: compact collapses a small-file tail and swaps atomically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val events = Tables.events(spark, sf)
+      .withColumn("bucket", pmod(col("user_id"), lit(2)))
+    // simulate a fragmented table with the very anti-pattern
+    // writeSorted exists to avoid: a plain partitionBy write where
+    // every task writes every directory (8 tasks × 2 dirs)
+    events.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    def filesPerDir(): Map[String, Int] =
+      new java.io.File(tmp).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerDir().values.exists(_ > 1))
+    val before = Layout.read(spark, tmp).select("user_id", "eps_us", "value")
+      .collect().map(_.toString).sorted
+
+    Layout.compact(spark, tmp, partCols = Seq("bucket"),
+      sortCols = Seq("user_id", "eps_us")) // default target >> data → 1 file/dir
+    assert(filesPerDir().values.forall(_ == 1), filesPerDir().toString)
+    // no temp/old residue from the swap
+    assert(!new java.io.File(tmp + "__compact_tmp").exists())
+    assert(!new java.io.File(tmp + "__compact_old").exists())
+    // content identical
+    val after = Layout.read(spark, tmp).select("user_id", "eps_us", "value")
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("partitioned JDBC read fans out over range scans") {
     val url = "jdbc:derby:memory:graftdb2;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
