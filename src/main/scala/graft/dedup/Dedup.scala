@@ -32,10 +32,22 @@ object Dedup {
   private val scopeIds = new java.util.concurrent.atomic.AtomicLong()
   private val currentScope = ThreadLocal.withInitial[java.util.ArrayDeque[java.lang.Long]](
     () => new java.util.ArrayDeque[java.lang.Long]())
+  // strong refs would otherwise grow without bound for callers that
+  // never scope/release; caches are recomputable, so evicting the
+  // oldest UNSCOPED entry past this cap is safe (scoped entries have a
+  // guaranteed release point and are never evicted early)
+  private val MaxUnscoped = 64
   private def cached(df: DataFrame): DataFrame = {
     df.cache()
     val sc = Option(currentScope.get().peek()).map(_.longValue).getOrElse(0L)
-    tracked.synchronized { tracked += Tracked(df, sc) }
+    tracked.synchronized {
+      if (sc == 0L && tracked.count(_.scope == 0L) >= MaxUnscoped) {
+        val i = tracked.indexWhere(_.scope == 0L)
+        tracked(i).df.unpersist()
+        tracked.remove(i)
+      }
+      tracked += Tracked(df, sc)
+    }
     df
   }
 
@@ -70,13 +82,23 @@ object Dedup {
     tracked.clear()
   }
 
+  // one tokenizer for the whole library — shingling equality across
+  // modules (contaminationPerRow vs contaminationBloom) depends on it
   private def words(text: org.apache.spark.sql.Column) =
-    filter(split(text, "\\s+"), w => w =!= "")
+    graft.text.TextAnalysis.words(text)
 
   /** Exact dedup map: content hash → surviving id + duplicate count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** Distinct k-shingle ARRAY over a word-array column named `__ws` —
+    * the one definition of shingling; [[shingles]] explodes it and
+    * `Curation.contaminationPerRow` keeps it in-row, so the two can
+    * never drift apart (their equality is spec-pinned). */
+  private[graft] def shingleArray(k: Int): org.apache.spark.sql.Column =
+    array_distinct(expr(
+      s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))"))
 
   /** Distinct k-word shingles per doc: (id, shingle) rows. The explode
     * is the CPU-heavy narrow stage of every dedup composition, so the
@@ -85,9 +107,7 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
-      .select(col(idCol), explode(array_distinct(expr(
-        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))")))
-        .as("shingle"))
+      .select(col(idCol), explode(shingleArray(k)).as("shingle"))
 
   /** Exact n-gram Jaccard pairs >= threshold (id1 < id2), via
     * positional prefix filtering (the AllPairs/PPJoin principle,

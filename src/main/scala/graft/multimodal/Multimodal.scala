@@ -312,8 +312,9 @@ object Multimodal {
     * frame CONTENT, never row counts — the distributed explode shape
     * and everything downstream are identical. Narrow per-partition
     * transform, no shuffle. */
-  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
+  def sampleFrames(df: DataFrame, everyMs: Long, maxTicksPerAsset: Int = 100000): DataFrame = {
     require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    require(maxTicksPerAsset > 0, s"maxTicksPerAsset must be positive, got $maxTicksPerAsset")
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("frame_ms", LongType, nullable = false),
@@ -327,6 +328,13 @@ object Multimodal {
     val ci = vids.schema.fieldIndex("content")
     val di = vids.schema.fieldIndex("duration_ms")
     vids.mapPartitions { rows =>
+      // duration_ms is UNTRUSTED metadata: a corrupt value (micro-
+      // seconds, Long.MaxValue) must not turn one row into 10^17 ticks.
+      // The cap applies to BOTH paths, preserving decode/fallback
+      // tick-set identity.
+      def ticks(total: Long): Iterator[Long] =
+        (0L to math.min(math.max(total, 0L), everyMs * (maxTicksPerAsset - 1L))
+          by everyMs).iterator
       rows.flatMap { r =>
         val id = r.getLong(ii)
         val bytes = if (r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci)
@@ -336,7 +344,7 @@ object Multimodal {
           // same tick range the metadata-only fallback would produce
           val total = if (!r.isNullAt(di)) r.getLong(di) else timed._2
           val pngs = new Array[Array[Byte]](frames.length)
-          (0L to total by everyMs).iterator.map { t =>
+          ticks(total).map { t =>
             // active frame = last whose start is <= t
             var f = frames.length - 1
             while (f > 0 && frames(f)._1 > t) f -= 1
@@ -349,8 +357,7 @@ object Multimodal {
               Integer.valueOf(frames(f)._2.getHeight), pngs(f))
           }
         } else if (!r.isNullAt(di)) {
-          (0L to r.getLong(di) by everyMs).iterator.map(t =>
-            Row(id, t, null, null, null, null))
+          ticks(r.getLong(di)).map(t => Row(id, t, null, null, null, null))
         } else Iterator.empty
       }
     }(enc)

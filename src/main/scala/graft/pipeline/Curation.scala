@@ -103,12 +103,10 @@ object Curation {
     * no shingles and are dropped, matching the batch semantics). */
   def contaminationPerRow(corpus: DataFrame, bloom: graft.functions.BroadcastBloom,
                           idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val arr = array_distinct(expr(
-      s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))"))
     corpus
       .withColumn("__ws", graft.text.TextAnalysis.words(col(textCol)))
       .filter(size(col("__ws")) >= k)
-      .withColumn("__sh", arr)
+      .withColumn("__sh", Dedup.shingleArray(k)) // THE shingle definition
       .select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"),
         size(filter(col("__sh"), s => bloom.mightContain(xxhash64(s))))
           .cast("long").as("overlap"))

@@ -45,7 +45,12 @@ object MiscQueries {
   private def ensureBucketed(s: SparkSession, dir: String, df: => DataFrame,
       table: String, column: String, buckets: Int): String =
     bucketedReady.getOrElseUpdate((s, dir, table), {
-      val name = s"${table}_${java.lang.Integer.toHexString(dir.hashCode)}"
+      // 48-bit md5 prefix: 32-bit String.hashCode collides easily
+      // enough ("Aa"/"BB") that one dir's CTAS could clobber another's
+      // still-memoized table
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val name = s"${table}_$digest"
       GraftIndex.bucketed(df, name, column, buckets)
       name
     })

@@ -48,8 +48,11 @@ object Layout {
                   sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     require(partCols.nonEmpty, "partCols must be non-empty")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    // no sortCols (bound-files-only call): salt on every column — still
+    // pure row content, still retry-deterministic
+    val saltCols = (if (sortCols.nonEmpty) sortCols else df.columns.toSeq).map(col)
     val salted = df.withColumn("__split",
-      pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition)))
+      pmod(xxhash64(saltCols: _*), lit(filesPerPartition)))
     salted
       .repartition((partCols.map(col) :+ col("__split")): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
@@ -69,35 +72,46 @@ object Layout {
     * cost eventually dominates scans. Rewrites the table through
     * [[writeSorted]] (directory partitioning, in-file sort order, and
     * file counts re-established from scratch) into a sibling temp
-    * directory, then swaps it in with two filesystem renames — readers
-    * never observe a half-written table, only strictly-before or
-    * strictly-after.
+    * directory, then swaps it in with two filesystem renames. The
+    * swap is not fully atomic on a raw filesystem — there is a
+    * two-rename window in which the path is briefly absent, and a
+    * scan that LISTED files before the swap fails once the old copy
+    * is deleted — so run compaction when the table is not being read
+    * (true atomicity needs a metastore/manifest layer on top, which
+    * is what table formats exist for). Half-written states are never
+    * observable: the new copy is complete before the first rename,
+    * and a failed second rename rolls the original back.
     *
     * `filesPerPartition` defaults to re-sizing from the table's actual
-    * bytes: ceil(largest directory / targetFileBytes), so a compaction
-    * after heavy growth produces proportionally more files rather than
-    * one giant row group per directory. */
+    * bytes: ceil(largest LEAF directory / targetFileBytes) — leaf, not
+    * top-level, so multi-level partitioning doesn't inflate the count
+    * by the inner fan-out — producing proportionally more files after
+    * heavy growth rather than one giant row group per directory. */
   def compact(spark: SparkSession, path: String, partCols: Seq[String],
               sortCols: Seq[String], targetFileBytes: Long = 128L << 20,
               filesPerPartition: Int = 0): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new org.apache.hadoop.fs.Path(path) // normalizes trailing slashes
     val fs = p.getFileSystem(conf)
     val perDir =
       if (filesPerPartition > 0) filesPerPartition
       else {
-        // largest leaf directory's bytes decide the file count
-        def dirBytes(d: org.apache.hadoop.fs.Path): Long =
-          fs.listStatus(d).map(s =>
-            if (s.isDirectory) dirBytes(s.getPath)
-            else if (s.getPath.getName.endsWith(".parquet")) s.getLen else 0L).sum
-        val leaves = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        val maxDir = if (leaves.isEmpty) dirBytes(p) else leaves.map(dirBytes).max
+        // largest LEAF directory's bytes decide the file count: descend
+        // until a directory holds files, not sub-directories
+        def maxLeafBytes(d: org.apache.hadoop.fs.Path): Long = {
+          val entries = fs.listStatus(d)
+          val subdirs = entries.filter(_.isDirectory)
+          if (subdirs.isEmpty)
+            entries.filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+          else subdirs.map(s => maxLeafBytes(s.getPath)).max
+        }
+        val maxDir = maxLeafBytes(p)
         math.max(1L, (maxDir + targetFileBytes - 1) / targetFileBytes).toInt
       }
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // siblings of the normalized path — never children of the table
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
     writeSorted(spark.read.parquet(path), tmp.toString, partCols, sortCols, perDir)
