@@ -112,4 +112,24 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     val r = Spline.interpolate(knots, probes, "k", "x", "y", "px").first()
     assert(r.getDouble(2) == 2.0) // straight line between two knots
   }
+
+  test("bloom contamination: empty benchmark, null/short texts, empty corpus") {
+    val corpus = Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, null.asInstanceOf[String]), (12L, "short one")).toDF("doc_id", "text")
+    // empty benchmark → empty bloom → zero overlap everywhere, never an error
+    val c = graft.pipeline.Curation.contaminationBloom(
+      corpus, emptyDocs, "doc_id", "text", k = 5)
+    val rows = c.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(10L -> 0L)) // null/short texts carry no shingles
+    // per-row variant agrees on the same degenerate inputs
+    val bloom = graft.pipeline.Curation.shingleBloom(emptyDocs, "text", k = 5)
+    val pr = graft.pipeline.Curation.contaminationPerRow(corpus, bloom, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr == rows)
+    // empty corpus → empty result on both paths
+    assert(graft.pipeline.Curation.contaminationBloom(
+      emptyDocs, corpus, "doc_id", "text", k = 5).isEmpty)
+    assert(graft.pipeline.Curation.contaminationPerRow(
+      emptyDocs, bloom, "doc_id", "text", k = 5).isEmpty)
+  }
 }
