@@ -17,11 +17,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ StatsQueries.queries ++ WindowQueries.queries ++
       FitQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      MiscQueries.queries
+      MiscQueries.queries ++ CurationQueries.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ StatsQueries.oracle ++ WindowQueries.oracle ++
       FitQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      MiscQueries.oracle
+      MiscQueries.oracle ++ CurationQueries.oracle
 }

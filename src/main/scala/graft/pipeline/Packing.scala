@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training pipelines: assign documents
+  * to fixed-size context windows ("sequences") of `budget` tokens.
+  *
+  * Two shapes, matching the two packing disciplines used in practice:
+  *
+  *  1. [[chunkPack]] — GPT-style concat-and-chunk: within a shard,
+  *     documents are concatenated in a deterministic order and the
+  *     token stream is cut every `budget` tokens; a document may
+  *     straddle a sequence boundary. Pure window arithmetic (one
+  *     cumulative sum per shard), so it is fully relational and has a
+  *     DuckDB oracle.
+  *
+  *  2. [[binPack]] — no-split packing: each document lands whole in
+  *     exactly one sequence; best-fit-decreasing per shard minimizes
+  *     wasted budget. Sequential by nature, so it runs as a
+  *     per-partition scan (mapPartitions) after a single shard
+  *     exchange — deterministic, but not SQL-expressible (rows-only
+  *     check + PackingSpec quality/validity properties).
+  *
+  * Scale: sharding is a stable md5 of the document id (engine- and
+  * cluster-size-portable, same discipline as
+  * [[graft.pipeline.Curation.hashBucket]]). All windows/scans are
+  * per-shard — shard count is the parallelism knob, no global sort or
+  * driver state anywhere, so 100 TB just means more shards. At 1000
+  * executors you'd set shards ≈ a few × total cores; each shard's
+  * window is an independent partition-local sort of ~(rows/shards)
+  * entries.
+  */
+object Packing {
+
+  /** Stable shard in [0, shards) from the md5 of the id's string form. */
+  def shardOf(c: Column, shards: Int): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % shards
+
+  /** Concat-and-chunk packing. Output per document (tokens > 0):
+    * (idCol, shard, n_tokens, tok_start, seq_first, seq_last) where
+    * tok_start is the document's offset in its shard's token stream
+    * and seq_first/seq_last the fixed-size sequences its tokens land
+    * in (seq_last > seq_first ⇔ the document straddles a boundary).
+    * Zero-token documents contribute nothing to the stream and are
+    * dropped, mirroring what a tokenizer-fed packer sees. */
+  def chunkPack(df: DataFrame, idCol: String, textCol: String,
+                budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        shardOf(col(idCol), shards).as("shard"),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_first", floor(col("tok_start") / budget))
+      .withColumn("seq_last",
+        floor((col("tok_start") + col("n_tokens") - 1) / budget))
+  }
+
+  /** Best-fit-decreasing bin packing, one bin set per shard. Output:
+    * (idCol, shard, n_tokens, bin) — bins are numbered 0.. per shard
+    * in creation order. Documents longer than `budget` get a bin of
+    * their own (flagged oversize=true) rather than failing the run —
+    * at corpus scale a handful of monster documents must not abort a
+    * pack job; callers split or drop them downstream.
+    *
+    * Determinism: candidates are processed in (n_tokens desc, id asc)
+    * order within each shard, and the shard exchange puts each shard
+    * wholly inside one partition, so output is independent of input
+    * partitioning. Best-fit lookup is a TreeMap keyed by remaining
+    * capacity — O(log bins) per document. */
+  def binPack(df: DataFrame, idCol: String, textCol: String,
+              budget: Int, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(col(idCol).cast("long").as("id"),
+        shardOf(col(idCol), shards).as("shard"),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("id"))
+      .as[(Long, Long, Long)]
+    val packed = prepared.mapPartitions { rows =>
+      // a partition holds whole shards (possibly several) — reset the
+      // packer whenever the shard key changes
+      var shard = Long.MinValue
+      // remaining capacity -> bin ids with exactly that remaining, in
+      // creation order (first-created wins ties for determinism)
+      var open: java.util.TreeMap[Long, scala.collection.mutable.Queue[Long]] = null
+      var nextBin = 0L
+      rows.map { case (id, sh, toks) =>
+        if (sh != shard) {
+          shard = sh
+          open = new java.util.TreeMap[Long, scala.collection.mutable.Queue[Long]]()
+          nextBin = 0L
+        }
+        if (toks > budget) { // oversize: solo bin, never opened for reuse
+          val bin = nextBin; nextBin += 1
+          (id, sh, toks, bin, true)
+        } else {
+          val fit = open.ceilingEntry(toks)
+          if (fit == null) { // nothing fits: open a new bin
+            val bin = nextBin; nextBin += 1
+            val rem = budget - toks
+            if (rem > 0)
+              open.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
+                .enqueue(bin)
+            (id, sh, toks, bin, false)
+          } else { // tightest remaining capacity that fits (best fit)
+            val q = fit.getValue
+            val bin = q.dequeue()
+            if (q.isEmpty) open.remove(fit.getKey)
+            val rem = fit.getKey - toks
+            if (rem > 0)
+              open.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
+                .enqueue(bin)
+            (id, sh, toks, bin, false)
+          }
+        }
+      }
+    }.toDF("id", "shard", "n_tokens", "bin", "oversize")
+    packed.withColumnRenamed("id", idCol)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for dataset curation.
+  *
+  * `rand()`-based sampling is unusable for training-data work: reruns
+  * pick different rows, so ablations and holdouts aren't reproducible
+  * and no oracle can check them. Every sampler here derives its
+  * randomness from the md5 of the row's id — the same row is chosen by
+  * every run, every engine (the DuckDB oracles recompute the identical
+  * arithmetic), and every cluster size.
+  *
+  *  - [[hashUniform]] — U(0,1] from the first 8 md5 hex digits.
+  *  - [[stratified]] — exactly n rows per stratum, the md5-smallest n.
+  *  - [[weighted]] — k rows without replacement, inclusion probability
+  *    ∝ weight (Efraimidis–Spirakis A-ES keys: u^(1/w), equivalently
+  *    ln(u)/w, computed on the stable uniform).
+  *
+  * Scale: [[stratified]] is one hash exchange on the stratum key and a
+  * per-stratum rank — Spark's WindowGroupLimit pushes the rank ≤ n
+  * filter into a partial top-n BEFORE the exchange, so the shuffle
+  * carries ~n·strata rows, not the corpus. [[weighted]] is a global
+  * top-k = TakeOrderedAndProject: per-partition heaps of k, driver
+  * merges k·partitions entries — no global sort ever materializes.
+  */
+object Sampling {
+
+  /** Stable uniform in (0,1] from the md5 of the id's string form —
+    * 32 bits of hash, so ~4e9 distinct values. */
+  def hashUniform(c: Column): Column =
+    (conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+
+  /** Exactly min(n, |stratum|) rows per stratum: the n smallest md5
+    * draws, rank exposed as `rn`. Deterministic and reproducible. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(strataCol).orderBy(hashUniform(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** k-sample without replacement, P(pick) ∝ `weightCol` (must be > 0):
+    * keep the k largest Efraimidis–Spirakis keys ln(u)/w. Exposes the
+    * key (rounded) so oracles can check the selection arithmetic. */
+  def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", log(hashUniform(col(idCol))) / col(weightCol))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
+}

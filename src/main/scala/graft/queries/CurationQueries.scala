@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Packing, Sampling}
+import graft.text.{Collocations, HeavyHitters}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation queries (SURVEY.md §2 #67–71): sequence
+  * packing, deterministic sampling, heavy hitters, collocations. */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // #67 concat-and-chunk sequence packing (budget 512 tokens,
+    // 8 md5 shards) — window arithmetic, fully oracle-checked.
+    "q_pack" -> ((s, dir) =>
+      Packing.chunkPack(Tables.documents(s, dir), "doc_id", "text",
+          budget = 512, shards = 8)
+        .orderBy("doc_id")),
+
+    // #67b best-fit-decreasing no-split packing (rows-only: the greedy
+    // scan is not SQL-expressible; validity/quality pinned by
+    // PackingSpec).
+    "q_pack_binpack" -> ((s, dir) =>
+      Packing.binPack(Tables.documents(s, dir), "doc_id", "text",
+          budget = 512, shards = 8)
+        .orderBy("doc_id")),
+
+    // #68 stratified sample: md5-smallest 20 documents per language.
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id", n = 20)
+        .select("doc_id", "lang", "rn")
+        .orderBy("doc_id")),
+
+    // #68b weighted sample without replacement (Efraimidis–Spirakis),
+    // P(pick) ∝ n_chars, k = 25.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weighted(Tables.documents(s, dir), "doc_id", "n_chars", k = 25)
+        .select("doc_id", "n_chars", "es_key")
+        .orderBy("doc_id")),
+
+    // #69 exact heavy hitters: top-30 tokens corpus-wide.
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exact(Tables.documents(s, dir), "text", k = 30)),
+
+    // #69b Count-Min estimates alongside the exact counts (rows-only:
+    // sketch internals are engine-specific; bound pinned by
+    // SketchSpec).
+    "q_heavy_hitters_cms" -> ((s, dir) =>
+      HeavyHitters.withCmsEstimates(Tables.documents(s, dir), "text", k = 30)
+        .orderBy(col("cnt").desc, col("tok"))),
+
+    // #70 bigram collocations by PMI (count ≥ 10, top 20).
+    "q_colloc_pmi" -> ((s, dir) =>
+      Collocations.pmiBigrams(Tables.documents(s, dir), "text",
+        minCount = 10, k = 20)),
+  )
+
+  private val md5Long =
+    "cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_pack" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  cast(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |  cast($md5Long % 8 AS BIGINT) AS shard
+         | FROM documents),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  cast(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
+         | FROM w WHERE n_tokens > 0)
+         |SELECT doc_id, shard, n_tokens, tok_start,
+         | cast(floor(tok_start / 512.0) AS BIGINT) AS seq_first,
+         | cast(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS seq_last
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY $md5Long, doc_id) AS rn
+         | FROM documents)
+         |SELECT doc_id, lang, cast(rn AS INTEGER) AS rn
+         |FROM s WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |  ln(($md5Long + 1.0) / 4294967296.0) / n_chars AS es_key
+         | FROM documents WHERE n_chars > 0
+         | ORDER BY es_key DESC, doc_id LIMIT 25)
+         |SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents)
+        |SELECT tok, count(*) AS cnt FROM t
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30""".stripMargin,
+
+    "q_colloc_pmi" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |           FROM documents),
+        |bi AS (SELECT ws[i] AS a, ws[i+1] AS b
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+        |       WHERE len(ws) >= 2),
+        |bc AS (SELECT a, b, count(*) AS cnt FROM bi GROUP BY a, b),
+        |uni AS (SELECT unnest(ws) AS tok FROM w),
+        |uc AS (SELECT tok, count(*) AS tf FROM uni GROUP BY tok),
+        |tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+        |               (SELECT sum(cnt) FROM bc) AS n_bi)
+        |SELECT a, b, cnt,
+        | round(ln((cast(cnt AS DOUBLE) / n_bi) /
+        |   ((cast(ta.tf AS DOUBLE) / n_uni) * (cast(tb.tf AS DOUBLE) / n_uni))), 4) AS pmi
+        |FROM bc JOIN uc ta ON bc.a = ta.tok JOIN uc tb ON bc.b = tb.tok, tot
+        |WHERE cnt >= 10
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+  )
+}

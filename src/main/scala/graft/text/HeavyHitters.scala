@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Heavy hitters (most frequent tokens) over a corpus.
+  *
+  * [[exact]] is the ground truth: one map-side-combinable hash
+  * aggregation on the token, then a global top-k via
+  * TakeOrderedAndProject (per-partition heaps of k, no global sort).
+  *
+  * [[withCmsEstimates]] carries the sketch path next to it: a
+  * Count-Min sketch (Cormode–Muthukrishnan; Spark's built-in
+  * `count_min_sketch` aggregate — one pass, map-side mergeable,
+  * sketch size depth×width independent of cardinality) estimates the
+  * same candidates' counts. The CMS guarantee — estimate ≥ true count,
+  * and ≤ true + ε·N with probability ≥ confidence — is pinned by
+  * SketchSpec against the exact counts. At 100 TB the sketch is the
+  * shape that survives: its size never grows with the vocabulary, so
+  * frequency queries cost one scan + a constant-size merge instead of
+  * a vocabulary-wide shuffle; candidates then come from per-partition
+  * local top-m heaps (SpaceSaving-style) rather than the exact
+  * aggregate used here for oracle determinism.
+  */
+object HeavyHitters {
+
+  /** Exact top-k tokens: (tok, cnt), count-desc then token-asc. */
+  def exact(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+
+  /** Exact top-k with the Count-Min estimate alongside:
+    * (tok, cnt, cnt_cms). Deterministic for a fixed seed. */
+  def withCmsEstimates(df: DataFrame, textCol: String, k: Int,
+                       eps: Double = 0.001, confidence: Double = 0.99,
+                       seed: Int = 42): DataFrame = {
+    val toks = df.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+    val bytes = toks
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed)))
+      .first().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val top = exact(df, textCol, k).collect() // k rows — driver-tiny
+    val spark = df.sparkSession
+    import spark.implicits._
+    top.toSeq.map { r =>
+      val tok = r.getString(0)
+      // the SQL aggregate feeds UTF8String bytes into the sketch, so
+      // probe with the same representation
+      (tok, r.getLong(1),
+        cms.estimateCount(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }.toDF("tok", "cnt", "cnt_cms")
+  }
+}

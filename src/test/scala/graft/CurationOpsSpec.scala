@@ -1,0 +1,159 @@
+package graft
+
+import graft.pipeline.{Packing, Sampling}
+import graft.text.{Collocations, HeavyHitters}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packing, sampling, heavy hitters, collocations (SURVEY.md §2
+  * #67–71). Oracle queries cover the SQL-expressible halves; these
+  * specs pin the algorithmic properties the oracles can't. */
+class CurationOpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  // --- chunkPack -----------------------------------------------------
+
+  test("chunkPack: streams are dense and per-shard contiguous") {
+    val packed = Packing.chunkPack(docs, "doc_id", "text", budget = 128, shards = 4)
+      .collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var expectedStart = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tok_start") == expectedStart) // no gaps, no overlap
+        expectedStart += r.getAs[Long]("n_tokens")
+        val first = r.getAs[Long]("seq_first")
+        val last = r.getAs[Long]("seq_last")
+        assert(first == r.getAs[Long]("tok_start") / 128)
+        assert(last >= first)
+        // a doc spans exactly the sequences its token range covers
+        assert(last == (r.getAs[Long]("tok_start") + r.getAs[Long]("n_tokens") - 1) / 128)
+      }
+    }
+  }
+
+  // --- binPack -------------------------------------------------------
+
+  private def binPacked(budget: Int) =
+    Packing.binPack(docs, "doc_id", "text", budget = budget, shards = 4).collect()
+
+  test("binPack: every bin within budget, oversize docs solo") {
+    val rows = binPacked(300)
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+    byBin.foreach { case (_, members) =>
+      val total = members.map(_.getAs[Long]("n_tokens")).sum
+      if (members.exists(_.getAs[Boolean]("oversize")))
+        assert(members.length == 1) // an oversize doc never shares its bin
+      else assert(total <= 300)
+    }
+    // every input doc with tokens is packed exactly once
+    val nDocs = docs.filter(size(graft.text.TextAnalysis.words(col("text"))) > 0).count()
+    assert(rows.length == nDocs)
+  }
+
+  test("binPack: best-fit-decreasing stays near the volume lower bound") {
+    val rows = binPacked(300)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, members) =>
+      val regular = members.filterNot(_.getAs[Boolean]("oversize"))
+      if (regular.nonEmpty) {
+        val bins = regular.map(_.getAs[Long]("bin")).distinct.length
+        val lower = math.ceil(regular.map(_.getAs[Long]("n_tokens")).sum / 300.0).toInt
+        // BFD is a 11/9·OPT + 1 algorithm; OPT >= volume lower bound
+        assert(bins <= math.ceil(11.0 * lower / 9.0).toInt + 1,
+          s"bins=$bins lower=$lower")
+      }
+    }
+  }
+
+  test("binPack: output independent of input partitioning") {
+    val a = Packing.binPack(docs.repartition(13), "doc_id", "text", 300, 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bin"))).toMap
+    val b = Packing.binPack(docs.coalesce(1), "doc_id", "text", 300, 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bin"))).toMap
+    assert(a == b)
+  }
+
+  // --- sampling ------------------------------------------------------
+
+  test("stratified: exactly min(n, |stratum|) per stratum, stable across runs") {
+    val s1 = Sampling.stratified(docs, "lang", "doc_id", 5)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(5L, n), s"lang=$lang")
+    }
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratified(docs.repartition(7), "lang", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2) // determinism under repartitioning
+  }
+
+  test("weighted: inclusion tracks weight (heavier half over-represented)") {
+    // 400 rows, half weight 1, half weight 20 — an E-S sample of 80
+    // should draw the vast majority from the heavy half
+    val rows = (0L until 400L).map(i => (i, if (i < 200) 1.0 else 20.0))
+      .toDF("id", "w")
+    val picked = Sampling.weighted(rows, "id", "w", 80)
+      .select("id").collect().map(_.getLong(0))
+    assert(picked.length == 80)
+    val heavy = picked.count(_ >= 200)
+    assert(heavy > 60, s"heavy=$heavy of 80") // p(this fails by chance) ~ 0 for w-ratio 20
+  }
+
+  test("weighted: k larger than the population returns everyone") {
+    val rows = (0L until 10L).map(i => (i, 1.0)).toDF("id", "w")
+    assert(Sampling.weighted(rows, "id", "w", 50).count() == 10)
+  }
+
+  // --- heavy hitters / CMS -------------------------------------------
+
+  test("CMS estimates: never under, within eps·N over") {
+    val est = HeavyHitters.withCmsEstimates(docs, "text", k = 20,
+      eps = 0.001, confidence = 0.99, seed = 42).collect()
+    assert(est.length == 20)
+    val n = docs.select(explode(graft.text.TextAnalysis.words(col("text")))).count()
+    est.foreach { r =>
+      val (exact, cms) = (r.getAs[Long]("cnt"), r.getAs[Long]("cnt_cms"))
+      assert(cms >= exact, s"${r.getString(0)}: CMS $cms < exact $exact")
+      assert(cms <= exact + math.ceil(0.001 * n).toLong * 20, // generous slack over the w.h.p. bound
+        s"${r.getString(0)}: CMS $cms vs exact $exact, N=$n")
+    }
+  }
+
+  test("exact heavy hitters ordering is (count desc, token asc)") {
+    val rows = HeavyHitters.exact(docs, "text", 15).collect()
+    val keys = rows.map(r => (-r.getAs[Long]("cnt"), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  // --- collocations --------------------------------------------------
+
+  test("PMI: planted collocation outranks frequent-but-independent pair") {
+    val rng = new scala.util.Random(7)
+    val filler = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    // "hong kong" always adjacent; "the of" co-occur but independently
+    val corpus = (0 until 200).map { i =>
+      val noise = Seq.fill(8)(filler(rng.nextInt(filler.size)))
+      val s = if (i % 2 == 0) noise.take(4) ++ Seq("hong", "kong") ++ noise.drop(4)
+              else noise.take(3) ++ Seq("the") ++ noise.slice(3, 6) ++ Seq("of") ++ noise.drop(6)
+      (i.toLong, s.mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = Collocations.pmiBigrams(corpus, "text", minCount = 5, k = 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getString(0) == "hong" && top.head.getString(1) == "kong")
+    assert(!top.exists(r => r.getString(0) == "the" && r.getString(1) == "of"))
+  }
+
+  test("PMI: empty and one-word corpora yield empty results, not errors") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Collocations.pmiBigrams(empty, "text", 1, 5).count() == 0)
+    val single = Seq((1L, "word")).toDF("doc_id", "text")
+    assert(Collocations.pmiBigrams(single, "text", 1, 5).count() == 0)
+  }
+}

@@ -128,6 +128,34 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${bloom.take(1200)}")
   }
 
+  test("packing windows partition by shard — never a global sort of the corpus") {
+    val lp = SparkEntry.queries("q_pack")(spark, sf).queryExecution.optimizedPlan
+    val bad = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "q_pack plans an unpartitioned Window")
+    val p = plan("q_pack")
+    // one hash exchange keys the shard windows; orderBy adds a range
+    // exchange only
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${p.take(1200)}")
+  }
+
+  test("stratified sampling plans a WindowGroupLimit (partial top-n before the exchange)") {
+    val p = plan("q_sample_stratified")
+    // Spark 3.5+ rewrites rank-filter windows into WindowGroupLimit:
+    // each map task keeps only its local top-n per stratum, so the
+    // shuffle carries ~n·strata rows, not the corpus
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("global top-k queries plan TakeOrderedAndProject, not a global sort") {
+    for (name <- Seq("q_sample_weighted", "q_heavy_hitters", "q_colloc_pmi")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name: ${p.take(1200)}")
+    }
+  }
+
   test("group aggregation is partial (map-side combine)") {
     val p = plan("q_group_agg")
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))
