@@ -42,6 +42,25 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Deterministic dataset-mixture resampling: keep a row iff its md5
+    * bucket falls under its group's percentage (default `defaultPct`
+    * for groups not listed). The standard curation move for
+    * rebalancing a training mix ("keep 100% of low-resource
+    * languages, 40% of English") — per-row expression, NO shuffle, NO
+    * rand(): the same document survives in every rerun, so downstream
+    * dedup/eval splits stay stable. */
+  def mixture(df: DataFrame, groupCol: String, idCol: String,
+              pctByGroup: Map[String, Int], defaultPct: Int): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100, s"defaultPct out of range: $defaultPct")
+    pctByGroup.values.foreach(p =>
+      require(p >= 0 && p <= 100, s"pct out of range: $p"))
+    val bucket = Curation.hashBucket(col(idCol))
+    val pct = pctByGroup.foldLeft(lit(defaultPct)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < pct)
+  }
+
   /** k-sample without replacement, P(pick) ∝ `weightCol` (must be > 0):
     * keep the k largest Efraimidis–Spirakis keys ln(u)/w. Exposes the
     * key (rounded) so oracles can check the selection arithmetic. */

@@ -56,6 +56,19 @@ object CurationQueries {
     "q_colloc_pmi" -> ((s, dir) =>
       Collocations.pmiBigrams(Tables.documents(s, dir), "text",
         minCount = 10, k = 20)),
+
+    // #71 deterministic mixture rebalance: 40% of English, all of
+    // Chinese, 70% of everything else — per-row expression, no shuffle.
+    "q_mixture" -> ((s, dir) =>
+      Sampling.mixture(Tables.documents(s, dir), "lang", "doc_id",
+          Map("en" -> 40, "zh" -> 100), defaultPct = 70)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // #72 TF-IDF: 3 most characteristic terms per document.
+    "q_tfidf" -> ((s, dir) =>
+      graft.text.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn")),
   )
 
   private val md5Long =
@@ -114,5 +127,25 @@ object CurationQueries {
         |FROM bc JOIN uc ta ON bc.a = ta.tok JOIN uc tb ON bc.b = tb.tok, tot
         |WHERE cnt >= 10
         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+
+    "q_mixture" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $md5Long % 100 <
+         |  CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 100 ELSE 70 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        round(tf * ln(cast(n.n AS DOUBLE) / df), 4) AS tfidf
+        |      FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |      FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, cast(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
   )
 }

@@ -111,6 +111,35 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(Sampling.weighted(rows, "id", "w", 50).count() == 10)
   }
 
+  test("mixture: rates hold in expectation and reruns pick identical rows") {
+    val mixed = Sampling.mixture(docs, "lang", "doc_id",
+      Map("en" -> 0, "zh" -> 100), defaultPct = 50)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en")) // 0% keeps nothing
+    assert(byLang("zh") == full("zh")) // 100% keeps everything
+    val again = Sampling.mixture(docs.repartition(9), "lang", "doc_id",
+      Map("en" -> 0, "zh" -> 100), defaultPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).toSet == again)
+  }
+
+  test("tf-idf: corpus-wide terms score zero, unique terms rank first") {
+    val corpus = Seq(
+      (1L, "shared shared unique1 filler"),
+      (2L, "shared unique2 filler"),
+      (3L, "shared unique3")).toDF("doc_id", "text")
+    val top = graft.text.TfIdf.topTerms(corpus, "doc_id", "text", 2).collect()
+    // "shared" is in every doc → idf = ln(1) = 0 → never rank-1 (it can
+    // still fill rank 2 in a two-term doc, which is correct behavior)
+    assert(!top.exists(r => r.getString(1) == "shared" && r.getAs[Int]("rn") == 1))
+    val first = top.filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == Map(1L -> "unique1", 2L -> "unique2", 3L -> "unique3"))
+  }
+
   // --- heavy hitters / CMS -------------------------------------------
 
   test("CMS estimates: never under, within eps·N over") {

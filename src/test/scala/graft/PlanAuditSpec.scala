@@ -141,12 +141,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${p.take(1200)}")
   }
 
-  test("stratified sampling plans a WindowGroupLimit (partial top-n before the exchange)") {
-    val p = plan("q_sample_stratified")
+  test("stratified sampling and tf-idf plan WindowGroupLimit (partial top-n before the exchange)") {
     // Spark 3.5+ rewrites rank-filter windows into WindowGroupLimit:
-    // each map task keeps only its local top-n per stratum, so the
-    // shuffle carries ~n·strata rows, not the corpus
-    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // each map task keeps only its local top-n per group, so the
+    // shuffle carries ~n·groups rows, not the corpus
+    for (name <- Seq("q_sample_stratified", "q_tfidf")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"), s"$name: ${p.take(1200)}")
+    }
+  }
+
+  test("mixture resampling is a pure per-row filter — no hash exchange") {
+    val p = plan("q_mixture")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("Join"))
   }
 
   test("global top-k queries plan TakeOrderedAndProject, not a global sort") {
