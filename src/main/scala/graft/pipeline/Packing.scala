@@ -63,6 +63,50 @@ object Packing {
         floor((col("tok_start") + col("n_tokens") - 1) / budget))
   }
 
+  case class PackIn(id: Long, shard: Long, n_tokens: Long)
+  case class PackOut(doc_id: Long, shard: Long, n_tokens: Long,
+                     tok_start: Long, seq_first: Long, seq_last: Long)
+
+  /** Streaming concat-and-chunk: documents arriving on a stream are
+    * appended to their shard's token stream in arrival order (doc-id
+    * order within each micro-batch), and sequence assignments are
+    * emitted incrementally. State per shard is ONE long — the shard's
+    * token cursor — so state size is `shards`, not corpus-sized, and
+    * never needs a watermark to stay bounded. Fed the same documents
+    * in id order, the emitted assignments are row-identical to the
+    * batch [[chunkPack]] (pinned by CurationOpsSpec).
+    *
+    * Works on a `readStream` source (append mode) and, because
+    * flatMapGroupsWithState also runs in batch, on a static frame. */
+  def packStream(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, budget: Int, shards: Int): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = docs.select(col(idCol).cast("long").as("id"),
+        shardOf(col(idCol), shards).as("shard"),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .as(E.product[PackIn])
+    ds.groupByKey(_.shard)(E.scalaLong)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (shard: Long, rows: Iterator[PackIn], state: GroupState[Long]) => {
+          var cursor = state.getOption.getOrElse(0L)
+          // id order within the micro-batch keeps replays deterministic
+          val out = rows.toArray.sortBy(_.id).map { d =>
+            val start = cursor
+            cursor += d.n_tokens
+            PackOut(d.id, shard, d.n_tokens, start,
+              start / budget, (start + d.n_tokens - 1) / budget)
+          }
+          state.update(cursor)
+          out.iterator
+        })(E.scalaLong, E.product[PackOut])
+      .toDF()
+  }
+
   /** Best-fit-decreasing bin packing, one bin set per shard. Output:
     * (idCol, shard, n_tokens, bin) — bins are numbered 0.. per shard
     * in creation order. Documents longer than `budget` get a bin of

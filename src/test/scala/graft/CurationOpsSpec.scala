@@ -35,6 +35,35 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("packStream: incremental assignments equal batch chunkPack across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).take(60)
+    val (b1, b2) = all.splitAt(30)
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val packed = Packing.packStream(streamDf, "doc_id", "text", budget = 128, shards = 4)
+    val q = packed.writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("pack_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("tok_start"), r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last")))
+        .toSet
+      val batch = Packing.chunkPack(
+          all.toSeq.toDF("doc_id", "text"), "doc_id", "text", budget = 128, shards = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("tok_start"), r.getAs[Long]("seq_first"), r.getAs[Long]("seq_last")))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   // --- binPack -------------------------------------------------------
 
   private def binPacked(budget: Int) =
