@@ -6,21 +6,21 @@ import graft.text.{Collocations, HeavyHitters}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-data curation queries (SURVEY.md §2 #67–71): sequence
+/** Training-data curation queries (SURVEY.md §2 #68–72): sequence
   * packing, deterministic sampling, heavy hitters, collocations. */
 object CurationQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // #67 concat-and-chunk sequence packing (budget 512 tokens,
+    // #68 concat-and-chunk sequence packing (budget 512 tokens,
     // 8 md5 shards) — window arithmetic, fully oracle-checked.
     "q_pack" -> ((s, dir) =>
       Packing.chunkPack(Tables.documents(s, dir), "doc_id", "text",
           budget = 512, shards = 8)
         .orderBy("doc_id")),
 
-    // #67b best-fit-decreasing no-split packing (rows-only: the greedy
+    // #68b best-fit-decreasing no-split packing (rows-only: the greedy
     // scan is not SQL-expressible; validity/quality pinned by
     // PackingSpec).
     "q_pack_binpack" -> ((s, dir) =>
@@ -28,36 +28,36 @@ object CurationQueries {
           budget = 512, shards = 8)
         .orderBy("doc_id")),
 
-    // #68 stratified sample: md5-smallest 20 documents per language.
+    // #69 stratified sample: md5-smallest 20 documents per language.
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id", n = 20)
         .select("doc_id", "lang", "rn")
         .orderBy("doc_id")),
 
-    // #68b weighted sample without replacement (Efraimidis–Spirakis),
+    // #69b weighted sample without replacement (Efraimidis–Spirakis),
     // P(pick) ∝ n_chars, k = 25.
     "q_sample_weighted" -> ((s, dir) =>
       Sampling.weighted(Tables.documents(s, dir), "doc_id", "n_chars", k = 25)
         .select("doc_id", "n_chars", "es_key")
         .orderBy("doc_id")),
 
-    // #69 exact heavy hitters: top-30 tokens corpus-wide.
+    // #70 exact heavy hitters: top-30 tokens corpus-wide.
     "q_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.exact(Tables.documents(s, dir), "text", k = 30)),
 
-    // #69b Count-Min estimates alongside the exact counts (rows-only:
+    // #70b Count-Min estimates alongside the exact counts (rows-only:
     // sketch internals are engine-specific; bound pinned by
     // SketchSpec).
     "q_heavy_hitters_cms" -> ((s, dir) =>
       HeavyHitters.withCmsEstimates(Tables.documents(s, dir), "text", k = 30)
         .orderBy(col("cnt").desc, col("tok"))),
 
-    // #70 bigram collocations by PMI (count ≥ 10, top 20).
+    // #71 bigram collocations by PMI (count ≥ 10, top 20).
     "q_colloc_pmi" -> ((s, dir) =>
       Collocations.pmiBigrams(Tables.documents(s, dir), "text",
         minCount = 10, k = 20)),
 
-    // #71 deterministic mixture rebalance: 40% of English, all of
+    // #69c deterministic mixture rebalance: 40% of English, all of
     // Chinese, 70% of everything else — per-row expression, no shuffle.
     "q_mixture" -> ((s, dir) =>
       Sampling.mixture(Tables.documents(s, dir), "lang", "doc_id",
