@@ -27,6 +27,14 @@ object StatsQueries {
       Stats.quantiles(Tables.lineitem(s, dir), "l_quantity", Seq(0.0, 0.25, 0.5, 0.75, 1.0))
         .orderBy("q")),
 
+    // #17b approximate quantiles — the single-pass mergeable-sketch
+    // path a 100 TB series needs (rows-only: sketch cut points are
+    // engine-specific; the rank-error bound is pinned by OperatorSpec).
+    "q_quantile_approx" -> ((s, dir) =>
+      Stats.quantilesApprox(Tables.lineitem(s, dir), "l_extendedprice",
+          Seq(0.01, 0.25, 0.5, 0.75, 0.99), accuracy = 10000)
+        .orderBy("q")),
+
     // #19 df-histogram (unweighted, dense bucket range).
     "q_histogram" -> ((s, dir) =>
       Histogram.histogram(Tables.lineitem(s, dir), "l_quantity", 5.0)

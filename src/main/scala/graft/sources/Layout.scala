@@ -66,6 +66,55 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-order (Morton-curve) clustering: write the table sorted by the
+    * bit-interleaving of its clustering columns' RANK buckets, so
+    * every file/row group has tight min/max bounds on ALL clustering
+    * columns at once — a single-column sort gives perfect skipping on
+    * that column and none on the others; the Z-curve trades a little
+    * of the first column's locality for locality on every column
+    * (the Delta/Iceberg OPTIMIZE ZORDER move, public shape).
+    *
+    * Scale anatomy, one write job: (1) one pass computes 2^bits−1
+    * approx-quantile boundaries per column (mergeable sketch — rank
+    * buckets, not equi-width, so skew can't collapse the curve);
+    * (2) per row, bucket = count of boundaries ≤ v via a codegen'd
+    * higher-order filter on the broadcast boundary array literal, and
+    * the Z-value interleaves the bucket bits with shift/mask
+    * arithmetic — no UDF anywhere; (3) a range exchange on the
+    * Z-value (Spark's sampled range partitioner) + in-partition sort
+    * writes `numFiles` runs of the curve. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 8, numFiles: Int = 16): Unit = {
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    require(bits >= 1 && bits * zCols.size <= 63,
+      s"bits*cols must fit a long, got $bits*${zCols.size}")
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val nb = (1 << bits) - 1
+    val qs = (1 to nb).map(i => i.toDouble / (nb + 1))
+    val aggs = zCols.map(c =>
+      expr(s"approx_percentile(cast($c as double), array(${qs.mkString(",")}), 10000)")
+        .as(s"__b_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val zVal = zCols.zipWithIndex.map { case (c, j) =>
+      val bounds = Option(row.getSeq[Double](j)).getOrElse(Seq.empty)
+      // rank bucket in [0, 2^bits): boundaries ≤ v, counted by a
+      // codegen'd array filter over the literal boundary vector
+      val bucket =
+        if (bounds.isEmpty) lit(0)
+        else size(filter(typedlit(bounds), b => b <= col(c).cast("double")))
+      (bucket, j)
+    }.flatMap { case (bucket, j) =>
+      (0 until bits).map(i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)), i * zCols.size + j)
+          .cast("long"))
+    }.reduce(_ + _)
+    df.withColumn("__z", zVal)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a parquet table's accumulated small files — the
     * maintenance half of layout management: streaming/incremental
     * writers leave a long tail of KB-scale files whose per-file open

@@ -62,6 +62,23 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(q.getAs[Double]("value") == 3.0)
   }
 
+  test("approx quantiles honor the sketch rank-error bound against exact ranks") {
+    // 10k distinct values, accuracy=1000 → guaranteed rank error
+    // ≤ n/accuracy = 10; a returned cut point's true rank must sit
+    // within that of the requested quantile
+    val n = 10000
+    val df = (1 to n).map(_.toDouble).toDF("x").repartition(8)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val rows = Stats.quantilesApprox(df, "x", qs, accuracy = 1000).collect()
+    assert(rows.length == qs.length)
+    rows.foreach { r =>
+      val (q, v) = (r.getAs[Double]("q"), r.getAs[Double]("value"))
+      val trueRank = v // values ARE 1..n, so value = its own rank
+      assert(math.abs(trueRank - q * n) <= n / 1000.0 + 1,
+        s"q=$q cut=$v outside rank-error bound")
+    }
+  }
+
   test("weightedQuantile picks first value crossing cumulative weight") {
     val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 8.0)).toDF("v", "w")
     val r = Stats.weightedQuantile(df, "v", "w", Seq(0.5)).first()

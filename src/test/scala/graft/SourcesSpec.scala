@@ -187,6 +187,46 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("layout: z-order bounds per-file spans on BOTH dimensions at once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 64×64 grid, shuffled — the adversarial case for single-key sorts
+    val grid = rng.shuffle((for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toDouble, y.toDouble)).toVector)
+      .toDF("x", "y")
+
+    def fileSpans(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+
+    val zTmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(grid, zTmp, Seq("x", "y"), bits = 6, numFiles = 16)
+    val lexTmp = java.nio.file.Files.createTempDirectory("graft_lex").toString
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y").write.mode("overwrite").parquet(lexTmp)
+
+    val zSpans = fileSpans(zTmp)
+    val lexSpans = fileSpans(lexTmp)
+    assert(zSpans.size > 8 && zSpans.size <= 16, s"files: ${zSpans.size}")
+    // lexicographic: x is tightly clustered but y spans the whole range
+    // in (essentially) every file — a y-only filter prunes nothing
+    assert(lexSpans.map(_._2).min > 55.0, s"lex y-spans: ${lexSpans.map(_._2)}")
+    // z-order: files bound BOTH dimensions well below the full range on
+    // average (a file straddling a Morton power-of-2 seam can span wide
+    // on one dim — the curve's known discontinuities — so the mean is
+    // the honest clustering signal)
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    assert(avg(zSpans.map(_._1)) <= 34 && avg(zSpans.map(_._2)) <= 34,
+      s"z spans: $zSpans")
+    // and content round-trips exactly
+    assert(spark.read.parquet(zTmp).count() == 4096)
+    assert(spark.read.parquet(zTmp).exceptAll(grid).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zTmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lexTmp))
+  }
+
   test("layout: compact collapses a small-file tail and swaps atomically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val events = Tables.events(spark, sf)
