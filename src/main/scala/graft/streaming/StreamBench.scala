@@ -84,6 +84,33 @@ object StreamBench {
     }
   }
 
+  /** docs/sec for the streaming sequence packer (`Packing.packStream`)
+    * over the sf-dir documents table, fed in `batchSize`-doc
+    * MemoryStream batches — the ingest rate of a pack-as-you-crawl
+    * pipeline stage. Per-shard state is one long, so the rate is
+    * tokenization- and micro-batch-overhead-bound, not state-bound. */
+  def packRate(spark: SparkSession, sfDir: String, batchSize: Int = 2000,
+               maxDocs: Int = 20000): Double = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .limit(maxDocs)
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Packing.packStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        budget = 2048, shards = 32)
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = System.nanoTime()
+    docs.grouped(batchSize).foreach { b =>
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    docs.length / secs
+  }
+
   /** Throughput curve across micro-batch size and state-store backend —
     * the round-3 rates (~15k/28k ev/s at 20k-row batches) are
     * micro-batch-latency-bound, so the interesting axes are batch size
@@ -95,6 +122,7 @@ object StreamBench {
       m.map { case (k, v) => k.replace("_stream_events_per_sec", suffix) -> v }
     tag(rates(spark, sfDir, batchSize = 20000), "_20k_events_per_sec") ++
       tag(rates(spark, sfDir, batchSize = 100000), "_100k_events_per_sec") ++
-      tag(rates(spark, sfDir, batchSize = 100000, rocksdb = true), "_100k_rocksdb_events_per_sec")
+      tag(rates(spark, sfDir, batchSize = 100000, rocksdb = true), "_100k_rocksdb_events_per_sec") ++
+      Map("pack_2k_docs_per_sec" -> packRate(spark, sfDir, batchSize = 2000))
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.DocStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming near-dup candidate gate (SURVEY.md §2 #74). */
+class DocStreamsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def pairsOf(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+    rows.map { r =>
+      val (a, b) = (r.getAs[Long]("doc_id"), r.getAs[Long]("prior_id"))
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+
+  test("streaming candidates equal the batch band equi-join across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val gate = DocStreams.nearDupCandidatesStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, perms = 32, bands = 8, maxBucket = 64)
+    val q = gate.writeStream.format("memory").queryName("neardup_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = pairsOf(spark.table("neardup_gate").collect())
+      val batch = Dedup.bandPairs(
+          Dedup.minhashSignatures(docs.toSeq.toDF("doc_id", "text"),
+            "doc_id", "text", k = 3, perms = 32),
+          "doc_id", perms = 32, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty) // testdata contains planted near-dups
+    } finally q.stop()
+  }
+
+  test("bucket cap bounds state and emissions on a pathological hot bucket") {
+    // 12 identical docs → every band bucket is hot; cap 4 residents
+    val dup = (1L to 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = DocStreams.nearDupCandidatesStream(
+        dup, "doc_id", "text", k = 3, perms = 32, bands = 8, maxBucket = 4)
+      .collect()
+    // residents per bucket are the first 4 ids: no prior_id above 4
+    assert(out.forall(_.getAs[Long]("prior_id") <= 4L))
+    // per band: arrivals 2..5 emit (i-1) pairs, arrivals 6..12 emit 4
+    val perBand = out.groupBy(_.getAs[Int]("band")).map(_._2.length)
+    assert(perBand.forall(_ == (1 + 2 + 3) + 4 * 8))
+  }
+
+  test("zero-token and sub-k docs pass the gate without state or candidates") {
+    val tiny = Seq((1L, ""), (2L, "one two"), (3L, "one two")).toDF("doc_id", "text")
+    val out = DocStreams.nearDupCandidatesStream(
+      tiny, "doc_id", "text", k = 3, perms = 32, bands = 8)
+    assert(out.count() == 0) // no doc has >= 3 words → no shingles, no buckets
+  }
+}
