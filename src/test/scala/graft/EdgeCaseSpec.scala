@@ -31,6 +31,25 @@ class EdgeCaseSpec extends AnyFunSuite with SharedSpark {
     assert(TextAnalysis.fingerprints(emptyDocs, "text", "doc_id").count() == 0)
   }
 
+  test("curation ops on empty/degenerate input: empty results, never errors") {
+    import graft.pipeline.{Packing, Sampling}
+    assert(Packing.chunkPack(emptyDocs, "doc_id", "text", 512, 8).count() == 0)
+    assert(Packing.binPack(emptyDocs, "doc_id", "text", 512, 8).count() == 0)
+    assert(Sampling.stratified(
+      emptyDocs.withColumn("lang", lit("en")), "lang", "doc_id", 5).count() == 0)
+    assert(Sampling.weighted(
+      emptyDocs.withColumn("w", lit(1.0)), "doc_id", "w", 5).count() == 0)
+    assert(graft.text.HeavyHitters.exact(emptyDocs, "text", 5).count() == 0)
+    assert(graft.text.TfIdf.topTerms(emptyDocs, "doc_id", "text", 3).count() == 0)
+    // all-zero-weight rows are filtered, not divided by
+    val zeroW = Seq((1L, 0.0), (2L, 0.0)).toDF("doc_id", "w")
+    assert(Sampling.weighted(zeroW, "doc_id", "w", 5).count() == 0)
+    // docs below the shingle size produce no stream state either
+    val cms = graft.text.HeavyHitters.withCmsEstimates(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "text", 5)
+    assert(cms.count() == 1)
+  }
+
   test("single-row series: fits return nulls not crashes, meanmax returns nothing") {
     val one = Seq((1.0, 2.0)).toDF("x", "y")
     val lin = Fit.linear(one, "x", "y").first()
