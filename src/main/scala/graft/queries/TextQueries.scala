@@ -43,6 +43,17 @@ object TextQueries {
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // #60b bigram-LM fluency score (the perplexity-filter shape).
+    "q_text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // #60c repetition signals (MassiveText/Gopher-style dup-ngram and
+    // top-bigram shares).
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // #66 corpus vocabulary statistics (exact; approx HLL variant is
     // the 100 TB path, spec'd separately).
     "q_vocab" -> ((s, dir) =>
@@ -108,6 +119,40 @@ object TextQueries {
         |  round(avg(ln(cast(tf AS double) / total)), 4) AS avg_logprob
         |FROM t JOIN v USING (tok), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |bi AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+        |       WHERE len(ws) >= 2),
+        |bc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+        |lc AS (SELECT a, count(*) AS c_a FROM bi GROUP BY a)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(ln(cast(c_ab AS DOUBLE) / c_a)), 4) AS avg_logprob
+        |FROM bi JOIN bc USING (a, b) JOIN lc USING (a)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH w0 AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |w AS (SELECT * FROM w0 WHERE len(ws) >= 3),
+        |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_bigrams,
+        |        round(1.0 - cast(count(*) AS DOUBLE) / cast(sum(c) AS DOUBLE), 4) AS dup_bigram_frac,
+        |        round(cast(max(c) AS DOUBLE) / cast(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n_trigrams,
+        |        round(1.0 - cast(count(*) AS DOUBLE) / cast(sum(c) AS DOUBLE), 4) AS dup_trigram_frac
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT a2.doc_id, a2.n_bigrams, a2.dup_bigram_frac, a2.top_bigram_frac,
+        |       a3.n_trigrams, a3.dup_trigram_frac
+        |FROM a2 JOIN a3 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok

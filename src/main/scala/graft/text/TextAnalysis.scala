@@ -70,6 +70,65 @@ object TextAnalysis {
         round(avg(log(col("tf").cast("double") / col("total"))), 4).as("avg_logprob"))
   }
 
+  /** Bigram-LM fluency score: per-document average of
+    * ln P(wᵢ | wᵢ₋₁) under the corpus' own bigram model,
+    * P(b | a) = c(a,b) / c(a·) with c(a·) counting occurrences of `a`
+    * in a LEFT-context position (so the conditional sums to 1 and
+    * every observed bigram has a defined, smoothing-free probability).
+    * The bigram analogue of [[unigramLogProb]] — the standard
+    * fluency/perplexity quality filter shape: word-salad documents
+    * score far below fluent ones even when their unigram mix is
+    * normal. Shape: one bigram aggregation, one left-context
+    * aggregation, two vocabulary-keyed equi-joins, one per-doc
+    * aggregation — all keyed shuffles. Documents with < 2 words
+    * produce no row. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bi = graft.Parallelism.spread(df)
+      .withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), " +
+          "i -> struct(element_at(__ws, i) as a, element_at(__ws, i + 1) as b))")).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+    val biCnt = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val leftCnt = bi.groupBy("a").agg(count(lit(1)).as("c_a"))
+    bi.join(biCnt, Seq("a", "b")).join(leftCnt, Seq("a"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c_ab").cast("double") / col("c_a"))), 4).as("avg_logprob"))
+  }
+
+  /** Repetition signals (the public MassiveText/Gopher-style quality
+    * heuristics: excessive within-document repetition marks boilerplate
+    * and spam): per document, the duplicate fraction of its 2-grams and
+    * 3-grams (1 − distinct/total) and the share of bigram slots taken
+    * by its single most frequent bigram. Shape: one n-gram explode +
+    * (doc, gram) hash aggregation per order, then a per-doc aggregation
+    * — map-side-partial all the way, no windows; the top-bigram share
+    * only needs max(count), no argmax. Documents with < 3 words
+    * produce no row. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def grams(n: Int) = expr(
+      s"transform(sequence(1, size(__ws) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(__ws, i, $n)))")
+    val base = graft.Parallelism.spread(df)
+      .withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= 3)
+    def dupFrac(n: Int, outCnt: String, outFrac: String, top: Boolean) = {
+      val g = base.select(col(idCol), explode(grams(n)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      val aggs = Seq(
+        sum("c").as(outCnt),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 4).as(outFrac)) ++
+        (if (top) Seq(round(max(col("c")).cast("double") / sum("c"), 4)
+          .as("top_bigram_frac"))
+         else Seq.empty)
+      g.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }
+    dupFrac(2, "n_bigrams", "dup_bigram_frac", top = true)
+      .join(dupFrac(3, "n_trigrams", "dup_trigram_frac", top = false), Seq(idCol))
+  }
+
   /** Corpus vocabulary statistics: token and type counts plus
     * type-token ratio. `approx=true` swaps the exact distinct (a
     * shuffle of the full vocabulary) for HyperLogLog

@@ -190,6 +190,41 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(keys == keys.sorted)
   }
 
+  test("bigram LM: fluent repeats score higher than shuffled word salad") {
+    // corpus: one sentence pattern repeated (high P(b|a)) + one doc of
+    // the same vocabulary in scrambled orders (low P(b|a))
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val rng = new scala.util.Random(3)
+    val salad = (21L to 24L).map(i =>
+      (i, rng.shuffle("the cat sat on the mat".split(" ").toSeq).mkString(" ")))
+    val docs = (fluent ++ salad).toDF("doc_id", "text")
+    val scores = graft.text.TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    val fluentAvg = fluent.map(f => scores(f._1)).sum / fluent.size
+    val saladAvg = salad.map(s => scores(s._1)).sum / salad.size
+    assert(fluentAvg > saladAvg,
+      s"fluent=$fluentAvg salad=$saladAvg")
+    // conditional is well-formed: every score is a log-prob <= 0
+    assert(scores.values.forall(_ <= 0.0))
+  }
+
+  test("repetition signals: looped boilerplate maxes out, diverse text stays low") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("buy now limited offer").mkString(" ")), // loop
+      (2L, "one two three four five six seven eight nine ten")   // diverse
+    ).toDF("doc_id", "text")
+    val m = graft.text.TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val loop = m(1L); val diverse = m(2L)
+    // 40-word loop of a 4-word phrase: 39 bigrams, only 4 distinct
+    assert(loop.getAs[Long]("n_bigrams") == 39)
+    assert(loop.getAs[Double]("dup_bigram_frac") > 0.85)
+    assert(loop.getAs[Double]("dup_trigram_frac") > 0.85)
+    assert(loop.getAs[Double]("top_bigram_frac") > 0.2)
+    assert(diverse.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(diverse.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
   // --- collocations --------------------------------------------------
 
   test("PMI: planted collocation outranks frequent-but-independent pair") {
