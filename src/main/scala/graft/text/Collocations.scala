@@ -22,7 +22,8 @@ object Collocations {
     * decimals BEFORE ordering so the ordering itself is
     * engine-portable. */
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Int, k: Int): DataFrame = {
-    val withWs = df.select(TextAnalysis.words(col(textCol)).as("ws"))
+    val withWs = graft.Parallelism.spread(df)
+      .select(TextAnalysis.words(col(textCol)).as("ws"))
     val bi = withWs.filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ws)-1), " +

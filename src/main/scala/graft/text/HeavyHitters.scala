@@ -27,7 +27,8 @@ object HeavyHitters {
 
   /** Exact top-k tokens: (tok, cnt), count-desc then token-asc. */
   def exact(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+    graft.Parallelism.spread(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)

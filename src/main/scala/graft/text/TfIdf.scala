@@ -26,7 +26,8 @@ object TfIdf {
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val n = df.count() // one count job; a scalar, never per-row driver work
-    val toks = df.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
+    val toks = graft.Parallelism.spread(df)
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
