@@ -23,6 +23,46 @@ object CorpusPipeline {
                     shingleK: Int = 3, minhashPerms: Int = 32, bands: Int = 8,
                     estJaccard: Double = 0.5)
 
+  case class GateConfig(minWords: Int = 20, maxStopRatio: Double = 0.9,
+                        stopwords: Seq[String] =
+                          Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+                        shingleK: Int = 5, maxContamination: Double = 0.2,
+                        pctByGroup: Map[String, Int] = Map.empty,
+                        defaultPct: Int = 100)
+
+  /** Stateless ingest-time curation gate: quality thresholds, mixture
+    * rebalance, and bloom decontamination as ONE projection+filter
+    * chain over a single frame — no join, no aggregation, no state.
+    * That statelessness is the point: the identical plan runs on a
+    * batch table and on a `readStream` source (append mode, no
+    * watermark, no state store — spec-pinned batch≡stream), so a
+    * crawl can be curated as it arrives at scan-limited rate, with
+    * the stateful near-dup gate ([[graft.streaming.DocStreams]]) as
+    * the one downstream stage that needs state. Documents with fewer
+    * than `shingleK` words have no shingles; their contamination is
+    * defined as 0 (nothing to overlap). Output: input columns +
+    * n_words, stop_ratio, contamination. */
+  def ingestGate(docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+                 bloom: graft.functions.BroadcastBloom,
+                 cfg: GateConfig = GateConfig()): DataFrame = {
+    val gated = docs
+      .withColumn("__ws", TextAnalysis.words(col(textCol)))
+      .withColumn("n_words", size(col("__ws")))
+      .withColumn("stop_ratio", when(col("n_words") === 0, 0.0)
+        .otherwise(TextAnalysis.stopwordCount(col("__ws"), cfg.stopwords)
+          .cast("double") / col("n_words")))
+      .filter(col("n_words") >= cfg.minWords && col("stop_ratio") <= cfg.maxStopRatio)
+    val mixed = Sampling.mixture(gated, groupCol, idCol, cfg.pctByGroup, cfg.defaultPct)
+    mixed
+      .withColumn("__sh", when(col("n_words") >= cfg.shingleK,
+        Dedup.shingleArray(cfg.shingleK)).otherwise(array().cast("array<string>")))
+      .withColumn("contamination", when(size(col("__sh")) === 0, 0.0)
+        .otherwise(round(size(filter(col("__sh"),
+            s => bloom.mightContain(xxhash64(s)))).cast("double") / size(col("__sh")), 4)))
+      .filter(col("contamination") <= cfg.maxContamination)
+      .drop("__ws", "__sh")
+  }
+
   /** Returns the cleaned corpus (idCol, textCol rows that survive). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             cfg: Config = Config()): DataFrame = {

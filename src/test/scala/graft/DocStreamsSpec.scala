@@ -56,6 +56,45 @@ class DocStreamsSpec extends AnyFunSuite with SharedSpark {
     assert(perBand.forall(_ == (1 + 2 + 3) + 4 * 8))
   }
 
+  test("stateless ingest gate: batch and streaming outputs are row-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.CorpusPipeline
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val bloom = graft.pipeline.Curation.shingleBloom(bench, "text", k = 5, fpp = 1e-8)
+    val good = "plainly normal sentence with enough distinct words to pass the gate fine"
+    val docs = Seq(
+      (1L, good, "de"),                                     // survives
+      (2L, "too short", "de"),                              // quality-dropped
+      (3L, good + " extra tokens appended here", "en"),     // mixture-dropped (en 0%)
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi", "de")
+    ).toDF("doc_id", "text", "lang")                        // contaminated
+    val cfg = CorpusPipeline.GateConfig(minWords = 5, shingleK = 5,
+      maxContamination = 0.2, pctByGroup = Map("en" -> 0), defaultPct = 100)
+
+    val batchOut = CorpusPipeline.ingestGate(docs, "doc_id", "text", "lang", bloom, cfg)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchOut == Set(1L))
+
+    val mem = MemoryStream[(Long, String, String)]
+    val sq = CorpusPipeline.ingestGate(
+        mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "lang", bloom, cfg)
+      .writeStream.format("memory").queryName("ingest_gate").outputMode("append").start()
+    try {
+      mem.addData((1L, good, "de"), (2L, "too short", "de"))
+      sq.processAllAvailable()
+      mem.addData((3L, good + " extra tokens appended here", "en"),
+        (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi", "de"))
+      sq.processAllAvailable()
+      val streamOut = spark.table("ingest_gate").collect().map(_.getLong(0)).toSet
+      assert(streamOut == batchOut)
+      // the whole gate is stateless: no state operator in the executed
+      // streaming plan
+      assert(sq.lastProgress.stateOperators.isEmpty)
+    } finally sq.stop()
+  }
+
   test("zero-token and sub-k docs pass the gate without state or candidates") {
     val tiny = Seq((1L, ""), (2L, "one two"), (3L, "one two")).toDF("doc_id", "text")
     val out = DocStreams.nearDupCandidatesStream(
