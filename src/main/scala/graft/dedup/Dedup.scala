@@ -282,15 +282,25 @@ object Dedup {
       .select(col(idCol), array((0 until perms).map(p => col(s"__m$p")): _*).as("sig"))
   }
 
+  /** THE band-key derivation over a signature array column: one
+    * xxhash64 per `perms/bands`-row slice. Shared by the batch
+    * [[bandPairs]] equi-join and the streaming gate
+    * (`DocStreams.bandRows`) so their keying can never drift — their
+    * output equivalence is spec-pinned. */
+  def bandKeysExpr(sigCol: String, perms: Int, bands: Int): org.apache.spark.sql.Column = {
+    require(bands > 0 && perms % bands == 0,
+      s"bands ($bands) must divide perms ($perms)")
+    val rows = perms / bands
+    expr(s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> xxhash64(slice($sigCol, b * $rows + 1, $rows)))")
+  }
+
   /** LSH banding over signatures: distinct candidate pairs (doc1 < doc2)
     * sharing at least one band — an equi-join on (band, bandHash),
     * never an all-pairs join. */
   def bandPairs(sigs: DataFrame, idCol: String, perms: Int, bands: Int): DataFrame = {
-    require(perms % bands == 0)
-    val rows = perms / bands
-    val banded = sigs.select(col(idCol), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
-      .as(Seq("band", "bh")))
+    val banded = sigs.select(col(idCol),
+      posexplode(bandKeysExpr("sig", perms, bands)).as(Seq("band", "bh")))
     banded.select(col(idCol).as("doc1"), col("band"), col("bh"))
       .join(banded.select(col(idCol).as("doc2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("doc1") < col("doc2"))

@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Stable bucket in [0,100) from the md5 of a key's string form —
+  /** The shared engine-portable randomness source: the first 8 md5 hex
+    * digits of the key's string form as a long in [0, 2^32) —
     * reproducible across runs, engines, and cluster sizes, unlike
-    * rand()-based sampling (and expressible in any engine with md5,
-    * which is what the DuckDB oracle checks). */
-  def hashBucket(c: Column): Column =
+    * rand() (and expressible in any engine with md5, which is what the
+    * DuckDB oracles recompute). [[hashBucket]], `Packing.shardOf`, and
+    * `Sampling.hashUniform` all derive from THIS definition so the
+    * portability contract can't drift per operator. */
+  def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 100
+      .cast("long")
+
+  /** Stable bucket in [0,100) from [[md5Long]]. */
+  def hashBucket(c: Column): Column = md5Long(c) % 100
 
   /** Deterministic train/holdout split: rows whose key hashes below
     * `holdoutPct` go to "holdout". The same key always lands in the

@@ -35,10 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Stable shard in [0, shards) from the md5 of the id's string form. */
+  /** Stable shard in [0, shards) from [[Curation.md5Long]]. */
   def shardOf(c: Column, shards: Int): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % shards
+    Curation.md5Long(c) % shards
 
   /** Concat-and-chunk packing. Output per document (tokens > 0):
     * (idCol, shard, n_tokens, tok_start, seq_first, seq_last) where
@@ -63,6 +62,19 @@ object Packing {
         floor((col("tok_start") + col("n_tokens") - 1) / budget))
   }
 
+  /** binPack/packStream carry the id through typed (Long) encoders —
+    * fail loudly on a non-integral id column instead of silently
+    * null-casting (which would kill an executor task with an opaque
+    * encoder NPE) or re-ordering numerically vs the batch window's
+    * string order. [[chunkPack]] keeps the id column as-is and has no
+    * such restriction. */
+  private def requireIntegralId(df: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$idCol must be an integral type for typed packing, got $dt")
+  }
+
   case class PackIn(id: Long, shard: Long, n_tokens: Long)
   case class PackOut(doc_id: Long, shard: Long, n_tokens: Long,
                      tok_start: Long, seq_first: Long, seq_last: Long)
@@ -82,6 +94,7 @@ object Packing {
                  textCol: String, budget: Int, shards: Int): org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    requireIntegralId(docs, idCol) // schema is known for streams too
     import org.apache.spark.sql.{Encoders => E}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val ds = docs.select(col(idCol).cast("long").as("id"),
@@ -123,6 +136,7 @@ object Packing {
               budget: Int, shards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df.select(col(idCol).cast("long").as("id"),

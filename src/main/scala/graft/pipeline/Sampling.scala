@@ -28,11 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable uniform in (0,1] from the md5 of the id's string form —
-    * 32 bits of hash, so ~4e9 distinct values. */
+  /** Stable uniform in (0,1] from [[Curation.md5Long]] — 32 bits of
+    * hash, so ~4e9 distinct values. */
   def hashUniform(c: Column): Column =
-    (conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("double") + 1.0) / 4294967296.0
+    (Curation.md5Long(c).cast("double") + 1.0) / 4294967296.0
 
   /** Exactly min(n, |stratum|) rows per stratum: the n smallest md5
     * draws, rank exposed as `rn`. Deterministic and reproducible. */
@@ -62,14 +61,16 @@ object Sampling {
   }
 
   /** k-sample without replacement, P(pick) ∝ `weightCol` (must be > 0):
-    * keep the k largest Efraimidis–Spirakis keys ln(u)/w. Exposes the
-    * key (rounded) so oracles can check the selection arithmetic. */
+    * keep the k largest Efraimidis–Spirakis keys ln(u)/w. The key is
+    * rounded BEFORE the ordering (ties broken on the id) so the k-cut
+    * itself is engine-portable — ln differs in the last ulp between
+    * libm implementations, and a raw-key order could flip the boundary
+    * row against the oracle. */
   def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     df.filter(col(weightCol) > 0)
-      .withColumn("es_key", log(hashUniform(col(idCol))) / col(weightCol))
+      .withColumn("es_key", round(log(hashUniform(col(idCol))) / col(weightCol), 6))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
-      .withColumn("es_key", round(col("es_key"), 6))
   }
 }

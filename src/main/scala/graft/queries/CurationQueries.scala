@@ -98,10 +98,10 @@ object CurationQueries {
 
     "q_sample_weighted" ->
       s"""WITH s AS (SELECT doc_id, n_chars,
-         |  ln(($md5Long + 1.0) / 4294967296.0) / n_chars AS es_key
+         |  round(ln(($md5Long + 1.0) / 4294967296.0) / n_chars, 6) AS es_key
          | FROM documents WHERE n_chars > 0
          | ORDER BY es_key DESC, doc_id LIMIT 25)
-         |SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+         |SELECT doc_id, n_chars, es_key
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_heavy_hitters" ->

@@ -99,14 +99,16 @@ object Layout {
       val bounds = Option(row.getSeq[Double](j)).getOrElse(Seq.empty)
       // rank bucket in [0, 2^bits): boundaries ≤ v, counted by a
       // codegen'd array filter over the literal boundary vector
+      // LONG before shifting: int shifts mask the distance to 5 bits,
+      // so positions ≥ 31 would wrap/sign-flip and scramble the curve
       val bucket =
-        if (bounds.isEmpty) lit(0)
-        else size(filter(typedlit(bounds), b => b <= col(c).cast("double")))
+        (if (bounds.isEmpty) lit(0)
+         else size(filter(typedlit(bounds), b => b <= col(c).cast("double"))))
+          .cast("long")
       (bucket, j)
     }.flatMap { case (bucket, j) =>
       (0 until bits).map(i =>
-        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)), i * zCols.size + j)
-          .cast("long"))
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * zCols.size + j))
     }.reduce(_ + _)
     df.withColumn("__z", zVal)
       .repartitionByRange(numFiles, col("__z"))

@@ -42,16 +42,13 @@ object DocStreams {
     * shared by the streaming gate and its batch-equivalence spec. */
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
                k: Int, perms: Int, bands: Int): DataFrame = {
-    require(perms % bands == 0, s"bands ($bands) must divide perms ($perms)")
-    val rows = perms / bands
     GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("__ws", TextAnalysis.words(col(textCol)))
       .filter(size(col("__ws")) >= k)
       .withColumn("__sig", GraftFunctions.minhashSig(Dedup.shingleArray(k), perms))
-      .select(col(idCol).cast("long").as("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(__sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "key")))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Dedup.bandKeysExpr("__sig", perms, bands)).as(Seq("band", "key")))
   }
 
   /** Streaming near-dup candidate gate. Output: (doc_id, prior_id,

@@ -32,20 +32,21 @@ object Collocations {
     val biCnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
     val uni = withWs.select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
-    val nBiRow = biCnt.agg(sum("cnt")).first()
-    if (nBiRow.isNullAt(0)) { // no bigrams at all (empty / 1-word docs)
-      val spark = df.sparkSession
-      import spark.implicits._
-      return Seq.empty[(String, String, Long, Double)].toDF("a", "b", "cnt", "pmi")
-    }
-    val nBi = nBiRow.getLong(0)
-    val nUni = uni.agg(sum("tf")).first().getLong(0) // non-null: bigrams exist
+    // totals stay IN the plan (broadcast one-row frames, the
+    // unigramLogProb pattern): no eager driver action, no recompute of
+    // the explode/aggregate pipeline when the result executes. An
+    // empty/1-word corpus yields an empty biCnt, so the joins (and the
+    // result) are empty without a special case.
+    val totals = biCnt.agg(sum("cnt").as("n_bi"))
+      .crossJoin(uni.agg(sum("tf").as("n_uni")))
     biCnt.filter(col("cnt") >= minCount)
       .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("tf", "tf_a"), Seq("a"))
       .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("tf", "tf_b"), Seq("b"))
+      .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("cnt"),
-        round(log((col("cnt").cast("double") / nBi) /
-          ((col("tf_a").cast("double") / nUni) * (col("tf_b").cast("double") / nUni))), 4)
+        round(log((col("cnt").cast("double") / col("n_bi")) /
+          ((col("tf_a").cast("double") / col("n_uni")) *
+            (col("tf_b").cast("double") / col("n_uni")))), 4)
           .as("pmi"))
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(k)

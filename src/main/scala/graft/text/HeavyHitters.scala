@@ -38,7 +38,8 @@ object HeavyHitters {
   def withCmsEstimates(df: DataFrame, textCol: String, k: Int,
                        eps: Double = 0.001, confidence: Double = 0.99,
                        seed: Int = 42): DataFrame = {
-    val toks = df.select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+    val toks = graft.Parallelism.spread(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("tok"))
     val bytes = toks
       .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed)))
       .first().getAs[Array[Byte]](0)
