@@ -69,6 +69,39 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("packing invariants on random corpora: chunk streams dense, bins valid") {
+    import graft.pipeline.Packing
+    val corpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.choose(0, 40).map(k => List.fill(k)("w").mkString(" ")))
+    } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpus, samples = 6) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val budget = 16
+      // chunkPack: per-shard token streams are gap-free and in doc order
+      val packed = Packing.chunkPack(df, "doc_id", "text", budget, shards = 3).collect()
+      packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+        var next = 0L
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("tok_start") == next)
+          next += r.getAs[Long]("n_tokens")
+        }
+      }
+      // total stream length = total tokens of non-empty docs
+      val totalToks = rows.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      assert(packed.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+      // binPack: within budget (oversize solo), every tokenful doc placed once
+      val bins = Packing.binPack(df, "doc_id", "text", budget, shards = 3).collect()
+      assert(bins.map(_.getAs[Long](0)).distinct.length == bins.length)
+      assert(bins.length == rows.count(_._2.split(" ").exists(_.nonEmpty)))
+      bins.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+        .foreach { case (_, members) =>
+          if (members.exists(_.getAs[Boolean]("oversize"))) assert(members.length == 1)
+          else assert(members.map(_.getAs[Long]("n_tokens")).sum <= budget)
+        }
+    }
+  }
+
   test("weighted quantile matches brute-force cumulative scan") {
     val data: Gen[List[(Double, Int)]] = for {
       n <- Gen.choose(5, 60)
