@@ -39,7 +39,10 @@ object Packing {
   def shardOf(c: Column, shards: Int): Column =
     Curation.md5Long(c) % shards
 
-  /** Concat-and-chunk packing. Output per document (tokens > 0):
+  /** Concat-and-chunk packing. `idCol` must be unique — it is the
+    * total order of each shard's stream; duplicate ids would make the
+    * cumulative offsets tie-ambiguous in any engine. Output per
+    * document (tokens > 0):
     * (idCol, shard, n_tokens, tok_start, seq_first, seq_last) where
     * tok_start is the document's offset in its shard's token stream
     * and seq_first/seq_last the fixed-size sequences its tokens land
