@@ -108,25 +108,35 @@ object TextAnalysis {
     * only needs max(count), no argmax. Documents with < 3 words
     * produce no row. */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    def grams(n: Int) = expr(
-      s"transform(sequence(1, size(__ws) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice(__ws, i, $n)))")
-    val base = graft.Parallelism.spread(df)
+    // ONE corpus scan: the generator emits tagged 2- and 3-grams
+    // together, one (doc, n, gram) aggregation counts both orders, and
+    // a conditional final aggregation splits them back into columns —
+    // half the scan/explode passes of the per-order formulation, same
+    // shuffle volume (the (doc, gram) group count is what it is).
+    val tagged = graft.Parallelism.spread(df)
       .withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= 3)
-    def dupFrac(n: Int, outCnt: String, outFrac: String, top: Boolean) = {
-      val g = base.select(col(idCol), explode(grams(n)).as("g"))
-        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      val aggs = Seq(
-        sum("c").as(outCnt),
-        round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 4).as(outFrac)) ++
-        (if (top) Seq(round(max(col("c")).cast("double") / sum("c"), 4)
-          .as("top_bigram_frac"))
-         else Seq.empty)
-      g.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    }
-    dupFrac(2, "n_bigrams", "dup_bigram_frac", top = true)
-      .join(dupFrac(3, "n_trigrams", "dup_trigram_frac", top = false), Seq(idCol))
+      .select(col(idCol), explode(expr(
+        "concat(" +
+          "transform(sequence(1, size(__ws) - 1), " +
+          "  i -> struct(2 as n, concat_ws(' ', slice(__ws, i, 2)) as g)), " +
+          "transform(sequence(1, size(__ws) - 2), " +
+          "  i -> struct(3 as n, concat_ws(' ', slice(__ws, i, 3)) as g)))")).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
+    def n2(c: org.apache.spark.sql.Column) = when(col("n") === 2, c)
+    def n3(c: org.apache.spark.sql.Column) = when(col("n") === 3, c)
+    tagged
+      .groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(n2(col("c"))).as("n_bigrams"),
+        round(lit(1.0) - count(n2(lit(1))).cast("double") / sum(n2(col("c"))), 4)
+          .as("dup_bigram_frac"),
+        round(max(n2(col("c"))).cast("double") / sum(n2(col("c"))), 4)
+          .as("top_bigram_frac"),
+        sum(n3(col("c"))).as("n_trigrams"),
+        round(lit(1.0) - count(n3(lit(1))).cast("double") / sum(n3(col("c"))), 4)
+          .as("dup_trigram_frac"))
   }
 
   /** Corpus vocabulary statistics: token and type counts plus
