@@ -223,6 +223,25 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     // and content round-trips exactly
     assert(spark.read.parquet(zTmp).count() == 4096)
     assert(spark.read.parquet(zTmp).exceptAll(grid).isEmpty)
+
+    // END-TO-END skipping: a secondary-dim filter on the z-ordered
+    // table reads strictly fewer rows out of the parquet reader
+    // (row-group/page statistics skipping) than on the lex-sorted one,
+    // where y's min/max spans every file
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("y") === 7.0)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRead = scannedRows(zTmp)
+    val lexRead = scannedRows(lexTmp)
+    assert(zRead < lexRead, s"z-ordered read $zRead rows, lex read $lexRead")
+    assert(zRead <= 2048, s"y-filter should skip most z-ordered groups, read $zRead")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zTmp))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lexTmp))
   }
