@@ -45,6 +45,13 @@ object CurationQueries {
     "q_heavy_hitters" -> ((s, dir) =>
       HeavyHitters.exact(Tables.documents(s, dir), "text", k = 30)),
 
+    // #70c the no-vocabulary-shuffle path: SpaceSaving candidates per
+    // partition, exact counts for candidates only — same results, same
+    // oracle as q_heavy_hitters, but the aggregation shuffles ~m rows
+    // per partition instead of the whole vocabulary.
+    "q_heavy_hitters_scalable" -> ((s, dir) =>
+      HeavyHitters.topKScalable(Tables.documents(s, dir), "text", k = 30)),
+
     // #70b Count-Min estimates alongside the exact counts (rows-only:
     // sketch internals are engine-specific; bound pinned by
     // SketchSpec).
@@ -105,6 +112,14 @@ object CurationQueries {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents)
+        |SELECT tok, count(*) AS cnt FROM t
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30""".stripMargin,
+
+    // the scalable path is exact whenever the SpaceSaving superset
+    // guarantee holds (k=30 ≪ m=4096) — so it shares the exact oracle
+    "q_heavy_hitters_scalable" ->
       """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
         |           FROM documents)
         |SELECT tok, count(*) AS cnt FROM t

@@ -33,6 +33,49 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
 
+  /** The 100 TB top-k shape: NO vocabulary-wide shuffle. Pass 1 runs
+    * a SpaceSaving summary (Metwally et al. 2005) of `m` counters per
+    * partition — any token with partition-local count ≥ n_p/m survives
+    * its partition, so the union of per-partition survivors is a
+    * SUPERSET of every token with global count ≥ N/m; with k ≪ m the
+    * true top-k is inside it. Pass 2 broadcast-semi-joins the ≤
+    * partitions·m candidates back onto the token stream and counts
+    * EXACTLY those — the aggregation shuffles only candidate rows, so
+    * the result is exact top-k (same oracle as [[exact]]) while the
+    * full vocabulary never crosses the wire. */
+  def topKScalable(df: DataFrame, textCol: String, k: Int, m: Int = 4096): DataFrame = {
+    require(k > 0 && m >= k, s"need m >= k > 0, got k=$k m=$m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = graft.Parallelism.spread(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      // SpaceSaving with m counters: on overflow, the minimum counter
+      // is reassigned to the new item with count min+1
+      val counts = new java.util.HashMap[String, Long](m * 2)
+      it.foreach { t =>
+        if (counts.containsKey(t)) counts.put(t, counts.get(t) + 1)
+        else if (counts.size < m) counts.put(t, 1L)
+        else {
+          // O(m) min scan per eviction — evictions are rare on skewed
+          // token streams (the heavy mass increments existing counters);
+          // a production kernel would keep a min-heap beside the map
+          var minK: String = null; var minV = Long.MaxValue
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) { val x = e.next(); if (x.getValue < minV) { minV = x.getValue; minK = x.getKey } }
+          counts.remove(minK)
+          counts.put(t, minV + 1)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      counts.keySet().asScala.iterator
+    }.toDF("tok").distinct()
+    toks.join(broadcast(candidates), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Exact top-k with the Count-Min estimate alongside:
     * (tok, cnt, cnt_cms). Deterministic for a fixed seed. */
   def withCmsEstimates(df: DataFrame, textCol: String, k: Int,

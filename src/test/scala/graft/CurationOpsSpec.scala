@@ -184,6 +184,30 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scalable heavy hitters equal the exact path on the corpus") {
+    val a = HeavyHitters.exact(docs, "text", 20).collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = HeavyHitters.topKScalable(docs, "text", 20).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("scalable heavy hitters survive m smaller than the vocabulary (Zipf stress)") {
+    val rng = new scala.util.Random(5)
+    // 600 docs over a 2000-word vocab with a few planted hot tokens —
+    // m=64 counters per partition cannot hold the vocab, but the
+    // SpaceSaving superset guarantee must still keep the true top-5
+    val corpus = (0L until 600L).map { i =>
+      val hot = Seq.fill(6)(s"hot${rng.nextInt(5)}")
+      val cold = Seq.fill(10)(s"w${rng.nextInt(2000)}")
+      (i, rng.shuffle(hot ++ cold).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = HeavyHitters.exact(corpus, "text", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val scalable = HeavyHitters.topKScalable(corpus, "text", 5, m = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(scalable == exact)
+    assert(exact.forall(_._1.startsWith("hot")))
+  }
+
   test("exact heavy hitters ordering is (count desc, token asc)") {
     val rows = HeavyHitters.exact(docs, "text", 15).collect()
     val keys = rows.map(r => (-r.getAs[Long]("cnt"), r.getString(0))).toSeq
