@@ -99,6 +99,7 @@ object ScaleSmoke {
       // disjoint hash domains → ~everything misses; count forces the probe
       probes.filter(!bloom.mightContain(col("h"))).count()
     }
+    events.unpersist()
     timed("banded_embed_100k") {
       // 100k 64-dim vectors through the seed-derived hyperplane kernel
       // path (192 bits × 16 bands): candidate equi-join + exact verify

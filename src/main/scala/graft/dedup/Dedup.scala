@@ -37,7 +37,7 @@ object Dedup {
   // oldest UNSCOPED entry past this cap is safe (scoped entries have a
   // guaranteed release point and are never evicted early)
   private val MaxUnscoped = 64
-  private def cached(df: DataFrame): DataFrame = {
+  private[graft] def cached(df: DataFrame): DataFrame = {
     df.cache()
     val sc = Option(currentScope.get().peek()).map(_.longValue).getOrElse(0L)
     tracked.synchronized {

@@ -26,8 +26,13 @@ object Annealing {
       val t = math.max(1e-9, 1.0 - k.toDouble / iterations)
       val cand = neighbour(current, t, rng)
       val candCost = goal(cand)
+      // Metropolis exponent normalized by candidate cost, matching the
+      // reference's default-transition (annealing.rkt:39 divides by
+      // ncost·temperature) and the Fit path: with raw SSE-scale costs
+      // exp(Δ/t) underflows to 0 and the walk degenerates to greedy
       val accept = candCost <= currentCost ||
-        rng.nextDouble() < math.exp((currentCost - candCost) / t)
+        rng.nextDouble() < math.exp((currentCost - candCost) /
+          (math.max(candCost, Double.MinPositiveValue) * t))
       if (accept) { current = cand; currentCost = candCost }
       if (candCost < bestCost) { best = cand; bestCost = candCost }
     }

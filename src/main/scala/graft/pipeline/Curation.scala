@@ -42,8 +42,11 @@ object Curation {
     * than k words produce no row (they have no shingles to match). */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, k: Int = 8): DataFrame = {
-    // two consumers (sizes, hits) → materialize the shingle explode once
-    val cs = Dedup.shingles(corpus, idCol, textCol, k).cache()
+    // two consumers (sizes, hits) → materialize the shingle explode
+    // once, through the tracked registry so a long-running pipeline
+    // calling this repeatedly has a release handle (withCacheScope /
+    // releaseCaches) instead of an unbounded cache leak
+    val cs = Dedup.cached(Dedup.shingles(corpus, idCol, textCol, k))
     // only the benchmark's TEXT matters — don't require it to carry the
     // corpus's id column
     val bs = Dedup.shingles(benchmark.select(lit(0L).as("__bid"), col(textCol)),

@@ -71,7 +71,7 @@ object Packing {
     * encoder NPE) or re-ordering numerically vs the batch window's
     * string order. [[chunkPack]] keeps the id column as-is and has no
     * such restriction. */
-  private def requireIntegralId(df: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
+  private[graft] def requireIntegralId(df: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),

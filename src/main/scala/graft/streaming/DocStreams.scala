@@ -42,6 +42,10 @@ object DocStreams {
     * shared by the streaming gate and its batch-equivalence spec. */
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
                k: Int, perms: Int, bands: Int): DataFrame = {
+    // a non-integral id would cast to null and surface as an opaque
+    // encoder NPE inside flatMapGroupsWithState — fail with a clear
+    // message at plan time instead (schema is known for streams too)
+    graft.pipeline.Packing.requireIntegralId(docs, idCol)
     GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("__ws", TextAnalysis.words(col(textCol)))

@@ -38,28 +38,53 @@ object HeavyHitters {
     * partition — any token with partition-local count ≥ n_p/m survives
     * its partition, so the union of per-partition survivors is a
     * SUPERSET of every token with global count ≥ N/m; with k ≪ m the
-    * true top-k is inside it. Pass 2 broadcast-semi-joins the ≤
-    * partitions·m candidates back onto the token stream and counts
-    * EXACTLY those — the aggregation shuffles only candidate rows, so
-    * the result is exact top-k (same oracle as [[exact]]) while the
-    * full vocabulary never crosses the wire. */
+    * true top-k is inside it. Pass 2 semi-joins the ≤ partitions·m
+    * candidates back onto the token stream and counts EXACTLY those —
+    * the aggregation shuffles only candidate rows, so the full
+    * vocabulary never crosses the wire.
+    *
+    * The superset argument covers the true top-k ONLY while the k-th
+    * global count exceeds N/m — on a flat distribution (or k chosen
+    * near m) a true heavy hitter can be evicted in every partition
+    * and silently missed. So this VERIFIES the guarantee before
+    * returning: the SpaceSaving pass emits per-partition token totals
+    * and eviction counts in-band (no second corpus scan), and the
+    * exact candidate counts are checked for `k-th cnt · m > N`. When
+    * no partition evicted, the candidate set IS the vocabulary and
+    * the result is exact unconditionally; when the bound fails, this
+    * falls back to [[exact]] (the vocabulary shuffle — slower, never
+    * wrong). Result is therefore always exact top-k (same oracle as
+    * [[exact]]), returned as a driver-local k-row frame.
+    *
+    * The candidate side is ≤ partitions·m rows — at 10k partitions ×
+    * m=4096 that is past safe driver-broadcast territory, so there is
+    * deliberately NO broadcast hint on the pass-2 join: AQE broadcasts
+    * a small measured candidate set and picks a shuffled semi-join
+    * when it is not. */
   def topKScalable(df: DataFrame, textCol: String, k: Int, m: Int = 4096): DataFrame = {
     require(k > 0 && m >= k, s"need m >= k > 0, got k=$k m=$m")
     val spark = df.sparkSession
     import spark.implicits._
     val toks = graft.Parallelism.spread(df)
       .select(explode(TextAnalysis.words(col(textCol))).as("tok"))
-    val candidates = toks.as[String].mapPartitions { it =>
+    // (tok, null, null) per surviving counter; one (null, n_p,
+    // evictions_p) sentinel per partition — totals ride along in the
+    // summary instead of costing their own corpus scan
+    val summary = graft.dedup.Dedup.cached(toks.as[String].mapPartitions { it =>
       // SpaceSaving with m counters: on overflow, the minimum counter
       // is reassigned to the new item with count min+1
       val counts = new java.util.HashMap[String, Long](m * 2)
+      var np = 0L
+      var evictions = 0L
       it.foreach { t =>
+        np += 1
         if (counts.containsKey(t)) counts.put(t, counts.get(t) + 1)
         else if (counts.size < m) counts.put(t, 1L)
         else {
           // O(m) min scan per eviction — evictions are rare on skewed
           // token streams (the heavy mass increments existing counters);
           // a production kernel would keep a min-heap beside the map
+          evictions += 1
           var minK: String = null; var minV = Long.MaxValue
           val e = counts.entrySet().iterator()
           while (e.hasNext) { val x = e.next(); if (x.getValue < minV) { minV = x.getValue; minK = x.getKey } }
@@ -68,12 +93,27 @@ object HeavyHitters {
         }
       }
       import scala.jdk.CollectionConverters._
-      counts.keySet().asScala.iterator
-    }.toDF("tok").distinct()
-    toks.join(broadcast(candidates), Seq("tok"))
+      counts.keySet().asScala.iterator.map(t => (Option(t), Option.empty[Long], Option.empty[Long])) ++
+        Iterator.single((Option.empty[String], Some(np), Some(evictions)))
+    }.toDF("tok", "np", "evictions"))
+    val candidates = summary.filter(col("tok").isNotNull).select("tok").distinct()
+    val counted = toks.join(candidates, Seq("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
+    val topRows = counted.collect() // k rows — driver-tiny
+    val Array(tot) = summary.filter(col("tok").isNull)
+      .agg(sum("np").as("n"), sum("evictions").as("ev")).collect()
+    val (n, ev) = (if (tot.isNullAt(0)) 0L else tot.getLong(0),
+      if (tot.isNullAt(1)) 0L else tot.getLong(1))
+    val exactGuaranteed = ev == 0L ||
+      (topRows.length == k && topRows.last.getLong(1) * m > n)
+    if (exactGuaranteed) topRows.toSeq.map(r => (r.getString(0), r.getLong(1))).toDF("tok", "cnt")
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"topKScalable: SpaceSaving superset guarantee failed (k-th cnt=${topRows.lastOption.map(_.getLong(1))}, N=$n, m=$m) — falling back to exact()")
+      exact(df, textCol, k)
+    }
   }
 
   /** Exact top-k with the Count-Min estimate alongside:

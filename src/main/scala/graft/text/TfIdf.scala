@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * put idf next to tf (vocabulary-sized sides — AQE broadcasts when
   * small), then a per-document rank. The rank filter compiles to
   * WindowGroupLimit, so each map task keeps only its local top-k per
-  * document before the exchange. The doc count N is a single
-  * aggregate scalar.
+  * document before the exchange. The doc count N stays IN the plan
+  * as a broadcast one-row frame (the Collocations totals pattern):
+  * no eager driver job at call time, the scan it needs prunes to
+  * zero columns, and the operator composes lazily like everything
+  * else.
   *
   * Ordering is engine-portable: tfidf is rounded to 4 decimals BEFORE
   * ranking and ties break on the term, so the top-k cut is identical
@@ -25,13 +28,18 @@ object TfIdf {
   /** Top-k terms per document: (idCol, term, tf, df, tfidf, rn). */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val n = df.count() // one count job; a scalar, never per-row driver work
     val toks = graft.Parallelism.spread(df)
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N counts ALL documents (a token-less doc still shrinks every
+    // term's idf), so it aggregates df itself — a zero-column scan,
+    // not the tokenized pipeline — and rides along as one broadcast row
+    val totals = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .crossJoin(broadcast(totals))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))

@@ -228,6 +228,22 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(best - 3.0) < 0.1 && cost < 0.01)
   }
 
+  test("generic anneal accepts uphill moves on SSE-scale costs (normalized transition)") {
+    // with the raw exp(Δ/t) accept, a cost in the 1e7–1e8 range drives
+    // every uphill probability to exp(-huge) = 0 and the walk is
+    // silently greedy; the ncost·t normalization (annealing.rkt:39)
+    // keeps the exponent scale-free. Witness: at least one accepted
+    // transition must move uphill.
+    def f(x: Double): Double = 1e8 * (x - 3) * (x - 3) + 1e7
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val (best, _) = Annealing.anneal[Double](10.0, f,
+      (x, t, rng) => { seen += x; x + (rng.nextDouble() - 0.5) * 4 * t },
+      iterations = 5000)
+    assert(math.abs(best - 3.0) < 0.1)
+    val uphill = seen.sliding(2).count { case scala.collection.Seq(a, b) => f(b) > f(a) + 1e-9 }
+    assert(uphill > 0, "walk degenerated to greedy: no uphill acceptance on SSE-scale cost")
+  }
+
   test("annealed exp/power fits strictly improve the log-transform seed's SSE") {
     // additive noise on an exponential is the reference's documented
     // bad-fit shape (least-squares-fit.rkt: the ln-y SLR "is not very
