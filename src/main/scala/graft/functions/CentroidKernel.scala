@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Handle to a broadcast k×dim centroid matrix (flattened row-major).
+  *
+  * The IVF quantizer needs "nearest centroid id(s)" per vector. A
+  * literal formulation (k `typedLit` arrays inside a `sort_array` of
+  * structs) puts O(k·dim) expression nodes into the plan — fine at the
+  * demo k, but a production coarse quantizer (k = 1024–65536 cells)
+  * makes megabyte expression trees that break codegen and bloat every
+  * task binary. Here the matrix travels ONCE per executor as a
+  * `Broadcast[Array[Double]]` (the BroadcastBloom pattern) and the
+  * argmin is one tight primitive loop in a native expression, so the
+  * plan holds a single node regardless of k. */
+case class BroadcastCentroids(flat: Broadcast[Array[Double]], k: Int, dim: Int) {
+
+  /** array<int> of the `nprobe` nearest centroid ids, nearest first,
+    * ties to the lower id. */
+  def nearest(vec: Column, nprobe: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NearestCentroids(org.apache.spark.sql.GraftColumnBridge.expression(vec), this, nprobe))
+
+  /** The single nearest centroid id. */
+  def nearestOne(vec: Column): Column =
+    org.apache.spark.sql.functions.element_at(nearest(vec, 1), 1)
+
+  /** Release the executor-side copies (safe once no live plan needs
+    * the kernel — e.g. between Lloyd iterations). */
+  def destroy(): Unit = flat.destroy()
+}
+
+object BroadcastCentroids {
+  def apply(spark: SparkSession, cents: Array[Array[Double]]): BroadcastCentroids = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim), "ragged centroid matrix")
+    val flat = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      System.arraycopy(cents(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    BroadcastCentroids(spark.sparkContext.broadcast(flat), cents.length, dim)
+  }
+}
+
+/** Codegen'd nearest-centroid search over a broadcast matrix: for each
+  * input vector, the `nprobe` centroid ids minimizing
+  * ‖v−c‖² (up to the per-row constant ‖v‖²: score = ‖c‖² − 2·v·c).
+  * The matrix never enters the plan — codegen references this
+  * expression instance, which carries only the broadcast handle. */
+case class NearestCentroids(child: Expression, cents: BroadcastCentroids, nprobe: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires array<double>, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  // per-(executor)deserialization squared norms — k doubles recomputed
+  // from the broadcast matrix, never shipped
+  @transient private lazy val norms: Array[Double] = {
+    val flat = cents.flat.value
+    val (k, dim) = (cents.k, cents.dim)
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = c * dim
+      val end = i + dim
+      while (i < end) { s += flat(i) * flat(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  def nearestIds(input: ArrayData): ArrayData = {
+    val flat = cents.flat.value
+    val (k, dim) = (cents.k, cents.dim)
+    val n = math.min(input.numElements(), dim)
+    val m = math.min(nprobe, k)
+    // insertion into parallel (score, cid) arrays — m is tiny
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestC = Array.fill(m)(Int.MaxValue)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { dot += input.getDouble(i) * flat(off + i); i += 1 }
+      val d = norms(c) - 2.0 * dot
+      if (d < bestD(m - 1) || (d == bestD(m - 1) && c < bestC(m - 1))) {
+        var j = m - 1
+        while (j > 0 && (d < bestD(j - 1) || (d == bestD(j - 1) && c < bestC(j - 1)))) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = d; bestC(j) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestC)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nearestIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centroidKernel", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.nearestIds($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -308,4 +308,27 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     val cents2 = Ivf.train(vecs, "vec_id", "embedding", k = 4, iters = 3)
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
+
+  test("IVF at production k: broadcast-matrix kernel trains k=1024 and pins recall@10") {
+    // the literal-centroid formulation this replaced would put 1024
+    // array literals into the plan and break codegen here; the kernel
+    // must plan one node and stay correct
+    val vecs = spark.range(2500).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 12), i -> cast(pmod(xxhash64(id, i), 1000) as double) / 1000.0)")
+        .as("embedding"))
+    val cents = Ivf.train(vecs, "vec_id", "embedding", k = 1024, iters = 2)
+    assert(cents.length == 1024 && cents.forall(_.length == 12))
+    val probes = vecs.filter(col("vec_id") < 10)
+    val ivf = Ivf.topK(vecs, probes, "vec_id", "embedding", 10, cents, nprobe = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Cosine.topK(vecs, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // hash-uniform vectors are the adversarial case for IVF (no real
+    // cluster structure); probing 64 of 1024 lists must still recall
+    // a solid share of the true top-10 — pinned so kernel regressions
+    // (wrong argmin, off-by-one in the flat matrix) surface as recall
+    // collapse, not silence
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 collapsed: $recall")
+  }
 }
