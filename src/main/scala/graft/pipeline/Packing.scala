@@ -65,6 +65,43 @@ object Packing {
         floor((col("tok_start") + col("n_tokens") - 1) / budget))
   }
 
+  /** Grouped / curriculum concat-and-chunk: [[chunkPack]] with the
+    * additional constraints a curated pre-training mix needs —
+    * sequences NEVER cross a `groupCol` boundary (language, source,
+    * license tier … each group gets its own shard set and its own
+    * sequence numbering), and within a (group, shard) stream documents
+    * are concatenated in curriculum order (`orderCol` ascending — e.g.
+    * a difficulty or quality score — with the id as deterministic
+    * tie-break) instead of raw id order. With `orderCol = None` the
+    * order is id, i.e. plain per-group chunking.
+    *
+    * Same window-arithmetic shape as [[chunkPack]] (one cumulative sum
+    * per (group, shard) window — fully relational, DuckDB-oracled), so
+    * it scales identically: groups × shards is the parallelism knob
+    * and no group ever needs to fit anywhere in particular. Output:
+    * (idCol, groupCol, shard, n_tokens, tok_start, seq_first,
+    * seq_last), sequence numbers per (group, shard). */
+  def chunkPackByGroup(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, budget: Int, shards: Int,
+                       orderCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val ord = orderCol.map(c => col(c).asc).toSeq :+ col(idCol).asc
+    val w = Window.partitionBy(col(groupCol), col("shard")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = orderCol.filter(_ != idCol).map(col).toSeq
+    df.select(col(idCol) +: col(groupCol) +: carried :+
+        shardOf(col(idCol), shards).as("shard") :+
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_tokens"): _*)
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_first", floor(col("tok_start") / budget))
+      .withColumn("seq_last",
+        floor((col("tok_start") + col("n_tokens") - 1) / budget))
+      .select(col(idCol), col(groupCol), col("shard"), col("n_tokens"),
+        col("tok_start"), col("seq_first"), col("seq_last"))
+  }
+
   /** binPack/packStream carry the id through typed (Long) encoders —
     * fail loudly on a non-integral id column instead of silently
     * null-casting (which would kill an executor task with an opaque
@@ -136,36 +173,55 @@ object Packing {
     * partitioning. Best-fit lookup is a TreeMap keyed by remaining
     * capacity — O(log bins) per document. */
   def binPack(df: DataFrame, idCol: String, textCol: String,
-              budget: Int, shards: Int): DataFrame = {
+              budget: Int, shards: Int): DataFrame =
+    binPackCore(df, idCol, textCol, lit(""), budget, shards)
+      .drop("group")
+
+  /** [[binPack]] with bin sets per (groupCol, shard): a bin never
+    * mixes groups (language/source/license purity for no-split
+    * packing), each group numbering its bins independently. Output
+    * adds the group: (idCol, group, shard, n_tokens, bin, oversize).
+    * Scale is unchanged — the exchange key gains the group, so skewed
+    * group sizes spread over `shards` sub-shards exactly like the
+    * ungrouped path. */
+  def binPackByGroup(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, budget: Int, shards: Int): DataFrame =
+    binPackCore(df, idCol, textCol, col(groupCol).cast("string"), budget, shards)
+
+  private def binPackCore(df: DataFrame, idCol: String, textCol: String,
+                          group: Column, budget: Int, shards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
     requireIntegralId(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df.select(col(idCol).cast("long").as("id"),
+        group.as("group"),
         shardOf(col(idCol), shards).as("shard"),
         size(TextAnalysis.words(col(textCol))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("id"))
-      .as[(Long, Long, Long)]
+      .repartition(col("group"), col("shard"))
+      .sortWithinPartitions(col("group"), col("shard"), col("n_tokens").desc, col("id"))
+      .as[(Long, String, Long, Long)]
     val packed = prepared.mapPartitions { rows =>
-      // a partition holds whole shards (possibly several) — reset the
-      // packer whenever the shard key changes
+      // a partition holds whole (group, shard) runs (possibly several)
+      // — reset the packer whenever the key changes
       var shard = Long.MinValue
+      var grp: String = null
       // remaining capacity -> bin ids with exactly that remaining, in
       // creation order (first-created wins ties for determinism)
       var open: java.util.TreeMap[Long, scala.collection.mutable.Queue[Long]] = null
       var nextBin = 0L
-      rows.map { case (id, sh, toks) =>
-        if (sh != shard) {
+      rows.map { case (id, g, sh, toks) =>
+        if (sh != shard || g != grp) {
           shard = sh
+          grp = g
           open = new java.util.TreeMap[Long, scala.collection.mutable.Queue[Long]]()
           nextBin = 0L
         }
         if (toks > budget) { // oversize: solo bin, never opened for reuse
           val bin = nextBin; nextBin += 1
-          (id, sh, toks, bin, true)
+          (id, g, sh, toks, bin, true)
         } else {
           val fit = open.ceilingEntry(toks)
           if (fit == null) { // nothing fits: open a new bin
@@ -174,7 +230,7 @@ object Packing {
             if (rem > 0)
               open.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
                 .enqueue(bin)
-            (id, sh, toks, bin, false)
+            (id, g, sh, toks, bin, false)
           } else { // tightest remaining capacity that fits (best fit)
             val q = fit.getValue
             val bin = q.dequeue()
@@ -183,11 +239,11 @@ object Packing {
             if (rem > 0)
               open.computeIfAbsent(rem, _ => scala.collection.mutable.Queue.empty)
                 .enqueue(bin)
-            (id, sh, toks, bin, false)
+            (id, g, sh, toks, bin, false)
           }
         }
       }
-    }.toDF("id", "shard", "n_tokens", "bin", "oversize")
+    }.toDF("id", "group", "shard", "n_tokens", "bin", "oversize")
     packed.withColumnRenamed("id", idCol)
   }
 }

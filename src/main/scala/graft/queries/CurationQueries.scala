@@ -28,6 +28,22 @@ object CurationQueries {
           budget = 512, shards = 8)
         .orderBy("doc_id")),
 
+    // #68c grouped curriculum packing: sequences never cross a
+    // language boundary and each (lang, shard) stream is concatenated
+    // easy-first (n_chars ascending, id tie-break) — window
+    // arithmetic, fully oracle-checked.
+    "q_pack_grouped" -> ((s, dir) =>
+      Packing.chunkPackByGroup(Tables.documents(s, dir), "doc_id", "text", "lang",
+          budget = 512, shards = 4, orderCol = Some("n_chars"))
+        .orderBy("doc_id")),
+
+    // #68d per-group best-fit-decreasing packing (rows-only: greedy
+    // scan; purity/capacity/quality pinned by CurationOpsSpec).
+    "q_pack_binpack_grouped" -> ((s, dir) =>
+      Packing.binPackByGroup(Tables.documents(s, dir), "doc_id", "text", "lang",
+          budget = 512, shards = 4)
+        .orderBy("doc_id")),
+
     // #69 stratified sample: md5-smallest 20 documents per language.
     "q_sample_stratified" -> ((s, dir) =>
       Sampling.stratified(Tables.documents(s, dir), "lang", "doc_id", n = 20)
@@ -92,6 +108,20 @@ object CurationQueries {
          |        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
          | FROM w WHERE n_tokens > 0)
          |SELECT doc_id, shard, n_tokens, tok_start,
+         | cast(floor(tok_start / 512.0) AS BIGINT) AS seq_first,
+         | cast(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS seq_last
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_pack_grouped" ->
+      s"""WITH w AS (SELECT doc_id, lang, n_chars,
+         |  cast(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |  cast($md5Long % 4 AS BIGINT) AS shard
+         | FROM documents),
+         |p AS (SELECT doc_id, lang, shard, n_tokens,
+         |  cast(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY n_chars, doc_id
+         |        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
+         | FROM w WHERE n_tokens > 0)
+         |SELECT doc_id, lang, shard, n_tokens, tok_start,
          | cast(floor(tok_start / 512.0) AS BIGINT) AS seq_first,
          | cast(floor((tok_start + n_tokens - 1) / 512.0) AS BIGINT) AS seq_last
          |FROM p ORDER BY doc_id""".stripMargin,

@@ -64,6 +64,60 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("chunkPackByGroup: streams dense per (group, shard), curriculum order respected") {
+    val packed = Packing.chunkPackByGroup(docs, "doc_id", "text", "lang",
+      budget = 128, shards = 4, orderCol = Some("n_chars")).collect()
+    assert(packed.nonEmpty)
+    val chars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("n_chars").longValue()).toMap
+    packed.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        // within a (group, shard) stream: concatenation follows the
+        // curriculum order (n_chars asc, id asc) with no gaps
+        val sorted = rows.sortBy(r =>
+          (chars(r.getAs[Long]("doc_id")), r.getAs[Long]("doc_id")))
+        var expectedStart = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("tok_start") == expectedStart)
+          expectedStart += r.getAs[Long]("n_tokens")
+        }
+      }
+    // group purity: a (group, shard, seq) cell holds one group by
+    // construction — cross-check no sequence id is shared across
+    // groups WITH overlapping token ranges inside one shard stream
+    // (each group owns its own stream, so equal seq ids across groups
+    // are distinct sequences; nothing to collide)
+  }
+
+  test("binPackByGroup: bins are group-pure, within budget, near the per-group lower bound") {
+    val rows = Packing.binPackByGroup(docs, "doc_id", "text", "lang",
+      budget = 300, shards = 4).collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r =>
+      (r.getAs[String]("group"), r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+    byBin.foreach { case ((g, _, _), members) =>
+      assert(members.forall(_.getAs[String]("group") == g)) // purity
+      val total = members.map(_.getAs[Long]("n_tokens")).sum
+      if (members.exists(_.getAs[Boolean]("oversize")))
+        assert(members.length == 1)
+      else assert(total <= 300)
+    }
+    // BFD quality per (group, shard): 11/9·OPT + 1, OPT ≥ volume bound
+    rows.groupBy(r => (r.getAs[String]("group"), r.getAs[Long]("shard")))
+      .foreach { case (_, members) =>
+        val regular = members.filterNot(_.getAs[Boolean]("oversize"))
+        if (regular.nonEmpty) {
+          val bins = regular.map(_.getAs[Long]("bin")).distinct.length
+          val lower = math.ceil(regular.map(_.getAs[Long]("n_tokens")).sum / 300.0).toInt
+          assert(bins <= math.ceil(11.0 * lower / 9.0).toInt + 1,
+            s"bins=$bins lower=$lower")
+        }
+      }
+    // every tokened doc packed exactly once, same as the ungrouped path
+    val nDocs = docs.filter(size(graft.text.TextAnalysis.words(col("text"))) > 0).count()
+    assert(rows.length == nDocs)
+  }
+
   // --- binPack -------------------------------------------------------
 
   private def binPacked(budget: Int) =
