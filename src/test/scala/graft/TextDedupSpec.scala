@@ -309,6 +309,67 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
 
+  test("minhash candidates vs exact ground truth on a planted-dup corpus") {
+    // real fixture text + planted exact copies: J=1 pairs have
+    // identical shingle sets, hence identical signatures and band
+    // keys — LSH recall on them is a theorem, not luck
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(120)
+    val planted = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+    val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
+        k = 3, perms = 32, bands = 8, threshold = 0.4).collect()
+    val candSet = cands.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: direct shingle self-join, all pairs
+    val exactPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    // recall: every true J = 1 pair is a candidate
+    val j1 = exactPairs.filter(_._2 >= 0.9999).keySet
+    assert(j1.nonEmpty, "fixture produced no planted J=1 pairs")
+    assert(j1.subsetOf(candSet), s"missed exact-dup pairs: ${(j1 -- candSet).take(5)}")
+    // precision: every candidate's ESTIMATE is within the 32-perm
+    // deviation bound of its true jaccard (no phantom pairs: a
+    // candidate with est ≥ 0.4 must have real overlap)
+    cands.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val est = r.getAs[Double]("est_jaccard")
+      val truth = exactPairs.getOrElse(key, 0.0)
+      assert(math.abs(est - truth) <= 0.35, s"pair $key est=$est true=$truth")
+      assert(truth >= 0.05, s"phantom candidate $key est=$est true=$truth")
+    }
+  }
+
+  test("simhash candidates vs brute-force hamming on a planted-dup corpus") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(120)
+    val planted = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+    val sigs = Dedup.simhash(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = Dedup.simhashCandidates(corpus, "doc_id", "text", maxHamming = 12)
+      .collect()
+    // reported distances are the true brute-force hamming distances
+    cands.foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      val h = java.lang.Long.bitCount(sigs(d1) ^ sigs(d2))
+      assert(r.getAs[Number]("hamming").intValue() == h && h <= 12)
+    }
+    val candSet = cands.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall theorem: 4 blocks of 16 bits and ≤ 3 flipped bits leave
+    // at least one block identical (pigeonhole) — every such pair MUST
+    // be a candidate; planted copies are hamming 0
+    val ids = sigs.keys.toSeq.sorted
+    val mustFind = for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 3
+    } yield (i, j)
+    assert(mustFind.nonEmpty, "fixture produced no hamming<=3 pairs")
+    assert(mustFind.toSet.subsetOf(candSet),
+      s"missed guaranteed-recall pairs: ${(mustFind.toSet -- candSet).take(5)}")
+  }
+
   test("IVF at production k: broadcast-matrix kernel trains k=1024 and pins recall@10") {
     // the literal-centroid formulation this replaced would put 1024
     // array literals into the plan and break codegen here; the kernel
