@@ -57,16 +57,27 @@ object Bench {
       runs.collectFirst { case Left(e) => e }.foreach(errors += name -> _)
       name -> (if (ok.nonEmpty) math.rint(median(ok) * 1000) / 1000 else 0.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val streaming =
-      if (only.isEmpty)
-        graft.streaming.StreamBench.curve(spark, sfDir)
-          .toSeq.sortBy(_._1)
-          .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString(",\"streaming\":{", ",", "}")
-      else ""
-    val total = math.rint(results.map(_._2).sum * 1000) / 1000
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"errors":$errJson$streaming,"sf":"$sfDir"}""")
+    // the round driver keeps only a fixed BYTE tail of stdout — the
+    // round-5 artifact lost the line's head (and with it `parsed`)
+    // because streaming extras + 3-decimal values pushed the one-line
+    // JSON past the window. Keep the final line lean: streaming and
+    // errors go on their OWN earlier lines (expendable if the window
+    // clips them), per-query seconds print with 2 decimals (<10 s)
+    // / 1 decimal (≥10 s) — precision beyond that is host noise anyway.
+    def fmt(v: Double): String =
+      if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    if (errors.nonEmpty)
+      println(errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString("""{"metric":"errors","errors":{""", ",", "}}"))
+    if (only.isEmpty) {
+      val streaming = graft.streaming.StreamBench.curve(spark, sfDir)
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString("{", ",", "}")
+      println(s"""{"metric":"streaming","events_per_sec":$streaming}""")
+    }
+    val total = math.rint(results.map(_._2).sum * 100) / 100
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"nerr":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,17 @@ import org.apache.spark.sql.DataFrame
   * is a no-op and no shuffle is added.
   */
 object Parallelism {
+
+  /** Under this plan-stat size the repartition is pure tax: exploding
+    * a couple of MB on one core is faster than paying a round-robin
+    * exchange (measured: the unconditional r5 spread cost the four
+    * smallest-input dedup/text queries 40-80% at sf0.1 — an A-B-A
+    * same-session bisect against r4 code, 2.3 s vs 3.7 s — while the
+    * corpus there is a single 584 KB parquet file). At 4 MiB+ of scan
+    * input a pinned stage is seconds of single-core work and the
+    * exchange wins. */
+  private val MinSpreadBytes = BigInt(4L << 20)
+
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // partition probing needs a batch plan
     val target = df.sparkSession.sparkContext.defaultParallelism
@@ -23,7 +34,12 @@ object Parallelism {
     // listings behind it are served by the session's shared
     // FileStatusCache, so the probe stays milliseconds even on wide
     // tables; accepted as the price of knowing, rather than guessing,
-    // whether the scan supplies enough splits.
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // whether the scan supplies enough splits. Plan-stat sizeInBytes
+    // (the scan's file bytes) gates out inputs too small for the
+    // exchange to ever pay for itself.
+    if (df.rdd.getNumPartitions * 2 < target &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > MinSpreadBytes)
+      df.repartition(target)
+    else df
   }
 }

@@ -60,6 +60,40 @@ object Sampling {
     df.filter(bucket < pct)
   }
 
+  /** Token-budget mixture: [[mixture]] rebalances by DOCUMENT counts,
+    * but training mixes are specified in TOKENS — a group of long
+    * documents at the same keep-% contributes far more mass. This
+    * variant computes each group's keep-rate from its actual mass:
+    * rate_g = min(1, share_g · budget / mass_g), where mass_g is one
+    * hash aggregation over `massCol` (token counts, chars, bytes …)
+    * joined back broadcast (groups are few), and a row survives iff
+    * its md5 draw falls under the rate — per-row, deterministic,
+    * engine-portable like every sampler here. Groups not in
+    * `shareByGroup` get `defaultShare`. The rate is rounded to 6
+    * decimals BEFORE the threshold compare so the cut is identical in
+    * any engine. Output: input columns + keep_rate.
+    *
+    * Scale: one tiny group aggregate + broadcast join + filter — the
+    * corpus is scanned once and never shuffled. */
+  def mixtureByMass(df: DataFrame, groupCol: String, idCol: String, massCol: String,
+                    shareByGroup: Map[String, Double], budget: Long,
+                    defaultShare: Double = 0.0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    (shareByGroup.values ++ Seq(defaultShare)).foreach(s =>
+      require(s >= 0 && s <= 1, s"share out of range: $s"))
+    val share = shareByGroup.foldLeft(lit(defaultShare)) { case (acc, (g, s)) =>
+      when(col(groupCol) === g, lit(s)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(groupCol))
+      .agg(sum(col(massCol).cast("double")).as("__mass"))
+      .filter(col("__mass") > 0)
+      .select(col(groupCol),
+        round(least(lit(1.0), share * budget / col("__mass")), 6).as("keep_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(Curation.md5Long(col(idCol)) <
+        floor(col("keep_rate") * 4294967296.0).cast("long"))
+  }
+
   /** k-sample without replacement, P(pick) ∝ `weightCol` (must be > 0):
     * keep the k largest Efraimidis–Spirakis keys ln(u)/w. The key is
     * rounded BEFORE the ordering (ties broken on the id) so the k-cut

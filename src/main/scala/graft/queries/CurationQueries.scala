@@ -88,6 +88,16 @@ object CurationQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // #69d token-budget mixture: keep-rates derived from each
+    // language's actual character mass against a 400k-char budget
+    // (en share 0.4, zh 0.3, default 0.1) — one tiny group aggregate,
+    // broadcast join, per-row md5 filter.
+    "q_mixture_tokens" -> ((s, dir) =>
+      Sampling.mixtureByMass(Tables.documents(s, dir), "lang", "doc_id", "n_chars",
+          Map("en" -> 0.4, "zh" -> 0.3), budget = 400000L, defaultShare = 0.1)
+        .select("doc_id", "lang", "keep_rate")
+        .orderBy("doc_id")),
+
     // #72 TF-IDF: 3 most characteristic terms per document.
     "q_tfidf" -> ((s, dir) =>
       graft.text.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
@@ -177,6 +187,18 @@ object CurationQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $md5Long % 100 <
          |  CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 100 ELSE 70 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_tokens" ->
+      s"""WITH tot AS (SELECT lang, sum(cast(n_chars AS DOUBLE)) AS mass
+         | FROM documents GROUP BY lang),
+         |r AS (SELECT lang,
+         |  round(least(1.0, (CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.3 ELSE 0.1 END)
+         |    * 400000 / mass), 6) AS keep_rate
+         | FROM tot WHERE mass > 0)
+         |SELECT d.doc_id, d.lang, r.keep_rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE $md5Long < cast(floor(keep_rate * 4294967296) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->

@@ -78,7 +78,10 @@ object DedupQueries {
     // is achievable and the exact DuckDB pair oracle hash-matches.
     "q_dedup_embed_lsh" -> ((s, dir) => {
       val aug = plantedNearDups(Tables.embeddings(s, dir))
-      Cosine.lshNearDupPairs(aug, "vec_id", "embedding", 0.85, bits = 192, bands = 16)
+      // auto-density: band width grows with log2(n) so random bucket
+      // collisions stay linear in the corpus (the fixed 12-bit config
+      // measured QUADRATIC at sf10 — slower than the exact join)
+      Cosine.lshNearDupPairsAuto(aug, "vec_id", "embedding", 0.85)
         .orderBy("doc1", "doc2")
     }),
 

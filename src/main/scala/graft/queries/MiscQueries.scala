@@ -85,8 +85,13 @@ object MiscQueries {
     "q_skew_join_plain" -> ((s, dir) =>
       skewAgg(skewedLineitem(s, dir).join(partDim(s, dir), "k"))),
 
+    // hot-key-only salting: the 90%-key's rows spread over 8 salt
+    // buckets while the cold long tail keeps its broadcast join —
+    // full-side salting measured 10× slower than plain at sf10 (the
+    // ×8-replicated dim lost the broadcast); this shape stays at
+    // plain-join cost with the straggler split.
     "q_skew_join_salted" -> ((s, dir) =>
-      skewAgg(SkewJoin.saltedJoin(skewedLineitem(s, dir), partDim(s, dir), "k", factor = 8))),
+      skewAgg(SkewJoin.saltedJoinAuto(skewedLineitem(s, dir), partDim(s, dir), "k", factor = 8))),
 
     // #51 multimodal: REAL codec round-trip at table scale — text
     // rows deterministically seed genuine PNG / WAV-PCM / animated-GIF

@@ -32,6 +32,19 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    // #75 PII redaction: deterministic synthetic PII (email + IPv4 +
+    // E.164 phone derived from doc_id) appended to each document, then
+    // counted and scrubbed — the oracle recomputes the identical
+    // regexes in RE2.
+    "q_redact_pii" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com via 10.2."),
+          col("doc_id") % 200, lit(".7 or +1415"), col("doc_id") % 10,
+          lit("2550123")).as("text"))
+      graft.text.Pii.redact(aug, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // #50 winnowing fingerprints (rows-only: engine-hash specific).
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "text", "doc_id")
@@ -91,6 +104,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_redact_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com via 10.2.' ||
+        |    (doc_id % 200) || '.7 or +1415' || (doc_id % 10) || '2550123' AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | cast(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | cast(len(regexp_extract_all(text, '\+\d{9,15}')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |   '\+\d{9,15}', '[PHONE]', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         | cast(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) as int) AS ws_tokens,

@@ -144,6 +144,31 @@ object Cosine {
       .select(col("doc1"), col("doc2"), round(col("cos"), 4).as("cos"))
   }
 
+  /** [[lshNearDupPairs]] with the bucket density chosen from the
+    * corpus size — the knob that keeps the candidate join linear as
+    * the data grows. With FIXED band width the expected random-pair
+    * collisions are n²·bands/2^bandBits: quadratic in n (measured at
+    * sf10: 12-bit bands took 428 s where the exact all-pairs path took
+    * 297 s — the "sub-quadratic" path lost to its own bucket flood).
+    * Setting bandBits ≈ log2(n) + 4 pins expected random candidates
+    * per band to ~n/16 — linear — and the band count is then solved
+    * from the recall target: miss(c) = (1 − p^bandBits)^bands with
+    * p = 1 − acos(c)/π, bands chosen so miss(targetCos) ≤ missProb.
+    * Wider bands + more of them = same recall at the target, far
+    * fewer junk candidates. One count() job sizes the corpus. */
+  def lshNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, targetCos: Double = 0.99,
+                          missProb: Double = 1e-6, seed: Int = 42): DataFrame = {
+    val n = df.count()
+    val bandBits = math.max(8, (math.log(math.max(n, 2).toDouble) / math.log(2)).ceil.toInt + 4)
+    val pBit = 1.0 - math.acos(math.min(targetCos, 0.999999)) / math.Pi
+    val pBand = math.pow(pBit, bandBits)
+    val bands = math.min(64, math.max(8,
+      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt))
+    lshNearDupPairs(df, idCol, vecCol, threshold, bits = bandBits * bands,
+      bands = bands, seed = seed)
+  }
+
   /** LSH-bucketed ANN: group corpus by signature band, local top-k per
     * probe within matching buckets. Recall < 1 by construction; the
     * candidate join is an equi-join on (band, key) so it scales. */

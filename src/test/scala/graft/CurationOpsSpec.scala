@@ -160,6 +160,51 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(a == b)
   }
 
+  test("PII redaction: planted patterns counted and scrubbed exactly") {
+    val df = Seq(
+      (1L, "mail a.b@x.co and 10.0.0.1 call +123456789 done"),
+      (2L, "no pii here just 1.2.3 and +12 short"),
+      (3L, "two mails x@y.io z@w.ai and ip 255.255.255.255")
+    ).toDF("doc_id", "text")
+    val r = graft.text.Pii.redact(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getAs[Long]("n_emails") == 1 && r(1).getAs[Long]("n_ips") == 1
+      && r(1).getAs[Long]("n_phones") == 1)
+    assert(r(1).getAs[String]("redacted") == "mail [EMAIL] and [IP] call [PHONE] done")
+    assert(r(2).getAs[Long]("n_emails") == 0 && r(2).getAs[Long]("n_ips") == 0
+      && r(2).getAs[Long]("n_phones") == 0)
+    assert(r(2).getAs[String]("redacted") == "no pii here just 1.2.3 and +12 short")
+    assert(r(3).getAs[Long]("n_emails") == 2 && r(3).getAs[Long]("n_ips") == 1)
+    assert(r(3).getAs[String]("redacted") == "two mails [EMAIL] [EMAIL] and ip [IP]")
+  }
+
+  test("mixtureByMass: keep-rates follow share·budget/mass, reruns identical") {
+    val df = ((1L to 10L).map(i => (i, "a", 100L)) ++
+      (11L to 20L).map(i => (i, "b", 50L))).toDF("doc_id", "grp", "toks")
+    val out = Sampling.mixtureByMass(df, "grp", "doc_id", "toks",
+      Map("a" -> 0.5, "b" -> 0.5), budget = 1000L)
+    val rows = out.collect()
+    // mass_a = 1000 → rate 0.5·1000/1000 = 0.5; mass_b = 500 → capped at 1
+    rows.foreach { r =>
+      val expected = if (r.getAs[String]("grp") == "a") 0.5 else 1.0
+      assert(r.getAs[Double]("keep_rate") == expected)
+    }
+    // rate-1 group survives entirely; rate-0.5 group thins
+    assert(rows.count(_.getAs[String]("grp") == "b") == 10)
+    val aKept = rows.filter(_.getAs[String]("grp") == "a").map(_.getAs[Long]("doc_id")).toSet
+    assert(aKept.size < 10 && aKept.nonEmpty)
+    // deterministic: identical rows on rerun
+    val again = Sampling.mixtureByMass(df, "grp", "doc_id", "toks",
+      Map("a" -> 0.5, "b" -> 0.5), budget = 1000L)
+      .collect().filter(_.getAs[String]("grp") == "a").map(_.getAs[Long]("doc_id")).toSet
+    assert(again == aKept)
+    // unlisted groups default to share 0 → dropped
+    val none = Sampling.mixtureByMass(df, "grp", "doc_id", "toks",
+      Map("a" -> 1.0), budget = 1000L)
+      .collect().map(_.getAs[String]("grp")).toSet
+    assert(none == Set("a"))
+  }
+
   // --- sampling ------------------------------------------------------
 
   test("stratified: exactly min(n, |stratum|) per stratum, stable across runs") {

@@ -136,6 +136,28 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     assert(plain == salted)
   }
 
+  test("saltedJoinAuto matches plain join with and without a detectable hot key") {
+    // 90% of rows on key 7 → hot path fires; conditional salt must not
+    // change the join result
+    val skewed = (1 to 5000).map(i => (if (i % 10 != 0) 7 else i % 50, i)).toDF("key", "v")
+    val small = (0 until 50).map(k => (k, s"lab$k")).toDF("key", "label")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg(skewed.join(small, "key")) ==
+      agg(SkewJoin.saltedJoinAuto(skewed, small, "key", factor = 4, sampleFraction = 0.5)))
+    // uniform keys → no hot key detected → plain-join passthrough
+    val flat = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")
+    assert(agg(flat.join(small, "key")) ==
+      agg(SkewJoin.saltedJoinAuto(flat, small, "key", factor = 4, sampleFraction = 0.5)))
+    // left join preserves unmatched + null-key rows through the salt
+    val withNulls = skewed.unionByName(
+      Seq((999, 1), (998, 2)).toDF("key", "v"))
+    val l1 = withNulls.join(small, Seq("key"), "left").count()
+    val l2 = SkewJoin.saltedJoinAuto(withNulls, small, "key", factor = 4,
+      sampleFraction = 0.5, joinType = "left").count()
+    assert(l1 == l2)
+  }
+
   test("interpolatedMerge equals the broadcast range-join formulation") {
     val rng = new scala.util.Random(41)
     val base = (for (k <- 1L to 5L; i <- 0 until 30) yield
