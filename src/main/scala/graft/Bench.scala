@@ -64,8 +64,11 @@ object Bench {
     // errors go on their OWN earlier lines (expendable if the window
     // clips them), per-query seconds print with 2 decimals (<10 s)
     // / 1 decimal (≥10 s) — precision beyond that is host noise anyway.
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal host locale would corrupt the JSON artifact
     def fmt(v: Double): String =
-      if (v >= 10) f"$v%.1f" else f"$v%.2f"
+      String.format(java.util.Locale.ROOT, if (v >= 10) "%.1f" else "%.2f",
+        Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     if (errors.nonEmpty)
       println(errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

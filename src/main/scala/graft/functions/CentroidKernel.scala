@@ -23,9 +23,11 @@ case class BroadcastCentroids(flat: Broadcast[Array[Double]], k: Int, dim: Int) 
 
   /** array<int> of the `nprobe` nearest centroid ids, nearest first,
     * ties to the lower id. */
-  def nearest(vec: Column, nprobe: Int): Column =
+  def nearest(vec: Column, nprobe: Int): Column = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     org.apache.spark.sql.GraftColumnBridge.column(
       NearestCentroids(org.apache.spark.sql.GraftColumnBridge.expression(vec), this, nprobe))
+  }
 
   /** The single nearest centroid id. */
   def nearestOne(vec: Column): Column =
@@ -88,7 +90,12 @@ case class NearestCentroids(child: Expression, cents: BroadcastCentroids, nprobe
   def nearestIds(input: ArrayData): ArrayData = {
     val flat = cents.flat.value
     val (k, dim) = (cents.k, cents.dim)
-    val n = math.min(input.numElements(), dim)
+    // a silent prefix dot against mismatched dims would return wrong
+    // nearest ids; fail with the actual shapes instead
+    if (input.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroids: vector has ${input.numElements()} dims, centroids have $dim")
+    val n = dim
     val m = math.min(nprobe, k)
     // insertion into parallel (score, cid) arrays — m is tiny
     val bestD = Array.fill(m)(Double.PositiveInfinity)

@@ -26,13 +26,17 @@ object Annealing {
       val t = math.max(1e-9, 1.0 - k.toDouble / iterations)
       val cand = neighbour(current, t, rng)
       val candCost = goal(cand)
-      // Metropolis exponent normalized by candidate cost, matching the
-      // reference's default-transition (annealing.rkt:39 divides by
-      // ncost·temperature) and the Fit path: with raw SSE-scale costs
-      // exp(Δ/t) underflows to 0 and the walk degenerates to greedy
+      // Metropolis exponent normalized by candidate cost MAGNITUDE,
+      // matching the reference's default-transition (annealing.rkt:39
+      // divides by ncost·temperature) and the Fit path: with raw
+      // SSE-scale costs exp(Δ/t) underflows to 0 and the walk
+      // degenerates to greedy. |candCost| (not candCost) keeps the
+      // normalization meaningful for objectives that go negative —
+      // a negative denominator (or a near-zero one from a sign
+      // change) would flip/degenerate the acceptance.
       val accept = candCost <= currentCost ||
         rng.nextDouble() < math.exp((currentCost - candCost) /
-          (math.max(candCost, Double.MinPositiveValue) * t))
+          (math.max(math.abs(candCost), Double.MinPositiveValue) * t))
       if (accept) { current = cand; currentCost = candCost }
       if (candCost < bestCost) { best = cand; bestCost = candCost }
     }

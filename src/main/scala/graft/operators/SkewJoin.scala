@@ -53,16 +53,27 @@ object SkewJoin {
                      factor: Int = 8, hotShare: Double = 0.05,
                      sampleFraction: Double = 0.01,
                      joinType: String = "inner"): DataFrame = {
+    // same restriction as saltedJoin: replicated small-side copies
+    // whose salt finds no partner would null-pad right/full outers
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
+      s"saltedJoinAuto supports inner/left-side join types, got $joinType")
     require(hotShare > 0 && hotShare <= 1, s"hotShare out of range: $hotShare")
+    // persist the aggregated sample (|distinct sampled keys| rows —
+    // far smaller than the input) so the total and the hot-key filter
+    // don't each rescan the large side's key column
     val sampled = large.select(col(key)).sample(sampleFraction, 42L)
       .groupBy(key).agg(count(lit(1)).as("__c"))
-    val rows = sampled.agg(sum("__c")).first()
-    val total = if (rows.isNullAt(0)) 0L else rows.getLong(0)
-    // a key must exceed hotShare of sampled rows → at most 1/hotShare
-    // hot keys exist; the collect is bounded and driver-tiny
-    val hotKeys = if (total == 0) Array.empty[Any]
+      .persist()
+    val hotKeys = try {
+      val rows = sampled.agg(sum("__c")).first()
+      val total = if (rows.isNullAt(0)) 0L else rows.getLong(0)
+      // a key must exceed hotShare of sampled rows → at most 1/hotShare
+      // hot keys exist; the collect is bounded and driver-tiny
+      if (total == 0) Array.empty[Any]
       else sampled.filter(col("__c") > lit(hotShare * total))
         .select(key).collect().map(_.get(0))
+    } finally sampled.unpersist()
     if (hotKeys.isEmpty) large.join(small, Seq(key), joinType)
     else {
       // conditional salt, SINGLE join: hot rows get a real salt and

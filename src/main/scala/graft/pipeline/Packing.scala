@@ -86,6 +86,14 @@ object Packing {
                        orderCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    // the generated shard/n_tokens aliases and the double-selected
+    // group column would otherwise surface as ambiguous-reference
+    // analysis errors mid-plan
+    require(!orderCol.contains(groupCol),
+      s"orderCol must differ from groupCol ($groupCol) — group streams are already contiguous")
+    Seq(Some(idCol), Some(groupCol), orderCol).flatten.foreach(c =>
+      require(c != "shard" && c != "n_tokens",
+        s"column name '$c' collides with a generated packing column"))
     val ord = orderCol.map(c => col(c).asc).toSeq :+ col(idCol).asc
     val w = Window.partitionBy(col(groupCol), col("shard")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -109,10 +109,19 @@ object TextQueries {
         |  text || ' contact user' || doc_id || '@mail.example.com via 10.2.' ||
         |    (doc_id % 200) || '.7 or +1415' || (doc_id % 10) || '2550123' AS text
         | FROM documents)
+        |-- counts run on the same intermediate their replacement runs
+        |-- on (emails scrubbed before IPs are counted, etc.), matching
+        |-- the Spark operator's count≡placeholder contract
         |SELECT doc_id,
         | cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        | cast(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        | cast(len(regexp_extract_all(text, '\+\d{9,15}')) AS BIGINT) AS n_phones,
+        | cast(len(regexp_extract_all(
+        |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | cast(len(regexp_extract_all(
+        |   regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |   '\+\d{9,15}')) AS BIGINT) AS n_phones,
         | regexp_replace(regexp_replace(regexp_replace(text,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),

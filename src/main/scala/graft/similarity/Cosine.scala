@@ -163,8 +163,13 @@ object Cosine {
     val bandBits = math.max(8, (math.log(math.max(n, 2).toDouble) / math.log(2)).ceil.toInt + 4)
     val pBit = 1.0 - math.acos(math.min(targetCos, 0.999999)) / math.Pi
     val pBand = math.pow(pBit, bandBits)
-    val bands = math.min(64, math.max(8,
-      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt))
+    val solved = math.max(8, math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
+    val bands = math.min(64, solved)
+    if (solved > bands)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshNearDupPairsAuto: band count capped at $bands (recall target wants $solved); " +
+          f"achieved miss at targetCos=$targetCos is ${math.pow(1 - pBand, bands)}%.2e " +
+          s"instead of $missProb — raise missProb or pass bits/bands explicitly")
     lshNearDupPairs(df, idCol, vecCol, threshold, bits = bandBits * bands,
       bands = bands, seed = seed)
   }

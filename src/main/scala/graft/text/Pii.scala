@@ -30,15 +30,18 @@ object Pii {
   /** Per-document PII counts and the redacted text. Output:
     * (idCol, n_emails, n_ips, n_phones, redacted). Emails are replaced
     * first so an address' dotted domain can't be re-matched as an
-    * IPv4. */
-  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * IPv4 — and each count runs on the SAME intermediate its
+    * replacement runs on, so counts equal placeholders exactly (an
+    * IPv4 inside an email's domain is neither counted nor
+    * redacted twice; audits reconciling counts against [TAG]
+    * occurrences balance). */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e1 = regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]"))
+    val e2 = regexp_replace(e1, lit(Ipv4Re), lit("[IP]"))
     df.select(col(idCol),
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), lit(EmailRe), lit("[EMAIL]")),
-          lit(Ipv4Re), lit("[IP]")),
-        lit(PhoneRe), lit("[PHONE]")).as("redacted"))
+      regexp_count(e1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(e2, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(e2, lit(PhoneRe), lit("[PHONE]")).as("redacted"))
+  }
 }

@@ -164,7 +164,10 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     val df = Seq(
       (1L, "mail a.b@x.co and 10.0.0.1 call +123456789 done"),
       (2L, "no pii here just 1.2.3 and +12 short"),
-      (3L, "two mails x@y.io z@w.ai and ip 255.255.255.255")
+      (3L, "two mails x@y.io z@w.ai and ip 255.255.255.255"),
+      // dotted quad INSIDE an email domain: counted as email only —
+      // counts must reconcile 1:1 with [TAG] placeholders
+      (4L, "reach bob@10.1.2.3.example.com now")
     ).toDF("doc_id", "text")
     val r = graft.text.Pii.redact(df, "doc_id", "text").collect()
       .map(x => x.getLong(0) -> x).toMap
@@ -176,6 +179,9 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(r(2).getAs[String]("redacted") == "no pii here just 1.2.3 and +12 short")
     assert(r(3).getAs[Long]("n_emails") == 2 && r(3).getAs[Long]("n_ips") == 1)
     assert(r(3).getAs[String]("redacted") == "two mails [EMAIL] [EMAIL] and ip [IP]")
+    assert(r(4).getAs[Long]("n_emails") == 1 && r(4).getAs[Long]("n_ips") == 0
+      && r(4).getAs[Long]("n_phones") == 0)
+    assert(r(4).getAs[String]("redacted") == "reach [EMAIL] now")
   }
 
   test("mixtureByMass: keep-rates follow share·budget/mass, reruns identical") {

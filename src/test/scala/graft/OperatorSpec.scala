@@ -149,13 +149,23 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     val flat = (1 to 2000).map(i => (i % 50, i)).toDF("key", "v")
     assert(agg(flat.join(small, "key")) ==
       agg(SkewJoin.saltedJoinAuto(flat, small, "key", factor = 4, sampleFraction = 0.5)))
-    // left join preserves unmatched + null-key rows through the salt
+    // left join preserves unmatched AND genuinely-null keys through
+    // the conditional salt (isin(null) = null must route to salt 0,
+    // not drop the row), with payloads intact — full row-set equality
     val withNulls = skewed.unionByName(
-      Seq((999, 1), (998, 2)).toDF("key", "v"))
-    val l1 = withNulls.join(small, Seq("key"), "left").count()
-    val l2 = SkewJoin.saltedJoinAuto(withNulls, small, "key", factor = 4,
-      sampleFraction = 0.5, joinType = "left").count()
-    assert(l1 == l2)
+      Seq((Option(999), 10001), (Option.empty[Int], 10002)).toDF("key", "v"))
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.get(r.fieldIndex("key"))),
+        r.getInt(r.fieldIndex("v")),
+        Option(r.get(r.fieldIndex("label"))))).toSeq.sorted(
+        Ordering.by((t: (Option[Any], Int, Option[Any])) => (t._1.toString, t._2)))
+    assert(rowSet(withNulls.join(small, Seq("key"), "left")) ==
+      rowSet(SkewJoin.saltedJoinAuto(withNulls, small, "key", factor = 4,
+        sampleFraction = 0.5, joinType = "left")))
+    // right/full outers are rejected up front, not silently corrupted
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoinAuto(skewed, small, "key", joinType = "full")
+    }
   }
 
   test("interpolatedMerge equals the broadcast range-join formulation") {
