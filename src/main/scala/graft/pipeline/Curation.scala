@@ -35,6 +35,35 @@ object Curation {
       .withColumn("split",
         when(col("bucket") < holdoutPct, lit("holdout")).otherwise(lit("train")))
 
+  /** Leakage-safe train/holdout split: [[hashSplit]] assigns each
+    * DOCUMENT independently, so two near-duplicate documents can land
+    * on opposite sides — the classic eval-contamination leak (the
+    * holdout "unseen" text is a near-copy of a training doc). This
+    * variant splits by near-dup CLUSTER: MinHash/LSH candidate pairs
+    * ([[graft.dedup.Dedup.minhashCandidates]]) resolve to connected
+    * components ([[graft.dedup.Dedup.survivors]] — min-label +
+    * pointer doubling, O(log diameter) rounds), and the md5 bucket is
+    * computed on the CLUSTER id, so every member of a near-dup family
+    * shares a side. Singleton documents (no near-dup) hash on their
+    * own id — identical to [[hashSplit]] for them. Output:
+    * (idCol, survivor, bucket, split).
+    *
+    * Scale: candidates are a (band, key) equi-join (never all-pairs),
+    * resolution touches only pair-connected ids, and the split itself
+    * is a per-row expression — the whole thing is the near-dup
+    * pipeline plus one join. */
+  def leakageSafeSplit(corpus: DataFrame, idCol: String, textCol: String,
+                       holdoutPct: Int, k: Int = 3, perms: Int = 32,
+                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct <= 100, s"holdoutPct out of range: $holdoutPct")
+    val pairs = Dedup.minhashCandidates(corpus, idCol, textCol, k, perms, bands, threshold)
+    val surv = Dedup.survivors(pairs, corpus.select(col(idCol)), idCol)
+    surv.select(col("id").as(idCol), col("survivor"))
+      .withColumn("bucket", hashBucket(col("survivor")))
+      .withColumn("split",
+        when(col("bucket") < holdoutPct, lit("holdout")).otherwise(lit("train")))
+  }
+
   /** Benchmark contamination: for each corpus document, how many of its
     * k-word shingles appear verbatim in the benchmark set (the
     * training-data decontamination check). Returns (idCol, n_shingles,

@@ -32,6 +32,15 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    // #64b leakage-safe split (rows-only: cluster resolution is
+    // iterative): near-dup families share a train/holdout side — the
+    // md5 bucket is computed on the resolved cluster id, not the doc.
+    "q_split_leakage_safe" -> ((s, dir) =>
+      graft.pipeline.Curation.leakageSafeSplit(
+          Tables.documents(s, dir), "doc_id", "text", holdoutPct = 20,
+          threshold = 0.7)
+        .orderBy("doc_id")),
+
     // #75 PII redaction: deterministic synthetic PII (email + IPv4 +
     // E.164 phone derived from doc_id) appended to each document, then
     // counted and scrubbed — the oracle recomputes the identical

@@ -157,6 +157,34 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"))
   }
 
+  test("PII redaction is a stateless projection — no exchange, no join, no aggregate") {
+    // the property that makes it streaming-legal and free at 100 TB
+    // (it rides the scan); only the oracle-determinism orderBy may add
+    // a range exchange
+    val p = plan("q_redact_pii")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("token-budget mixture: one tiny group aggregate, broadcast back, no corpus shuffle") {
+    val p = plan("q_mixture_tokens")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the only hash exchange feeds the per-group mass aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${p.take(1200)}")
+  }
+
+  test("grouped packing windows partition by (group, shard) — never unpartitioned") {
+    val lp = SparkEntry.queries("q_pack_grouped")(spark, sf).queryExecution.optimizedPlan
+    val bad = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "q_pack_grouped plans an unpartitioned Window")
+    val p = plan("q_pack_grouped")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${p.take(1200)}")
+  }
+
   test("global top-k queries plan TakeOrderedAndProject, not a global sort") {
     for (name <- Seq("q_sample_weighted", "q_heavy_hitters", "q_colloc_pmi")) {
       val p = plan(name)

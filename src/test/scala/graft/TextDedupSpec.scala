@@ -370,6 +370,36 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       s"missed guaranteed-recall pairs: ${(mustFind.toSet -- candSet).take(5)}")
   }
 
+  test("leakage-safe split: near-dup families share a side, singletons match hashSplit") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(100)
+    // planted exact copies → guaranteed same-cluster (J=1 recall is a
+    // theorem through the band join)
+    val planted = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+    val split = graft.pipeline.Curation.leakageSafeSplit(
+        corpus, "doc_id", "text", holdoutPct = 30, threshold = 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("survivor"), r.getAs[String]("split"))).toMap
+    assert(split.size == corpus.count())
+    // every planted copy sits with its original — same cluster, same side
+    val withTokens = base.filter(col("doc_id") % 4 === 0)
+      .filter(size(graft.text.TextAnalysis.words(col("text"))) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(withTokens.nonEmpty)
+    withTokens.foreach { id =>
+      assert(split(id)._1 == split(id + 1000000L)._1, s"doc $id cluster differs from its copy")
+      assert(split(id)._2 == split(id + 1000000L)._2, s"doc $id split differs from its copy")
+    }
+    // a doc in no near-dup pair is its own survivor → identical to the
+    // per-document hashSplit decision
+    val singletons = split.filter { case (id, (surv, _)) => surv == id }
+    val hs = graft.pipeline.Curation.hashSplit(corpus, "doc_id", 30)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    singletons.foreach { case (id, (_, s)) => assert(hs(id) == s) }
+  }
+
   test("IVF at production k: broadcast-matrix kernel trains k=1024 and pins recall@10") {
     // the literal-centroid formulation this replaced would put 1024
     // array literals into the plan and break codegen here; the kernel
