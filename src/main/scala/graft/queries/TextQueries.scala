@@ -54,6 +54,21 @@ object TextQueries {
       graft.text.Pii.redact(aug, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // #76 trained BPE tokenization (rows-only: the merge table is the
+    // trainer's own artifact, not SQL-expressible): merges learned
+    // from the corpus's word-frequency table, encode via the native
+    // bpe_encode expression. Output pins compression against the
+    // whitespace token count.
+    "q_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 200)
+      docs.select(col("doc_id"),
+          size(graft.text.Bpe.tokenize(col("text"), merges)).as("n_bpe"),
+          size(TextAnalysis.words(col("text"))).as("n_words"),
+          length(col("text")).as("n_chars_raw"))
+        .orderBy("doc_id")
+    }),
+
     // #50 winnowing fingerprints (rows-only: engine-hash specific).
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "text", "doc_id")

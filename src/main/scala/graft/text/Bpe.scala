@@ -1,0 +1,156 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer: train merges on the corpus, encode
+  * with a native expression (Sennrich et al. 2016 — the standard
+  * subword algorithm behind GPT-2/RoBERTa vocabularies).
+  *
+  * Scale shape: the only corpus-sized work is ONE word-frequency
+  * aggregation (map-side combinable hash agg + TakeOrderedAndProject
+  * top-`maxWords`); the merge loop then runs on the collected
+  * weighted word table — the same compression every production BPE
+  * trainer uses (training on word counts is exact for the words kept;
+  * the dropped long tail contributes negligible pair mass by
+  * construction). At 100 TB nothing changes but the aggregation's
+  * input: the driver still holds ≤ maxWords rows.
+  *
+  * Character-level symbols (no byte fallback, no end-of-word marker)
+  * — the portable core of the algorithm; a production byte-level
+  * variant changes only the symbol alphabet. */
+object Bpe {
+
+  /** Ordered merge table from the corpus's word-frequency table.
+    * Deterministic: pair ties break lexicographically, the word table
+    * is count-desc/word-asc. Stops early when the best pair occurs
+    * fewer than `minPairCount` times (merging a once-seen pair adds
+    * vocabulary without compression). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 100000, minPairCount: Long = 2L): IndexedSeq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val wordRows = df.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+    // weighted words as mutable symbol arrays
+    val words = wordRows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + cnt))
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, best) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (best < minPairCount) done = true
+        else {
+          merges += pair
+          val merged = pair._1 + pair._2
+          for (k <- words.indices) {
+            val (syms, cnt) = words(k)
+            if (syms.length >= 2) {
+              val out = Array.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+                  out += merged; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              words(k) = (out.result(), cnt)
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** array<string> of BPE tokens for a text column under `merges`. */
+  def tokenize(text: Column, merges: IndexedSeq[(String, String)]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BpeEncode(org.apache.spark.sql.GraftColumnBridge.expression(text), merges))
+}
+
+/** Per-row BPE encode: whitespace-split words (same token boundary as
+  * `TextAnalysis.words`), then greedy lowest-rank merging per word —
+  * the exact GPT-2 encode order, so encode(train corpus) reproduces
+  * the training segmentation. The merge table travels in the
+  * expression (task binary, broadcast by Spark); rank lookup is a
+  * hash map built once per executor. */
+case class BpeEncode(child: Expression, merges: IndexedSeq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  private def encodeWord(word: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    var syms = word.map(_.toString).toBuffer
+    var continue = syms.length >= 2
+    while (continue) {
+      // lowest-rank applicable merge (GPT-2 order)
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        rank.get((syms(j), syms(j + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = j }
+        }
+        j += 1
+      }
+      if (bestAt < 0) continue = false
+      else {
+        syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        syms.remove(bestAt + 1)
+        if (syms.length < 2) continue = false
+      }
+    }
+    syms.foreach(s => out += UTF8String.fromString(s))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    // EXACTLY java-regex \s (the TextAnalysis.words boundary): space,
+    // tab, LF, VT, FF, CR — Character.isWhitespace would also split on
+    // unicode spaces and drift from the word aggregation the merges
+    // were trained on
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var start = -1
+    var i = 0
+    while (i <= text.length) {
+      val ws = i == text.length || isWs(text.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) { encodeWord(text.substring(start, i), out); start = -1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -160,6 +160,45 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(a == b)
   }
 
+  test("BPE: first merge is the most frequent pair, encode reproduces training segmentation") {
+    // "ab" appears 3× weighted (pair (a,b) count 5 incl. 'abab'),
+    // hand-checkable merge order
+    val tiny = Seq((1L, "abab abab cd"), (2L, "ab cd cd")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.train(tiny, "text", numMerges = 10, minPairCount = 2)
+    assert(merges.nonEmpty)
+    // word table: abab:2, cd:3, ab:1 → pair counts: (a,b): 2·2+1 = 5,
+    // (b,a): 2, (c,d): 3 → first merge (a,b)
+    assert(merges.head == ("a", "b"))
+    // second round: abab→[ab,ab]: (ab,ab): 2; cd: 3 → (c,d)
+    assert(merges(1) == ("c", "d"))
+    val toks = tiny.select(col("doc_id"),
+        graft.text.Bpe.tokenize(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // round-trip: concatenated tokens rebuild the whitespace-free text
+    assert(toks(1).mkString == "ababababcd")
+    // encode matches the trained segmentation (abab fully merged iff
+    // (ab,ab) ranked; cd merged)
+    assert(toks(2) == Seq("ab", "cd", "cd"))
+    // determinism
+    assert(graft.text.Bpe.train(tiny, "text", numMerges = 10, minPairCount = 2) == merges)
+  }
+
+  test("BPE on the fixture corpus compresses vs characters and never splits across whitespace") {
+    val merges = graft.text.Bpe.train(docs, "text", numMerges = 100)
+    // early stop when pair mass runs out is correct — the fixture's
+    // synthetic lexicon saturates below 100 merges
+    assert(merges.nonEmpty && merges.size <= 100)
+    val agg = docs.select(
+        size(graft.text.Bpe.tokenize(col("text"), merges)).as("n_bpe"),
+        size(graft.text.TextAnalysis.words(col("text"))).as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_chars"))
+      .agg(sum("n_bpe").as("b"), sum("n_words").as("w"), sum("n_chars").as("c"))
+      .first()
+    val (b, w, c) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    assert(b < c, s"no compression: $b tokens vs $c chars")
+    assert(b >= w, s"fewer tokens than words is impossible without cross-word merges: $b vs $w")
+  }
+
   test("PII redaction: planted patterns counted and scrubbed exactly") {
     val df = Seq(
       (1L, "mail a.b@x.co and 10.0.0.1 call +123456789 done"),
