@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Handle to a broadcast k×dim centroid matrix (flattened row-major).
   *
@@ -62,12 +62,15 @@ case class NearestCentroids(child: Expression, cents: BroadcastCentroids, nprobe
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"nearest_centroids requires array<double>, got ${t.simpleString(10)}")
+      s"nearest_centroids requires array<double|float>, got ${t.simpleString(10)}")
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   // per-(executor)deserialization squared norms — k doubles recomputed
   // from the broadcast matrix, never shipped
@@ -105,7 +108,11 @@ case class NearestCentroids(child: Expression, cents: BroadcastCentroids, nprobe
       var dot = 0.0
       var i = 0
       val off = c * dim
-      while (i < n) { dot += input.getDouble(i) * flat(off + i); i += 1 }
+      while (i < n) {
+        val x = if (isFloat) input.getFloat(i).toDouble else input.getDouble(i)
+        dot += x * flat(off + i)
+        i += 1
+      }
       val d = norms(c) - 2.0 * dot
       if (d < bestD(m - 1) || (d == bestD(m - 1) && c < bestC(m - 1))) {
         var j = m - 1

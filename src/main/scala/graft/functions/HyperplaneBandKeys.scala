@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Per-band hyperplane-LSH bucket keys over an `array<double>` vector:
   * key(b) has bit j set when plane(b·bandBits + j) · v ≥ 0.
@@ -31,15 +31,19 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, bits: Int, bands: Int
   require(bits / bands <= 63, s"band key bits (${bits / bands}) must fit a signed long")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_band_keys requires array<double>, got ${t.simpleString(10)}")
+      s"hyperplane_band_keys requires array<double|float>, got ${t.simpleString(10)}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_band_keys"
 
   @transient private lazy val flatPlanes: Array[Double] = Hyperplanes.flat(dim, bits, seed)
   @transient private lazy val bandBits: Int = bits / bands
+  // float elements widen exactly per element; accumulation stays
+  // double, so signs/keys are bit-identical to the cast-up-front plan
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -50,7 +54,11 @@ case class HyperplaneBandKeys(child: Expression, dim: Int, bits: Int, bands: Int
       val off = p * dim
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += flatPlanes(off + i) * v.getDouble(i); i += 1 }
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += flatPlanes(off + i) * x
+        i += 1
+      }
       if (acc >= 0) keys(p / bandBits) |= 1L << (p % bandBits)
       p += 1
     }

@@ -17,6 +17,20 @@ object Cosine {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** The vector column in the narrowest type the kernels read
+    * natively: array<float>/array<double> pass through untouched
+    * (ArrayDot/HyperplaneBandKeys/NearestCentroids widen per element —
+    * results bit-identical to casting up front, payload HALF the bytes
+    * through every pair-join shuffle for float embeddings); any other
+    * element type is cast. */
+  private def nativeVec(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        col(vecCol)
+      case _ => toDouble(col(vecCol))
+    }
+
   /** Codegen'd inner product (graft.functions.ArrayDot) — the pair-join
     * hot loop; the interpreted aggregate/zip_with formulation is kept
     * out of the O(n²) path. */
@@ -32,7 +46,7 @@ object Cosine {
     * rank first in every top-k. */
   def withNorm(df: DataFrame, vecCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    graft.Parallelism.spread(df).withColumn("__vd", toDouble(col(vecCol)))
+    graft.Parallelism.spread(df).withColumn("__vd", nativeVec(df, vecCol))
       .withColumn("__nrm", norm(col("__vd")))
       .filter(col("__nrm") > 0)
   }
@@ -109,7 +123,7 @@ object Cosine {
     graft.functions.GraftFunctions.register(df.sparkSession)
     graft.Parallelism.spread(df).select(col(idCol).as(outId),
         posexplode(graft.functions.GraftFunctions.hyperplaneBandKeys(
-          toDouble(col(vecCol)), dim, bits, bands, seed)).as(Seq("band", "key")))
+          nativeVec(df, vecCol), dim, bits, bands, seed)).as(Seq("band", "key")))
   }
 
   /** LSH-banded near-dup pairs: candidates = pairs sharing ≥1 band
