@@ -100,6 +100,55 @@ object Dedup {
     array_distinct(expr(
       s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))"))
 
+  /** Positional k-word shingles (NOT distinct — every occurrence keeps
+    * its token offset): the input to span-level duplicate detection. */
+  private[graft] def positionalShingleArray(k: Int): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(1, size(__ws) - ${k - 1}), i -> concat_ws(' ', slice(__ws, i, $k)))")
+
+  /** Exact duplicate-substring spans (the Lee et al. 2022
+    * "Deduplicating Training Data" signal, span-resolved): for every
+    * document, the token ranges covered by some k-gram occurring ≥
+    * `minCount` times ACROSS THE CORPUS (a doc repeating its own
+    * phrase counts too). Output: (idCol, n_tokens, dup_tokens,
+    * n_spans, dup_fraction) for documents with at least one
+    * duplicated span — the per-doc signal a substring-dedup pass cuts
+    * or filters on.
+    *
+    * Fully relational, so it scales and oracles: positional shingles
+    * explode → ONE hash aggregation finds k-grams with count ≥
+    * minCount (map-side combinable; the join back is shingle-keyed,
+    * AQE broadcasts when the duplicate set is small) → per-doc
+    * gaps-and-islands window merges overlapping [pos, pos+k-1]
+    * intervals (same-island iff the position gap ≤ k) — one window
+    * partitioned by doc, never global. The shuffle key for the
+    * frequency pass is xxhash64(shingle), so the exchange carries 8
+    * bytes per occurrence, not the k-word string. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 50, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val posed = graft.Parallelism.spread(df)
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"),
+        posexplode(positionalShingleArray(k)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("n_tokens"), col("pos"), xxhash64(col("sh")).as("h"))
+    val dup = posed.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    posed.join(dup, Seq("h"))
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__isl", sum("__brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("n_tokens"), col("__isl"))
+      .agg((max("pos") - min("pos") + k).cast("long").as("__toks"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sum("__toks").as("dup_tokens"), count(lit(1)).as("n_spans"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Distinct k-word shingles per doc: (id, shingle) rows. The explode
     * is the CPU-heavy narrow stage of every dedup composition, so the
     * input is spread across the session's cores when the scan supplies

@@ -53,6 +53,15 @@ object DedupQueries {
         k = 3, threshold = 0.8)
         .orderBy("doc1", "doc2")),
 
+    // #43c exact duplicate-substring spans (Lee et al. shape): token
+    // ranges covered by any 8-gram occurring ≥2 times corpus-wide,
+    // merged per doc via a gaps-and-islands window — fully relational,
+    // exact SQL oracle.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, minCount = 2)
+        .orderBy("doc_id")),
+
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -115,6 +124,30 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dup_spans" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id, len(ws) AS n_tokens, i AS pos,
+        |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t
+        |      WHERE len(ws) >= 8),
+        |d AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, n_tokens, pos FROM p JOIN d USING (s)),
+        |brk AS (SELECT doc_id, n_tokens, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS b
+        |        FROM dp),
+        |isl AS (SELECT doc_id, n_tokens, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM brk),
+        |sp AS (SELECT doc_id, n_tokens, g, max(pos) - min(pos) + 8 AS toks
+        |       FROM isl GROUP BY doc_id, n_tokens, g)
+        |SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+        | cast(sum(toks) AS BIGINT) AS dup_tokens,
+        | cast(count(*) AS BIGINT) AS n_spans,
+        | round(cast(sum(toks) AS DOUBLE) / n_tokens, 4) AS dup_fraction
+        |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,

@@ -370,6 +370,37 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
       s"missed guaranteed-recall pairs: ${(mustFind.toSet -- candSet).take(5)}")
   }
 
+  test("duplicate spans: hand-computed interval merge, self-repeats count, uniques drop out") {
+    // doc 1 and 2 share the 4-gram "p q r s" (positions 0 in both);
+    // doc 3 repeats ITS OWN phrase "x y z w" twice (corpus count 2);
+    // doc 4 is all-unique → no row
+    val corpus = Seq(
+      (1L, "p q r s a b c d e f"),
+      (2L, "m n p q r s k l t u"),
+      (3L, "x y z w g h x y z w"),
+      (4L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 4, minCount = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(4L))
+    // doc 1: dup 4-gram at pos 0 → one span of 4 tokens over 10
+    assert(r(1).getAs[Long]("dup_tokens") == 4 && r(1).getAs[Long]("n_spans") == 1)
+    assert(r(1).getAs[Double]("dup_fraction") == 0.4)
+    // doc 2: same 4-gram at pos 2 → 4 of 10
+    assert(r(2).getAs[Long]("dup_tokens") == 4 && r(2).getAs[Long]("n_spans") == 1)
+    // doc 3: "x y z w" at pos 0 and 6 — gap 6 > k → TWO spans, 8 of 10
+    assert(r(3).getAs[Long]("dup_tokens") == 8 && r(3).getAs[Long]("n_spans") == 2)
+    assert(r(3).getAs[Double]("dup_fraction") == 0.8)
+    // overlapping occurrences merge into one span: "a a a a a a" with
+    // k=4 has dup 4-grams at pos 0,1,2 (each occurs 3 times) → one
+    // span covering all 6 tokens
+    val self = Seq((9L, "a a a a a a")).toDF("doc_id", "text")
+    val rs = Dedup.duplicateSpans(self, "doc_id", "text", k = 4, minCount = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(rs(9L).getAs[Long]("dup_tokens") == 6 && rs(9L).getAs[Long]("n_spans") == 1)
+    assert(rs(9L).getAs[Double]("dup_fraction") == 1.0)
+  }
+
   test("leakage-safe split: near-dup families share a side, singletons match hashSplit") {
     val base = Tables.documents(spark, sf).select("doc_id", "text")
       .orderBy("doc_id").limit(100)
