@@ -124,7 +124,53 @@ object Dedup {
     * frequency pass is xxhash64(shingle), so the exchange carries 8
     * bytes per occurrence, not the k-word string. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 50, minCount: Long = 2L): DataFrame = {
+                     k: Int = 50, minCount: Long = 2L): DataFrame =
+    duplicateSpanRanges(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sum(col("__end") - col("__start") + 1).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+
+  /** [[duplicateSpans]]' actionable form: the duplicated token ranges
+    * are CUT from the text (the Lee et al. substring-dedup transform).
+    * Documents with no duplicated span pass through verbatim;
+    * documents losing tokens are re-joined with single spaces
+    * (whitespace inside removed/kept runs is normalized — the
+    * tokenizer boundary is the unit of surgery, as in the reference
+    * implementation). Output: (idCol, text, n_removed).
+    *
+    * Shape: [[duplicateSpans]]' relational pipeline up to the island
+    * merge, spans collected per doc (a handful of (start, end)
+    * structs — bounded by n_tokens/k), one broadcast-friendly left
+    * join back, and the cut itself is an indexed higher-order filter —
+    * per-row expression work, no extra shuffle beyond the span
+    * pipeline's. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 50, minCount: Long = 2L): DataFrame = {
+    val spans = duplicateSpanRanges(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__start"), col("__end"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__ws", words(col(textCol)))
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(col("__ws"), (w, i) =>
+              !exists(col("__spans"), s =>
+                i >= s.getField("__start") && i <= s.getField("__end")))))
+          .as(textCol),
+        coalesce(aggregate(col("__spans"),
+            lit(0L), (acc, s) => acc + s.getField("__end") - s.getField("__start") + 1L),
+          lit(0L)).as("n_removed"))
+  }
+
+  /** (id, __start, __end) merged duplicated-token intervals —
+    * the shared core of [[duplicateSpans]] and
+    * [[removeDuplicateSpans]]. Positions are 0-based token offsets,
+    * both ends inclusive. */
+  private def duplicateSpanRanges(df: DataFrame, idCol: String, textCol: String,
+                                  k: Int, minCount: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val posed = graft.Parallelism.spread(df)
@@ -142,11 +188,8 @@ object Dedup {
       .withColumn("__isl", sum("__brk").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("n_tokens"), col("__isl"))
-      .agg((max("pos") - min("pos") + k).cast("long").as("__toks"))
-      .groupBy(col(idCol), col("n_tokens"))
-      .agg(sum("__toks").as("dup_tokens"), count(lit(1)).as("n_spans"))
-      .withColumn("dup_fraction",
-        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+      .agg(min("pos").cast("long").as("__start"),
+        (max("pos") + k - 1).cast("long").as("__end"))
   }
 
   /** Distinct k-word shingles per doc: (id, shingle) rows. The explode

@@ -62,6 +62,14 @@ object DedupQueries {
         k = 8, minCount = 2)
         .orderBy("doc_id")),
 
+    // #43d the cut itself (rows-only: indexed-lambda text surgery has
+    // no DuckDB equivalent; interval math shares q_dup_spans' oracle
+    // and the hand-computed spec).
+    "q_dedup_cut" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, minCount = 2)
+        .orderBy("doc_id")),
+
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",

@@ -401,6 +401,28 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(rs(9L).getAs[Double]("dup_fraction") == 1.0)
   }
 
+  test("removeDuplicateSpans cuts exactly the merged spans, passes clean docs verbatim") {
+    val corpus = Seq(
+      (1L, "p q r s a b c d e f"),
+      (2L, "m n p q r s k l t u"),
+      (3L, "x y z w g h x y z w"),
+      (4L, "one  two\tthree four five six seven eight nine") // odd whitespace kept verbatim
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 4, minCount = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getAs[String]("text") == "a b c d e f" && r(1).getAs[Long]("n_removed") == 4)
+    assert(r(2).getAs[String]("text") == "m n k l t u" && r(2).getAs[Long]("n_removed") == 4)
+    assert(r(3).getAs[String]("text") == "g h" && r(3).getAs[Long]("n_removed") == 8)
+    // untouched doc: original text BYTES, not a re-join
+    assert(r(4).getAs[String]("text") == "one  two\tthree four five six seven eight nine")
+    assert(r(4).getAs[Long]("n_removed") == 0)
+    // a fully-duplicated doc empties out
+    val self = Seq((9L, "a a a a a a")).toDF("doc_id", "text")
+    val rs = Dedup.removeDuplicateSpans(self, "doc_id", "text", k = 4, minCount = 2)
+      .collect().head
+    assert(rs.getAs[String]("text") == "" && rs.getAs[Long]("n_removed") == 6)
+  }
+
   test("leakage-safe split: near-dup families share a side, singletons match hashSplit") {
     val base = Tables.documents(spark, sf).select("doc_id", "text")
       .orderBy("doc_id").limit(100)
