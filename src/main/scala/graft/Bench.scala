@@ -73,11 +73,14 @@ object Bench {
     if (errors.nonEmpty)
       println(errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
         .mkString("""{"metric":"errors","errors":{""", ",", "}}"))
+    // iters/nerr on their own short line (subset runs included) so a
+    // failed run is never indistinguishable from a clean 0-second one
+    println(s"""{"metric":"info","iters":$iters,"nerr":${errors.size}}""")
     if (only.isEmpty) {
       val streaming = graft.streaming.StreamBench.curve(spark, sfDir)
         .toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"streaming","iters":$iters,"nerr":${errors.size},"events_per_sec":$streaming}""")
+      println(s"""{"metric":"streaming","events_per_sec":$streaming}""")
     }
     val total = math.rint(results.map(_._2).sum * 100) / 100
     // the harness capturing stdout keeps only a ~2 KB byte tail —

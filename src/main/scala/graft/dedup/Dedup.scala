@@ -173,16 +173,26 @@ object Dedup {
                                   k: Int, minCount: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val posed = graft.Parallelism.spread(df)
+    // TWO independent 64-bit hashes, not one: "duplicate" decided on a
+    // single xxhash64 would mark two distinct once-seen k-grams as
+    // duplicates on a 64-bit collision — expected at the multi-billion-
+    // shingle scale this targets — and removeDuplicateSpans would then
+    // silently cut unique text. A 128-bit key puts P(any collision) at
+    // ~n²/2^129 (≈1e-20 at 4e9 shingles) while the exchange still
+    // carries 16 bytes per occurrence, not the k-word string.
+    // Cached (tracked registry): the tokenize+explode scan feeds both
+    // the frequency aggregate and the join probe.
+    val posed = cached(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= k)
       .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"),
         posexplode(positionalShingleArray(k)).as(Seq("pos", "sh")))
-      .select(col(idCol), col("n_tokens"), col("pos"), xxhash64(col("sh")).as("h"))
-    val dup = posed.groupBy("h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("h")
+      .select(col(idCol), col("n_tokens"), col("pos"),
+        xxhash64(col("sh")).as("h"), xxhash64(lit("g2"), col("sh")).as("h2")))
+    val dup = posed.groupBy("h", "h2").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("h", "h2")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
-    posed.join(dup, Seq("h"))
+    posed.join(dup, Seq("h", "h2"))
       .withColumn("__brk",
         when(col("pos") - lag("pos", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("__isl", sum("__brk").over(

@@ -40,20 +40,36 @@ object Bpe {
       .orderBy(col("cnt").desc, col("w"))
       .limit(maxWords)
       .collect()
-    // weighted words as mutable symbol arrays
-    val words = wordRows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    // weighted words as mutable symbol arrays — split by CODE POINT,
+    // not UTF-16 unit, so non-BMP characters (emoji, astral CJK) stay
+    // whole symbols instead of lone surrogates
+    val words = wordRows.map(r => (Bpe.codePointSymbols(r.getString(0)), r.getLong(1)))
     val merges = IndexedSeq.newBuilder[(String, String)]
+    // pair counts maintained INCREMENTALLY: a merge touches only the
+    // words containing the merged adjacency (their old pairs subtract,
+    // their new pairs add) — never a full rebuild per iteration
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def addPairs(syms: Array[String], cnt: Long): Unit = {
+      var j = 0
+      while (j < syms.length - 1) {
+        counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + cnt))
+        j += 1
+      }
+    }
+    def subPairs(syms: Array[String], cnt: Long): Unit = {
+      var j = 0
+      while (j < syms.length - 1) {
+        counts.updateWith((syms(j), syms(j + 1))) { c =>
+          val left = c.getOrElse(0L) - cnt
+          if (left <= 0) None else Some(left)
+        }
+        j += 1
+      }
+    }
+    words.foreach { case (syms, cnt) => addPairs(syms, cnt) }
     var i = 0
     var done = false
     while (i < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, cnt) =>
-        var j = 0
-        while (j < syms.length - 1) {
-          counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + cnt))
-          j += 1
-        }
-      }
       if (counts.isEmpty) done = true
       else {
         val (pair, best) = counts.minBy { case ((a, b), c) => (-c, a, b) }
@@ -63,15 +79,24 @@ object Bpe {
           val merged = pair._1 + pair._2
           for (k <- words.indices) {
             val (syms, cnt) = words(k)
-            if (syms.length >= 2) {
+            var has = false
+            var j = 0
+            while (!has && j < syms.length - 1) {
+              has = syms(j) == pair._1 && syms(j + 1) == pair._2
+              j += 1
+            }
+            if (has) {
+              subPairs(syms, cnt)
               val out = Array.newBuilder[String]
-              var j = 0
+              j = 0
               while (j < syms.length) {
                 if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
                   out += merged; j += 2
                 } else { out += syms(j); j += 1 }
               }
-              words(k) = (out.result(), cnt)
+              val next = out.result()
+              addPairs(next, cnt)
+              words(k) = (next, cnt)
             }
           }
           i += 1
@@ -79,6 +104,18 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** One symbol per Unicode code point (surrogate pairs stay whole). */
+  private[text] def codePointSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   /** array<string> of BPE tokens for a text column under `merges`. */
@@ -108,7 +145,7 @@ case class BpeEncode(child: Expression, merges: IndexedSeq[(String, String)])
     merges.zipWithIndex.toMap
 
   private def encodeWord(word: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    var syms = word.map(_.toString).toBuffer
+    val syms = Bpe.codePointSymbols(word).toBuffer
     var continue = syms.length >= 2
     while (continue) {
       // lowest-rank applicable merge (GPT-2 order)
