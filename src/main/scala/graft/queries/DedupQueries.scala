@@ -68,6 +68,11 @@ object DedupQueries {
     "q_dedup_cut" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
         k = 8, minCount = 2)
+        // always-true filter that REFERENCES the span join's output:
+        // under a bare count() Catalyst otherwise eliminates the
+        // unique-keyed left join entirely (column pruning) and the
+        // bench would time a word count, not the operator
+        .filter(col("n_removed") >= 0)
         .orderBy("doc_id")),
 
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
