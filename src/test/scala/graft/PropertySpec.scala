@@ -102,6 +102,48 @@ class PropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("duplicate-span invariants on random corpora: cut + spans conserve tokens") {
+    // random docs over a tiny vocab (to force k-gram collisions) —
+    // for EVERY doc: duplicateSpans' accounting and
+    // removeDuplicateSpans' surgery must agree exactly:
+    //   tokens(cut text) == n_tokens - dup_tokens == n_tokens - n_removed
+    // and spans never exceed the doc
+    val vocab = Vector("a", "b", "c", "d")
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(5, 25)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusGen, samples = 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val k = 3
+      val spans = graft.dedup.Dedup.duplicateSpans(df, "doc_id", "text", k = k, minCount = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"))).toMap
+      val cut = graft.dedup.Dedup.removeDuplicateSpans(df, "doc_id", "text", k = k, minCount = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[String]("text"), r.getAs[Long]("n_removed"))).toMap
+      docs.foreach { case (id, text) =>
+        val nTokens = text.split("\\s+").count(_.nonEmpty)
+        val (cleaned, nRemoved) = cut(id)
+        val cleanedTokens = cleaned.split("\\s+").count(_.nonEmpty)
+        spans.get(id) match {
+          case Some((nt, dup)) =>
+            assert(nt == nTokens, s"doc $id n_tokens $nt != $nTokens")
+            assert(dup >= k && dup <= nTokens, s"doc $id dup=$dup out of [${k}, $nTokens]")
+            assert(nRemoved == dup, s"doc $id n_removed $nRemoved != dup_tokens $dup")
+            assert(cleanedTokens == nTokens - dup,
+              s"doc $id: cleaned $cleanedTokens != $nTokens - $dup")
+          case None =>
+            assert(nRemoved == 0 && cleaned == text,
+              s"doc $id: no spans but cut changed text")
+        }
+      }
+    }
+  }
+
   test("weighted quantile matches brute-force cumulative scan") {
     val data: Gen[List[(Double, Int)]] = for {
       n <- Gen.choose(5, 60)
