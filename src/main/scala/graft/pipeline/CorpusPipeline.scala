@@ -28,7 +28,8 @@ object CorpusPipeline {
                           Seq("the", "a", "of", "and", "to", "in", "is", "it"),
                         shingleK: Int = 5, maxContamination: Double = 0.2,
                         pctByGroup: Map[String, Int] = Map.empty,
-                        defaultPct: Int = 100)
+                        defaultPct: Int = 100,
+                        scrubPii: Boolean = false)
 
   /** Stateless ingest-time curation gate: quality thresholds, mixture
     * rebalance, and bloom decontamination as ONE projection+filter
@@ -45,7 +46,14 @@ object CorpusPipeline {
   def ingestGate(docs: DataFrame, idCol: String, textCol: String, groupCol: String,
                  bloom: graft.functions.BroadcastBloom,
                  cfg: GateConfig = GateConfig()): DataFrame = {
-    val gated = docs
+    // PII scrub first (another per-row projection — statelessness
+    // preserved): quality features, mixture draw, and contamination
+    // shingles all see the text training would see, placeholders
+    // included
+    val input = if (cfg.scrubPii)
+      docs.withColumn(textCol, graft.text.Pii.redactText(col(textCol)))
+    else docs
+    val gated = input
       .withColumn("__ws", TextAnalysis.words(col(textCol)))
       .withColumn("n_words", size(col("__ws")))
       .withColumn("stop_ratio", when(col("n_words") === 0, 0.0)

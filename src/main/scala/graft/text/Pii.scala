@@ -42,6 +42,16 @@ object Pii {
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(e1, lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(e2, lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_replace(e2, lit(PhoneRe), lit("[PHONE]")).as("redacted"))
+      redactText(col(textCol)).as("redacted"))
   }
+
+  /** The redaction alone, as a column expression — for in-place text
+    * scrubbing inside larger pipelines (e.g. the ingest gate). Same
+    * replacement order as [[redact]]. */
+  def redactText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("[EMAIL]")),
+        lit(Ipv4Re), lit("[IP]")),
+      lit(PhoneRe), lit("[PHONE]"))
 }

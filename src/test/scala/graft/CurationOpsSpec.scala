@@ -183,6 +183,20 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(graft.text.Bpe.train(tiny, "text", numMerges = 10, minPairCount = 2) == merges)
   }
 
+  test("BPE symbols are code points: non-BMP characters survive encode round-trip") {
+    // an astral emoji is ONE symbol (never torn into lone surrogates
+    // that would encode as '?'); unmerged symbols emit verbatim
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, non-BMP
+    val tiny = Seq((1L, s"ab ab hi$emoji$emoji hi$emoji$emoji")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.train(tiny, "text", numMerges = 10, minPairCount = 2)
+    val toks = tiny.select(graft.text.Bpe.tokenize(col("text"), merges).as("t"))
+      .first().getSeq[String](0)
+    assert(!toks.exists(_.contains("?")), s"surrogate tear: $toks")
+    assert(toks.mkString == s"abab" + s"hi$emoji$emoji" * 2)
+    // the repeated word "hi😀😀" fully merges (its pairs occur twice)
+    assert(toks.count(_ == s"hi$emoji$emoji") == 2)
+  }
+
   test("BPE on the fixture corpus compresses vs characters and never splits across whitespace") {
     val merges = graft.text.Bpe.train(docs, "text", numMerges = 100)
     // early stop when pair mass runs out is correct — the fixture's

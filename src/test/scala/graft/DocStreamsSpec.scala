@@ -77,6 +77,16 @@ class DocStreamsSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.getLong(0)).toSet
     assert(batchOut == Set(1L))
 
+    // scrubPii stays a stateless projection and survivors carry the
+    // scrubbed text (the text training would see)
+    val piiDocs = Seq((7L, good + " mail x@y.io now", "de")).toDF("doc_id", "text", "lang")
+    val scrubbed = CorpusPipeline.ingestGate(piiDocs, "doc_id", "text", "lang", bloom,
+        cfg.copy(scrubPii = true))
+      .collect()
+    assert(scrubbed.length == 1)
+    val t = scrubbed.head.getAs[String]("text")
+    assert(t.contains("[EMAIL]") && !t.contains("x@y.io"))
+
     val mem = MemoryStream[(Long, String, String)]
     val sq = CorpusPipeline.ingestGate(
         mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "lang", bloom, cfg)
