@@ -185,6 +185,19 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges\n${p.take(1200)}")
   }
 
+  test("duplicate-span queries: doc-partitioned windows only, no cartesian anywhere") {
+    for (name <- Seq("q_dup_spans", "q_dedup_cut")) {
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned Window")
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(1200)}")
+    }
+  }
+
   test("global top-k queries plan TakeOrderedAndProject, not a global sort") {
     for (name <- Seq("q_sample_weighted", "q_heavy_hitters", "q_colloc_pmi")) {
       val p = plan(name)
