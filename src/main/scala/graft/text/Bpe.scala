@@ -33,7 +33,8 @@ object Bpe {
     * fewer than `minPairCount` times (merging a once-seen pair adds
     * vocabulary without compression). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            maxWords: Int = 100000, minPairCount: Long = 2L): IndexedSeq[(String, String)] = {
+            maxWords: Int = 100000, minPairCount: Long = 2L,
+            byteLevel: Boolean = false): IndexedSeq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val wordRows = df.select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -42,8 +43,11 @@ object Bpe {
       .collect()
     // weighted words as mutable symbol arrays — split by CODE POINT,
     // not UTF-16 unit, so non-BMP characters (emoji, astral CJK) stay
-    // whole symbols instead of lone surrogates
-    val words = wordRows.map(r => (Bpe.codePointSymbols(r.getString(0)), r.getLong(1)))
+    // whole symbols instead of lone surrogates; byte-level mode splits
+    // into mapped UTF-8 bytes instead (256-symbol alphabet, no OOV)
+    val toSyms: String => Array[String] =
+      if (byteLevel) Bpe.byteSymbols else Bpe.codePointSymbols
+    val words = wordRows.map(r => (toSyms(r.getString(0)), r.getLong(1)))
     val merges = IndexedSeq.newBuilder[(String, String)]
     // pair counts maintained INCREMENTALLY: a merge touches only the
     // words containing the merged adjacency (their old pairs subtract,
@@ -118,10 +122,49 @@ object Bpe {
     out.result()
   }
 
-  /** array<string> of BPE tokens for a text column under `merges`. */
-  def tokenize(text: Column, merges: IndexedSeq[(String, String)]): Column =
+  // --- byte-level alphabet (GPT-2's bytes_to_unicode mapping) -------
+
+  /** Printable stand-in char per byte value: printable ASCII/Latin-1
+    * bytes map to themselves, the rest shift past U+0100 — every byte
+    * gets a distinct printable char, so byte-level tokens are valid,
+    * storable strings and the mapping inverts exactly. */
+  private[text] val byteChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var shift = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+    }
+    out
+  }
+  private[text] lazy val charByte: Map[Char, Int] =
+    byteChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** One symbol per UTF-8 byte, rendered through [[byteChar]] — the
+    * byte-level alphabet: 256 base symbols, NO out-of-vocabulary
+    * input ever, emoji and any script segment without special cases
+    * (the production alphabet; [[codePointSymbols]] is the portable
+    * character-level default). */
+  private[text] def byteSymbols(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => String.valueOf(byteChar(b & 0xFF)))
+
+  /** Invert a byte-level token (or a concatenation of them) back to
+    * UTF-8 text. A single token may END mid-character — byte merges
+    * don't respect character boundaries — so for exact reconstruction
+    * concatenate the tokens FIRST and decode once. */
+  def decodeByteToken(token: String): String = {
+    val bytes = token.map(c => charByte(c).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** array<string> of BPE tokens for a text column under `merges`.
+    * `byteLevel` must match the flag the merges were trained with. */
+  def tokenize(text: Column, merges: IndexedSeq[(String, String)],
+               byteLevel: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
-      BpeEncode(org.apache.spark.sql.GraftColumnBridge.expression(text), merges))
+      BpeEncode(org.apache.spark.sql.GraftColumnBridge.expression(text), merges, byteLevel))
 }
 
 /** Per-row BPE encode: whitespace-split words (same token boundary as
@@ -130,7 +173,8 @@ object Bpe {
   * the training segmentation. The merge table travels in the
   * expression (task binary, broadcast by Spark); rank lookup is a
   * hash map built once per executor. */
-case class BpeEncode(child: Expression, merges: IndexedSeq[(String, String)])
+case class BpeEncode(child: Expression, merges: IndexedSeq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -145,7 +189,7 @@ case class BpeEncode(child: Expression, merges: IndexedSeq[(String, String)])
     merges.zipWithIndex.toMap
 
   private def encodeWord(word: String, out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    val syms = Bpe.codePointSymbols(word).toBuffer
+    val syms = (if (byteLevel) Bpe.byteSymbols(word) else Bpe.codePointSymbols(word)).toBuffer
     var continue = syms.length >= 2
     while (continue) {
       // lowest-rank applicable merge (GPT-2 order)

@@ -197,6 +197,30 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(toks.count(_ == s"hi$emoji$emoji") == 2)
   }
 
+  test("byte-level BPE: every token decodes back to UTF-8, any input has zero OOV") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val tricky = Seq((1L, s"héllo héllo wörld$emoji wörld$emoji"),
+      (2L, "plain ascii plain ascii")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.train(tricky, "text", numMerges = 20,
+      minPairCount = 2, byteLevel = true)
+    assert(merges.nonEmpty)
+    val toks = tricky.select(col("doc_id"),
+        graft.text.Bpe.tokenize(col("text"), merges, byteLevel = true).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // round-trip through the byte mapping: tokens may split a
+    // multi-byte character (inherent to byte-level BPE), so decode
+    // AFTER concatenation — the byte stream rebuilds the
+    // whitespace-free text exactly, accents and emoji included, no
+    // special-casing, no unknown symbol possible
+    assert(graft.text.Bpe.decodeByteToken(toks(1).mkString) ==
+      s"héllohéllowörld${emoji}wörld$emoji")
+    assert(graft.text.Bpe.decodeByteToken(toks(2).mkString) == "plainasciiplainascii")
+    // repeated words compress below their byte counts
+    val byteCount = s"héllohéllowörld${emoji}wörld$emoji"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(toks(1).length < byteCount)
+  }
+
   test("BPE on the fixture corpus compresses vs characters and never splits across whitespace") {
     val merges = graft.text.Bpe.train(docs, "text", numMerges = 100)
     // early stop when pair mass runs out is correct — the fixture's
