@@ -12,26 +12,45 @@ import org.apache.spark.sql.functions._
   * join key becomes (key, salt) — the hot key's rows spread over
   * `factor` tasks instead of one straggler.
   *
-  * Salt is a content hash of the large side's row (all columns), so
-  * the same row always lands in the same salt bucket: task retries and
+  * Salt is a content hash of the large side's row, so the same row
+  * always lands in the same salt bucket: task retries and
   * recomputations reproduce identical partition contents, unlike a
   * positional monotonically_increasing_id salt which reshuffles
-  * whenever Spark re-splits the input. Identical rows co-locate (same
-  * bucket), which is harmless — the skew being treated lives on the
-  * join KEY, whose rows differ in their payload columns.
+  * whenever Spark re-splits the input.
+  *
+  * Two content-hash caveats (pass `saltCol` to defuse both): (1) fully
+  * IDENTICAL duplicate rows share one salt, so a hot key consisting of
+  * repeated identical rows is NOT split — name a unique id column and
+  * the salt is its hash instead; (2) xxhash64 rejects unhashable
+  * column types (e.g. map) at analysis — again, hash the named id
+  * column only. Without duplicates/maps the default (all columns) is
+  * fine: the skew being treated lives on the join KEY, whose rows
+  * differ in their payload columns.
   */
 object SkewJoin {
 
+  /** Deterministic salt for a `large`-side row: hash of `saltCol` when
+    * named (unique ids split identical-payload duplicates and dodge
+    * unhashable column types), else hash of every column. */
+  private def saltExpr(large: DataFrame, saltCol: Option[String], factor: Int): Column = {
+    val basis = saltCol match {
+      case Some(c) =>
+        require(large.columns.contains(c), s"saltCol $c not in large side")
+        IndexedSeq(col(c))
+      case None => large.columns.map(col).toIndexedSeq
+    }
+    pmod(xxhash64(basis: _*), lit(factor)).cast("int")
+  }
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-                 factor: Int = 8, joinType: String = "inner"): DataFrame = {
+                 factor: Int = 8, joinType: String = "inner",
+                 saltCol: Option[String] = None): DataFrame = {
     // right/full outer would emit null-padded rows for replicated
     // small-side copies whose salt found no partner — semantically wrong
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti", "cross").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left-side join types, got $joinType")
-    val payload = large.columns.map(col).toIndexedSeq
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(payload: _*), lit(factor)).cast("int"))
+    val salted = large.withColumn("__salt", saltExpr(large, saltCol, factor))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
@@ -52,7 +71,8 @@ object SkewJoin {
   def saltedJoinAuto(large: DataFrame, small: DataFrame, key: String,
                      factor: Int = 8, hotShare: Double = 0.05,
                      sampleFraction: Double = 0.01,
-                     joinType: String = "inner"): DataFrame = {
+                     joinType: String = "inner",
+                     saltCol: Option[String] = None): DataFrame = {
     // same restriction as saltedJoin: replicated small-side copies
     // whose salt finds no partner would null-pad right/full outers
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
@@ -82,10 +102,8 @@ object SkewJoin {
       // the large side, and the small side grows by just
       // |hot keys|·factor rows — the broadcast survives.
       val isHot = col(key).isin(hotKeys.toIndexedSeq: _*)
-      val payload = large.columns.map(col).toIndexedSeq
       val salted = large.withColumn("__salt",
-        when(isHot, pmod(xxhash64(payload: _*), lit(factor)).cast("int"))
-          .otherwise(lit(0)))
+        when(isHot, saltExpr(large, saltCol, factor)).otherwise(lit(0)))
       val replicated = small.withColumn("__salt",
         explode(when(isHot, sequence(lit(0), lit(factor - 1)))
           .otherwise(array(lit(0)))))

@@ -73,6 +73,12 @@ object Sampling {
     * decimals BEFORE the threshold compare so the cut is identical in
     * any engine. Output: input columns + keep_rate.
     *
+    * The draw is SALTED ("mixmass:" ++ id) so it is independent of the
+    * other md5(id) samplers: an unsalted draw would make a keep-rate
+    * 0.2 pass select exactly the holdoutPct=20 rows of
+    * [[Curation.hashSplit]] in a composed pipeline — perfectly
+    * correlated selections instead of an unbiased subsample.
+    *
     * Scale: one tiny group aggregate + broadcast join + filter — the
     * corpus is scanned once and never shuffled. */
   def mixtureByMass(df: DataFrame, groupCol: String, idCol: String, massCol: String,
@@ -90,7 +96,7 @@ object Sampling {
       .select(col(groupCol),
         round(least(lit(1.0), share * budget / col("__mass")), 6).as("keep_rate"))
     df.join(broadcast(rates), Seq(groupCol))
-      .filter(Curation.md5Long(col(idCol)) <
+      .filter(Curation.md5Long(concat(lit("mixmass:"), col(idCol).cast("string"))) <
         floor(col("keep_rate") * 4294967296.0).cast("long"))
   }
 

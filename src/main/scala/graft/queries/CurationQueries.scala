@@ -198,7 +198,8 @@ object CurationQueries {
          | FROM tot WHERE mass > 0)
          |SELECT d.doc_id, d.lang, r.keep_rate
          |FROM documents d JOIN r USING (lang)
-         |WHERE $md5Long < cast(floor(keep_rate * 4294967296) AS BIGINT)
+         |WHERE cast(('0x' || substr(md5('mixmass:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |  < cast(floor(keep_rate * 4294967296) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->

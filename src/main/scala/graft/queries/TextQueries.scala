@@ -145,11 +145,11 @@ object TextQueries {
         |   regexp_replace(regexp_replace(text,
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-        |   '\+\d{9,15}')) AS BIGINT) AS n_phones,
+        |   '\+\d{9,15}\b')) AS BIGINT) AS n_phones,
         | regexp_replace(regexp_replace(regexp_replace(text,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-        |   '\+\d{9,15}', '[PHONE]', 'g') AS redacted
+        |   '\+\d{9,15}\b', '[PHONE]', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -38,7 +38,8 @@ object Cosine {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Adds `__vd` (double vector) and `__nrm` columns; precomputing the
+  /** Adds `__vd` (float/double vector — kernels widen per element) and
+    * `__nrm` columns; precomputing the
     * norm once per vector avoids recomputing it per candidate pair.
     * Zero-norm vectors are dropped: their cosine is 0/0 = NaN, and
     * Spark orders NaN above every number, so a single all-zero

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Packing, Sampling}
+import graft.pipeline.{Curation, Packing, Sampling}
 import graft.text.{Collocations, HeavyHitters}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -259,6 +259,66 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(r(4).getAs[Long]("n_emails") == 1 && r(4).getAs[Long]("n_ips") == 0
       && r(4).getAs[Long]("n_phones") == 0)
     assert(r(4).getAs[String]("redacted") == "reach [EMAIL] now")
+  }
+
+  test("PII phone tier is all-or-nothing: over-long digit runs left for audit") {
+    // ADVICE r6: without \b, +<16+ digits> redacted its first 15 digits
+    // and left the tail glued to [PHONE] — partial redaction is worse
+    // than none (looks scrubbed, isn't)
+    val df = Seq(
+      (1L, "call +12345678901234567890 maybe"),   // 20 digits: no match
+      (2L, "call +123456789012345 now")           // exactly 15: full match
+    ).toDF("doc_id", "text")
+    val r = graft.text.Pii.redact(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getAs[Long]("n_phones") == 0)
+    assert(r(1).getAs[String]("redacted") == "call +12345678901234567890 maybe")
+    assert(r(2).getAs[Long]("n_phones") == 1)
+    assert(r(2).getAs[String]("redacted") == "call [PHONE] now")
+  }
+
+  test("PII recall tier: planted separator phones recalled >= 95%, parity output untouched") {
+    // planted-PII corpus: every common separator format the parity
+    // (oracle-exact) tier deliberately skips
+    val planted = Seq(
+      "call (415) 255-0123 today",
+      "call 415-255-0123 today",
+      "call 415.255.0123 today",
+      "call 415 255 0123 today",
+      "call +1 415-255-0123 today",
+      "call 1-415-255-0123 today",
+      "call +44 20 7946 0958 today",
+      "call +33 1 42 68 53 00 today",
+      "call +49 30 901820 today",
+      "call +123456789 today")          // parity form still covered
+    val df = planted.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.text.Pii.redactTextRecall(col("text")).as("scrubbed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val recalled = out.values.count(t => t.contains("[PHONE]") && !t.exists(_.isDigit))
+    assert(recalled >= (planted.size * 0.95).ceil.toInt,
+      s"recall ${recalled}/${planted.size}: ${out.values.mkString(" | ")}")
+    // emails/IPs still take precedence over phone-shaped digit runs inside them
+    val mixed = Seq((0L, "mail user123-456-7890@x.co from 10.2.123.7 or 415-255-0123"))
+      .toDF("doc_id", "text")
+      .select(graft.text.Pii.redactTextRecall(col("text"))).first().getString(0)
+    assert(mixed == "mail [EMAIL] from [IP] or [PHONE]", mixed)
+  }
+
+  test("mixtureByMass draw is decorrelated from hashSplit (per-operator salt)") {
+    // ADVICE r6: unsalted, keep_rate 0.2 kept EXACTLY hashSplit's
+    // holdoutPct=20 rows — composed pipelines correlated perfectly
+    val df = (1L to 2000L).map(i => (i, "g", 10L)).toDF("doc_id", "grp", "toks")
+    // mass = 20000, share 1.0, budget 4000 → keep_rate 0.2
+    val kept = Sampling.mixtureByMass(df, "grp", "doc_id", "toks",
+      Map("g" -> 1.0), budget = 4000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val holdout = Curation.hashSplit(df, "doc_id", holdoutPct = 20)
+      .filter(col("bucket") < 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent draws at p=q=0.2 overlap ≈ 4% of rows, not 100%
+    val overlap = (kept & holdout).size.toDouble / math.max(kept.size, 1)
+    assert(overlap < 0.5, s"draws still correlated: overlap=$overlap")
+    assert(kept.nonEmpty && holdout.nonEmpty)
   }
 
   test("mixtureByMass: keep-rates follow share·budget/mass, reruns identical") {
