@@ -62,9 +62,10 @@ object DedupQueries {
         k = 8, minCount = 2)
         .orderBy("doc_id")),
 
-    // #43d the cut itself (rows-only: indexed-lambda text surgery has
-    // no DuckDB equivalent; interval math shares q_dup_spans' oracle
-    // and the hand-computed spec).
+    // #43d the cut itself — exact-oracled: the indexed-lambda surgery
+    // is recomputed in DuckDB via positional unnest + span anti-join
+    // (cut docs re-join kept tokens with single spaces; untouched docs
+    // pass through verbatim).
     "q_dedup_cut" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
         k = 8, minCount = 2)
@@ -86,10 +87,20 @@ object DedupQueries {
       Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text", maxHamming = 12)
         .orderBy("doc1", "doc2")),
 
-    // #44 embedding-cosine near-dup pairs.
-    "q_dedup_embed" -> ((s, dir) =>
-      Cosine.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
-        .orderBy("doc1", "doc2")),
+    // #44 embedding-cosine exact pairs, BOUNDED: a fixed 500-probe
+    // slice (vec_id < 500 — ScaleUp offsets replica ids, so the slice
+    // is the same 500 vectors at every SF) against the full corpus.
+    // O(500·n), linear in the corpus — the registered exact baseline
+    // after round 6 measured the unbounded triangular join at 36% of
+    // the whole sf10 suite (quadratic by semantics; it survives as the
+    // spec-level ground truth for the LSH path, not as a headline
+    // query). The unbounded flagship is q_dedup_embed_lsh.
+    "q_dedup_embed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Cosine.nearDupPairsBounded(e, e.filter(col("vec_id") < 500),
+          "vec_id", "embedding", 0.4)
+        .orderBy("doc1", "doc2")
+    }),
 
     // #44b FLAGSHIP embedding near-dup at a production threshold: the
     // banded LSH path (12-bit × 16-band hyperplane buckets → exact
@@ -161,6 +172,43 @@ object DedupQueries {
         | round(cast(sum(toks) AS DOUBLE) / n_tokens, 4) AS dup_fraction
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
 
+    // same span pipeline as q_dup_spans (1-based positions), then the
+    // cut: tokens not covered by any [st, en] island survive, kept
+    // tokens re-join with single spaces; fully-cut docs become '';
+    // docs with no duplicated span keep their ORIGINAL bytes
+    "q_dedup_cut" ->
+      """WITH mk AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id, i AS pos,
+        |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t
+        |      WHERE len(ws) >= 8),
+        |d AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (s)),
+        |brk AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS b
+        |        FROM dp),
+        |isl AS (SELECT doc_id, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM brk),
+        |sp AS (SELECT doc_id, g, min(pos) AS st, max(pos) + 7 AS en
+        |       FROM isl GROUP BY doc_id, g),
+        |rem AS (SELECT doc_id, sum(en - st + 1) AS n_removed FROM sp GROUP BY doc_id),
+        |tok AS (SELECT m.doc_id, u.w, u.i
+        |        FROM mk m, LATERAL (SELECT unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS i) u
+        |        WHERE m.doc_id IN (SELECT doc_id FROM rem)),
+        |kept AS (SELECT t.doc_id, t.i, t.w FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                           WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.st AND sp.en)),
+        |cut AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cut_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN m.text ELSE coalesce(c.cut_text, '') END AS text,
+        |  cast(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM mk m LEFT JOIN rem r USING (doc_id) LEFT JOIN cut c ON c.doc_id = m.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
@@ -197,13 +245,17 @@ object DedupQueries {
         |WHERE cast(inter as double)/(sa.n + sb.n - inter) >= 0.8
         |ORDER BY doc1, doc2""".stripMargin,
 
+    // probe-probe pairs enumerate once (a < b), probe-corpus once (a =
+    // the probe) — matching the Spark side's canonicalize + dedup
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |x AS (SELECT vec_id, i, cast(embedding[i] as double) AS v
         |      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g),
         |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
-        |d AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2, sum(a.v*b.v) AS dot
-        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id
+        |d AS (SELECT least(a.vec_id, b.vec_id) AS doc1,
+        |             greatest(a.vec_id, b.vec_id) AS doc2, sum(a.v*b.v) AS dot
+        |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |        AND a.vec_id < 500 AND (b.vec_id >= 500 OR a.vec_id < b.vec_id)
         |      GROUP BY 1, 2)
         |SELECT doc1, doc2, round(dot/(na.nrm*nb.nrm), 4) AS cos
         |FROM d JOIN n na ON na.vec_id = doc1 JOIN n nb ON nb.vec_id = doc2

@@ -69,6 +69,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // #76b byte-level BPE end-to-end round-trip AT TABLE SCALE
+    // (rows-only: trainer artifact): train byte-level merges, encode
+    // every document, concatenate the tokens, decode the byte stream,
+    // and compare against the whitespace-squashed original. The
+    // roundtrip_ok flag is the tokenizer's zero-loss guarantee
+    // exercised on the full table at every SF, not just on spec
+    // fixtures (RoundTrip spec pins all-true).
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 200, byteLevel = true)
+      docs.select(col("doc_id"),
+          graft.text.Bpe.decodeBytes(concat_ws("",
+            graft.text.Bpe.tokenize(col("text"), merges, byteLevel = true))).as("__dec"),
+          regexp_replace(col("text"), "\\s+", "").as("__sq"))
+        .select(col("doc_id"),
+          (col("__dec") === col("__sq")).as("roundtrip_ok"),
+          length(col("__dec")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // #50 winnowing fingerprints (rows-only: engine-hash specific).
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "text", "doc_id")

@@ -89,6 +89,32 @@ object Cosine {
         greatest(col("doc1"), col("doc2")).as("doc2"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact cosine near-dup pairs for a BOUNDED probe set against the
+    * full corpus — the scale-legal exact baseline (SURVEY §4: exact
+    * brute-force lives only behind a small probe set). Cost is
+    * O(|probes|·n): the probe side broadcasts, the corpus streams
+    * through ONE scan, and the cost law is linear in the corpus where
+    * [[nearDupPairs]] is quadratic — at 100× the data this is 100× the
+    * work, not 10,000×. Unordered pairs are canonicalized (doc1 <
+    * doc2) and deduped, so a pair of two probes appears once; both
+    * orientations compute bit-identical cosines (same index order, same
+    * operand arithmetic), which keeps the dedup hash-stable.
+    * [[nearDupPairs]] remains the unbounded exact reference for specs;
+    * [[lshNearDupPairsAuto]] is the unbounded scale path. */
+  def nearDupPairsBounded(corpus: DataFrame, probes: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("__cid"), col("__vd").as("v2"), col("__nrm").as("n2"))
+    val p = broadcast(withNorm(probes, vecCol)
+      .select(col(idCol).as("__pid"), col("__vd").as("v1"), col("__nrm").as("n1")))
+    c.join(p, col("__pid") =!= col("__cid"))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("__pid"), col("__cid")).as("doc1"),
+        greatest(col("__pid"), col("__cid")).as("doc2"), round(col("cos"), 4).as("cos"))
+      .dropDuplicates("doc1", "doc2")
+  }
+
   /** Brute-force cosine top-k: for each probe, the k nearest vectors
     * (cos desc, id asc tie-break). Probes broadcast against the corpus. */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -165,6 +165,15 @@ object Bpe {
                byteLevel: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       BpeEncode(org.apache.spark.sql.GraftColumnBridge.expression(text), merges, byteLevel))
+
+  /** Column form of [[decodeByteToken]]: invert a byte-level token
+    * concatenation back to UTF-8 text, per row — the decode half of the
+    * tokenizer's end-to-end round-trip at table scale. Feed it the
+    * CONCATENATION of a document's tokens (individual tokens may end
+    * mid-character; the byte stream only re-aligns as a whole). */
+  def decodeBytes(tokens: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BpeDecode(org.apache.spark.sql.GraftColumnBridge.expression(tokens)))
 }
 
 /** Per-row BPE encode: whitespace-split words (same token boundary as
@@ -230,6 +239,48 @@ case class BpeEncode(child: Expression, merges: IndexedSeq[(String, String)],
       i += 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row byte-level BPE decode: map each stand-in char of the GPT-2
+  * bytes_to_unicode alphabet back to its byte and re-read the buffer
+  * as UTF-8. Inverse of [[Bpe.byteSymbols]] ∘ concat — fails loudly on
+  * a char outside the 256-symbol alphabet (only possible if fed
+  * non-byte-level tokens). */
+case class BpeDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode requires string input, got ${t.simpleString(10)}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  // dense char→byte table (alphabet chars all sit below 0x200)
+  @transient private lazy val table: Array[Int] = {
+    val t = Array.fill(0x200)(-1)
+    Bpe.byteChar.zipWithIndex.foreach { case (c, b) => t(c.toInt) = b }
+    t
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      val b = if (c < table.length) table(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"bpe_decode: char U+${c.toHexString} is not in the byte-level alphabet")
+      bytes(i) = b.toByte
+      i += 1
+    }
+    UTF8String.fromString(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

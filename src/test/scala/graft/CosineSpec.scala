@@ -62,6 +62,27 @@ class CosineSpec extends AnyFunSuite with SharedSpark {
     assert(!top.contains(3L))
   }
 
+  test("nearDupPairsBounded = unbounded exact pairs restricted to probe-touching pairs") {
+    // the registered q_dedup_embed shape: probes × corpus, linear in
+    // the corpus; pinned against the quadratic reference operator
+    val rng = new scala.util.Random(19)
+    val vecs = (0L until 90L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" < 30)
+    val got = Cosine.nearDupPairsBounded(df, probes, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Cosine.nearDupPairs(df, "vec_id", "embedding", 0.3, blocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = full.filter(p => p._1 < 30 || p._2 < 30)
+    assert(want.nonEmpty, "fixture should produce probe-touching pairs")
+    assert(got == want)
+    // probe-probe pairs appear exactly once despite both orientations existing
+    val ids = Cosine.nearDupPairsBounded(df, probes, "vec_id", "embedding", -1.0)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.length == 30 * 29 / 2 + 30 * 60)
+  }
+
   test("lshNearDupPairs finds every planted near-dup the exact operator reports") {
     val rng = new scala.util.Random(17)
     val base = (0L until 150L).map(i => (i, Array.fill(32)(rng.nextGaussian().toFloat)))

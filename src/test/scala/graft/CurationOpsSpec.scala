@@ -221,6 +221,13 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(toks(1).length < byteCount)
   }
 
+  test("q_bpe_roundtrip: every document round-trips (decode ∘ concat ∘ encode = squashed text)") {
+    val rows = SparkEntry.queries("q_bpe_roundtrip")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bad = rows.filterNot(_.getAs[Boolean]("roundtrip_ok"))
+    assert(bad.isEmpty, s"${bad.length} docs failed round-trip: ${bad.take(3).mkString}")
+  }
+
   test("BPE on the fixture corpus compresses vs characters and never splits across whitespace") {
     val merges = graft.text.Bpe.train(docs, "text", numMerges = 100)
     // early stop when pair mass runs out is correct — the fixture's

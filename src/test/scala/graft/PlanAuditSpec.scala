@@ -75,10 +75,18 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("embedding near-dup plans no nested-loop or cartesian join") {
+  test("bounded exact embed baseline: broadcast probes × ONE corpus scan, no cartesian") {
+    // q_dedup_embed is the bounded-probe exact baseline (O(|probes|·n)):
+    // the right plan IS a nested-loop whose build side is the broadcast
+    // 500-probe slice — what must never appear is a non-broadcast
+    // cartesian (corpus × corpus)
     val p = plan("q_dedup_embed")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // corpus side streams through exactly once: one scan feeds the
+    // probe slice (broadcast) and one the corpus side
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected <=2 parquet scans, got $scans\n${p.take(1500)}")
   }
 
   test("flagship banded embedding near-dup generates candidates via the (band, key) equi-join") {
