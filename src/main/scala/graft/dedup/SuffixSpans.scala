@@ -1,0 +1,222 @@
+package graft.dedup
+
+import graft.operators.GlobalOrder
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact maximal duplicate substrings via a distributed suffix
+  * ordering — the actual Lee et al. '22 ExactSubstr construction
+  * (suffix array + neighbor LCP), re-expressed for Spark.
+  *
+  * [[Dedup.duplicateSpans]] marks token ranges covered by a duplicated
+  * k-gram; at token granularity and minCount=2 that coverage is exact
+  * for duplicates of length ≥ k, but (a) duplicates SHORTER than k are
+  * invisible at the configured shuffle width, and (b) the pipeline
+  * never learns each repeat's exact extent or content — only coverage.
+  * This module computes, for every token position, the EXACT length of
+  * the longest repeated prefix of the suffix starting there
+  * ([[repeatExtents]]), which yields byte-exact span boundaries at ANY
+  * minLen ([[duplicateSpansExact]]) and the maximal repeated passages
+  * themselves ([[longestPassages]]) — the duplicate-mass inventory a
+  * curation pass reports.
+  *
+  * Construction (all relational, no driver-side corpus state):
+  *  1. Prefix doubling (Manber–Myers): dense rank of each suffix by
+  *     its first 2^h tokens, doubling h until ranks are fully distinct
+  *     or 2^h ≥ the longest document. Each round is ONE equi-join on
+  *     (doc, pos+2^h) — rows carry (id, pos, rank, rank2), ~32 bytes,
+  *     never token text — plus one [[GlobalOrder.withDenseRank]]
+  *     parallel range-sort. Suffixes never compare across documents
+  *     (a missing lookup ranks as −1 = "ends here", which orders
+  *     doc-final suffixes exactly like finite strings).
+  *  2. Suffix-array adjacency: one [[GlobalOrder.withPrev]] boundary
+  *     exchange over (rank, id, pos) pairs each suffix with its SA
+  *     neighbor; a suffix's longest repeated prefix is realized at an
+  *     adjacent suffix (suffixes sharing a prefix are contiguous in SA
+  *     order), so only n−1 pairs ever need LCP resolution.
+  *  3. Neighbor LCP: equal final ranks = identical suffixes (LCP =
+  *     min remaining length, no comparison needed); unequal pairs
+  *     prefilter on the 128-bit minLen-gram hashes (pairs that cannot
+  *     reach minLen are dropped without touching token arrays), then
+  *     resolve exactly by comparing geometrically growing token
+  *     chunks — survivors after round r share ≥ minLen·2^r tokens, so
+  *     rounds shrink to the true heavy-repeat mass and the per-pair
+  *     mismatch position lands via one indexed array expression.
+  *
+  * Scale: the doubling loop is ⌈log2(max doc tokens)⌉ rounds of slim
+  * shuffles; token arrays are only shuffled in the chunk rounds, whose
+  * survivor set after round 0 is the actual duplicate mass (AQE
+  * broadcasts the shrinking pair side). Reference comparator:
+  * `Dedup.duplicateSpans` (dedup/Dedup.scala:126) — spec-pinned equal
+  * at the same threshold, strictly more capable below it. */
+object SuffixSpans {
+
+  private def words(text: org.apache.spark.sql.Column) =
+    graft.text.TextAnalysis.words(text)
+
+  /** (idCol, n_tokens, pos, dup_len): for every token position whose
+    * longest repeated prefix reaches `minLen`, its EXACT length.
+    * A "repeat" is any other corpus position (any doc, including the
+    * same one) whose suffix shares that prefix. */
+  def repeatExtents(df: DataFrame, idCol: String, textCol: String,
+                    minLen: Int = 8, maxRounds: Int = 48): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val docsArr = Dedup.cached(graft.Parallelism.spread(df)
+      .select(col(idCol), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= minLen)
+      .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))
+
+    val aggRow = docsArr.agg(max("n_tokens"), sum("n_tokens")).first()
+    if (aggRow.isNullAt(0)) // no doc long enough: empty result, right schema
+      return docsArr.select(col(idCol), col("n_tokens"),
+        lit(0).as("pos"), lit(0L).as("dup_len")).limit(0)
+    val maxLen = aggRow.getLong(0)
+    val totalPositions = aggRow.getLong(1)
+
+    // --- 1. prefix doubling ------------------------------------------
+    val toks = docsArr.select(col(idCol), col("n_tokens"),
+      posexplode(col("__ws")).as(Seq("pos", "__t")))
+    var (r0, classes) = GlobalOrder.withDenseRank(toks, Seq(col("__t")), "__r")
+    var ranked = r0.drop("__t").localCheckpoint()
+    var span = 1L
+    while (span < maxLen && classes < totalPositions) {
+      // suffix at pos p extends with the rank of the suffix at p+span:
+      // shift the lookup side by -span so the probe is a plain equi-join
+      val lookup = ranked.select(col(idCol), (col("pos") - lit(span)).as("pos"),
+        col("__r").as("__r2"))
+      val paired = ranked.join(lookup, Seq(idCol, "pos"), "left")
+        .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
+      val (rn, cn) = GlobalOrder.withDenseRank(paired, Seq(col("__r"), col("__r2")), "__rn")
+      ranked = rn.select(col(idCol), col("n_tokens"), col("pos"), col("__rn").as("__r"))
+        .localCheckpoint()
+      classes = cn
+      span *= 2
+    }
+
+    // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
+    val suff = ranked.filter(col("pos") <= col("n_tokens") - minLen)
+      .withColumn("__rem", col("n_tokens") - col("pos"))
+    val adj = GlobalOrder.withPrev(suff,
+      Seq(col("__r"), col(idCol), col("pos")), Seq(idCol, "pos", "__r", "__rem"))
+    val pairs = adj.filter(col(s"__prev_$idCol").isNotNull)
+      .select(col(s"__prev_$idCol").as("idA"), col("__prev_pos").as("posA"),
+        col("__prev___r").as("rA"), col("__prev___rem").as("remA"),
+        col(idCol).as("idB"), col("pos").as("posB"),
+        col("__r").as("rB"), col("__rem").as("remB"))
+
+    // --- 3. neighbor LCPs ---------------------------------------------
+    // equal ranks = identical suffixes to their doc ends
+    val eqLcp = pairs.filter(col("rA") === col("rB"))
+      .select(col("idA"), col("posA"), col("idB"), col("posB"),
+        least(col("remA"), col("remB")).as("lcp"))
+    // 128-bit gram prefilter: unequal hashes PROVE lcp < minLen (drop);
+    // equal hashes proceed to exact chunk comparison from off = minLen
+    val grams = docsArr.select(col(idCol),
+        posexplode(Dedup.positionalShingleArray(minLen)).as(Seq("pos", "__g")))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("__g")).as("gh1"), xxhash64(lit("s2"), col("__g")).as("gh2"))
+    val gA = grams.select(col(idCol).as("idA"), col("pos").as("posA"),
+      col("gh1").as("a1"), col("gh2").as("a2"))
+    val gB = grams.select(col(idCol).as("idB"), col("pos").as("posB"),
+      col("gh1").as("b1"), col("gh2").as("b2"))
+    var active = pairs.filter(col("rA") =!= col("rB"))
+      .join(gA, Seq("idA", "posA")).join(gB, Seq("idB", "posB"))
+      .filter(col("a1") === col("b1") && col("a2") === col("b2"))
+      .select(col("idA"), col("posA"), col("idB"), col("posB"),
+        lit(minLen.toLong).as("__off"), least(col("remA"), col("remB")).as("__lim"))
+      .localCheckpoint()
+    val wsA = docsArr.select(col(idCol).as("idA"), col("__ws").as("__wsA"))
+    val wsB = docsArr.select(col(idCol).as("idB"), col("__ws").as("__wsB"))
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    done += eqLcp
+    var chunk = minLen.toLong
+    var rounds = 0
+    while (rounds < maxRounds && !active.isEmpty) {
+      val step = active.join(wsA, Seq("idA")).join(wsB, Seq("idB"))
+        .withColumn("__z", zip_with(
+          expr(s"slice(__wsA, cast(posA + __off + 1 as int), ${chunk.toInt})"),
+          expr(s"slice(__wsB, cast(posB + __off + 1 as int), ${chunk.toInt})"),
+          (x, y) => coalesce(x === y, lit(false))))
+        .withColumn("__fp", expr("array_position(__z, false)"))
+        .withColumn("__adv",
+          when(col("__fp") > 0, col("__fp") - 1).otherwise(size(col("__z")).cast("long")))
+        .select(col("idA"), col("posA"), col("idB"), col("posB"),
+          (col("__off") + col("__adv")).as("__off"), col("__lim"),
+          (col("__fp") > 0 || col("__adv") < chunk).as("__mismatch"))
+        .withColumn("__done", col("__mismatch") || col("__off") >= col("__lim"))
+        .localCheckpoint()
+      done += step.filter(col("__done"))
+        .select(col("idA"), col("posA"), col("idB"), col("posB"),
+          least(col("__off"), col("__lim")).as("lcp"))
+      active = step.filter(!col("__done"))
+        .select("idA", "posA", "idB", "posB", "__off", "__lim")
+      chunk = math.min(chunk * 2, Int.MaxValue / 4)
+      rounds += 1
+    }
+    require(active.isEmpty,
+      s"repeatExtents chunk resolution did not converge in $maxRounds rounds")
+
+    // dup_len(pos) = max LCP with either SA neighbor
+    val lcps = done.reduce(_ unionByName _)
+    val byPos = lcps.select(col("idA").as(idCol), col("posA").as("pos"), col("lcp"))
+      .unionByName(lcps.select(col("idB").as(idCol), col("posB").as("pos"), col("lcp")))
+      .groupBy(col(idCol), col("pos")).agg(max("lcp").as("dup_len"))
+      .filter(col("dup_len") >= minLen)
+    byPos.join(docsArr.select(col(idCol), col("n_tokens")), Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("pos"), col("dup_len"))
+  }
+
+  /** [[Dedup.duplicateSpans]]' exact counterpart at ANY minimum length:
+    * per-doc merged spans of tokens covered by some substring of
+    * length ≥ minLen occurring ≥ 2 times corpus-wide. Output matches
+    * duplicateSpans — (idCol, n_tokens, dup_tokens, n_spans,
+    * dup_fraction) — and at equal thresholds the two are spec-pinned
+    * identical (both exact at token granularity); this path also works
+    * BELOW a k-gram pipeline's shuffle width and reports exact repeat
+    * extents on the way. */
+  def duplicateSpansExact(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 8): DataFrame = {
+    val ext = repeatExtents(df, idCol, textCol, minLen)
+      .withColumn("__end", col("pos") + col("dup_len") - 1)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMax = max(col("__end")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    ext
+      .withColumn("__brk", when(col("pos") <= prevMax + 1, lit(0)).otherwise(lit(1)))
+      .withColumn("__isl", sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("n_tokens"), col("__isl"))
+      .agg(min("pos").cast("long").as("__start"), max("__end").cast("long").as("__end"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(sum(col("__end") - col("__start") + 1).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** The maximal repeated passages themselves: top `topN` longest
+    * exact repeats, one row per run start (positions strictly inside a
+    * longer repeat are suppressed: a position whose predecessor's
+    * extent already reaches one token further is not a new passage).
+    * Output: (idCol, pos, dup_len, passage), ordered dup_len desc with
+    * (idCol, pos) tie-break — deterministic. */
+  def longestPassages(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 8, topN: Int = 20): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val ext = repeatExtents(df, idCol, textCol, minLen)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val runStarts = ext
+      .withColumn("__ppos", lag("pos", 1).over(w))
+      .withColumn("__plen", lag("dup_len", 1).over(w))
+      .filter(col("__ppos").isNull || col("__ppos") =!= col("pos") - 1 ||
+        col("__plen") < col("dup_len") + 1)
+    val docsArr = Dedup.cached(graft.Parallelism.spread(df)
+      .select(col(idCol), words(col(textCol)).as("__ws")))
+    runStarts.join(docsArr, Seq(idCol))
+      .select(col(idCol), col("pos"), col("dup_len"),
+        concat_ws(" ",
+          expr("slice(__ws, cast(pos + 1 as int), cast(dup_len as int))")).as("passage"))
+      .orderBy(col("dup_len").desc, col(idCol), col("pos"))
+      .limit(topN)
+  }
+}

@@ -59,4 +59,62 @@ object GlobalOrder {
       carryCols.map(c => StructField(s"__prev_$c", schema(c).dataType, nullable = true)))
     spark.createDataFrame(out, outSchema)
   }
+
+  /** Dense rank (0-based, contiguous) over `orderCols` without a
+    * global window: range-partition + in-partition sort (Spark's
+    * parallel sort), one pass collecting per-partition (distinct-run
+    * count, first/last key) — bytes through the driver are
+    * O(partitions) — then a second pass assigning ranks from the
+    * driver-merged offsets (classes straddling a partition boundary
+    * merge). Returns the ranked frame (input columns + `rankCol`,
+    * range-sorted by the keys) and the number of distinct classes.
+    * Order-column values must be non-null. The suffix-array doubling
+    * in [[graft.dedup.SuffixSpans]] calls this once per round, so the
+    * per-round cost is exactly one parallel sort of slim rows. */
+  def withDenseRank(df: DataFrame, orderCols: Seq[Column],
+                    rankCol: String = "__rank"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keyNames = orderCols.indices.map(i => s"__dk$i")
+    val keyed = df.select(orderCols.zipWithIndex.map { case (c, i) => c.as(s"__dk$i") } ++
+      df.columns.map(org.apache.spark.sql.functions.col): _*)
+    val kIdx = orderCols.indices.toArray
+    val base = keyed.repartitionByRange(nPart, keyNames.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(keyNames.map(org.apache.spark.sql.functions.col): _*)
+    val rdd0 = base.rdd
+    val stats = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var first: Seq[Any] = null; var last: Seq[Any] = null
+      while (it.hasNext) {
+        val r = it.next(); val k = kIdx.map(r.get).toSeq
+        if (first == null) first = k
+        if (last == null || k != last) n += 1
+        last = k
+      }
+      if (first == null) Iterator.empty else Iterator.single((pid, n, first, last))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](rdd0.getNumPartitions)
+    var offset = 0L
+    var prevLast: Seq[Any] = null
+    stats.foreach { case (pid, n, first, last) =>
+      // a class straddling the boundary was counted by both partitions
+      val merge = prevLast != null && first == prevLast
+      offsets(pid) = offset - (if (merge) 1L else 0L)
+      offset += n - (if (merge) 1L else 0L)
+      prevLast = last
+    }
+    val classes = offset
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var rank = bc.value(pid) - 1L; var last: Seq[Any] = null
+      it.map { r =>
+        val k = kIdx.map(r.get).toSeq
+        if (last == null || k != last) { rank += 1; last = k }
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    val outSchema = StructType(base.schema.fields.toIndexedSeq :+
+      StructField(rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(out, outSchema).drop(keyNames: _*)
+    (ranked, classes)
+  }
 }

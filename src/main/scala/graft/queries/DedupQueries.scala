@@ -76,6 +76,24 @@ object DedupQueries {
         .filter(col("n_removed") >= 0)
         .orderBy("doc_id")),
 
+    // #43e suffix-array exact duplicate spans at minLen=5 — BELOW the
+    // k-gram query's width, from the prefix-doubling SA construction
+    // (SuffixSpans). The oracle recomputes the identical semantics via
+    // the 5-gram coverage formulation (exact at token granularity —
+    // both constructions are exact, derived independently, and the
+    // spec pins their equality at equal thresholds).
+    "q_dup_spans_sa" -> ((s, dir) =>
+      graft.dedup.SuffixSpans.duplicateSpansExact(Tables.documents(s, dir),
+          "doc_id", "text", minLen = 5)
+        .orderBy("doc_id")),
+
+    // #43f maximal repeated passages: the 20 longest exact repeats with
+    // their text — rows-only (extent+content inventory; spec-pinned on
+    // planted corpora).
+    "q_dup_passages" -> ((s, dir) =>
+      graft.dedup.SuffixSpans.longestPassages(Tables.documents(s, dir),
+        "doc_id", "text", minLen = 8, topN = 20)),
+
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
@@ -165,6 +183,34 @@ object DedupQueries {
         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
         |        FROM brk),
         |sp AS (SELECT doc_id, n_tokens, g, max(pos) - min(pos) + 8 AS toks
+        |       FROM isl GROUP BY doc_id, n_tokens, g)
+        |SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+        | cast(sum(toks) AS BIGINT) AS dup_tokens,
+        | cast(count(*) AS BIGINT) AS n_spans,
+        | round(cast(sum(toks) AS DOUBLE) / n_tokens, 4) AS dup_fraction
+        |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // coverage by duplicated substrings of length >= 5 — the 5-gram
+    // window formulation, exact at token granularity (see q_dup_spans;
+    // the SA implementation computes the same semantics by a wholly
+    // different construction)
+    "q_dup_spans_sa" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id, len(ws) AS n_tokens, i AS pos,
+        |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) t
+        |      WHERE len(ws) >= 5),
+        |d AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, n_tokens, pos FROM p JOIN d USING (s)),
+        |brk AS (SELECT doc_id, n_tokens, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |              THEN 0 ELSE 1 END AS b
+        |        FROM dp),
+        |isl AS (SELECT doc_id, n_tokens, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM brk),
+        |sp AS (SELECT doc_id, n_tokens, g, max(pos) - min(pos) + 5 AS toks
         |       FROM isl GROUP BY doc_id, n_tokens, g)
         |SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
         | cast(sum(toks) AS BIGINT) AS dup_tokens,

@@ -31,6 +31,21 @@ class GlobalOrderSpec extends AnyFunSuite with SharedSpark {
     assert(got(18).isEmpty) // 17 is null → prev passes the null through
   }
 
+  test("withDenseRank equals single-partition dense_rank, classes counted exactly") {
+    val rng = new scala.util.Random(7)
+    // heavy ties across partition boundaries: values from a small set
+    val df = Seq.fill(800)((rng.nextInt(13), rng.nextInt(5))).zipWithIndex
+      .map { case ((a, b), i) => (a, b, i) }.toDF("a", "b", "id")
+    val (ranked, classes) = GlobalOrder.withDenseRank(df, Seq(col("a"), col("b")), "__r")
+    val got = ranked.collect().map(r => r.getInt(2) -> r.getLong(3)).toMap
+    val w = Window.orderBy("a", "b") // single task — fixture only
+    val want = df.withColumn("__r", dense_rank().over(w).cast("long") - 1)
+      .collect().map(r => r.getInt(2) -> r.getLong(3)).toMap
+    assert(got == want)
+    assert(classes == want.values.toSet.size)
+    assert(want.values.max == classes - 1) // contiguous 0-based
+  }
+
   test("mapWindowGlobal computes whole-frame deltas without a global window") {
     val df = Seq((10, 1.0), (20, 4.0), (30, 9.0)).toDF("t", "y")
     val r = df.mapWindowGlobal(Seq(col("t")), Seq("y"), "dy",

@@ -1,0 +1,119 @@
+package graft
+
+import graft.dedup.{Dedup, SuffixSpans}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suffix-array exact duplicate spans (SURVEY.md §2 #43e) pinned
+  * against the k-gram pipeline and hand-computed ground truth:
+  *  - at equal thresholds the two constructions are IDENTICAL (both
+  *    exact at token granularity, independently derived);
+  *  - below the k-gram width the SA path finds planted duplicates the
+  *    k-gram pipeline provably cannot see;
+  *  - per-position extents and the maximal passages are exact on
+  *    planted fixtures, including self-repeats and overlapping runs.
+  */
+class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  /** Deterministic corpus over a large vocab (accidental k-gram dups
+    * vanishingly unlikely) with planted shared phrases of lengths 5,
+    * 11 and 23 — non-multiples of k on purpose — plus a same-doc
+    * self-repeat. */
+  private def planted(k: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(37)
+    def w() = s"w${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    def run(n: Int) = Seq.fill(n)(w())
+    val p5 = run(5); val p11 = run(11); val p23 = run(23)
+    val docs = Seq(
+      (1L, (run(7) ++ p11 ++ run(9)).mkString(" ")),
+      (2L, (run(3) ++ p11 ++ run(4) ++ p5).mkString(" ")),
+      (3L, (p23 ++ run(6) ++ p5 ++ run(2)).mkString(" ")),
+      (4L, (run(12) ++ p23 ++ run(1)).mkString(" ")),
+      // self-repeat: the same 9-gram twice within one document
+      {
+        val s = run(9)
+        (5L, (s ++ run(5) ++ s ++ run(3)).mkString(" "))
+      },
+      (6L, run(40).mkString(" ")),
+      // shares ONLY the 5-token phrase — invisible to any k >= 6 pipeline
+      (7L, (run(6) ++ p5 ++ run(7)).mkString(" "))
+    )
+    docs.toDF("doc_id", "text")
+  }
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSet
+
+  test("SA spans == k-gram spans at the same threshold (independent constructions)") {
+    val df = planted(8)
+    val sa = spans(SuffixSpans.duplicateSpansExact(df, "doc_id", "text", minLen = 8)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction"))
+    val kg = spans(Dedup.duplicateSpans(df, "doc_id", "text", k = 8, minCount = 2)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction"))
+    assert(sa.nonEmpty)
+    assert(sa == kg)
+  }
+
+  test("SA spans == k-gram spans on the real documents fixture") {
+    val docs = Tables.documents(spark, sf)
+    val sa = spans(SuffixSpans.duplicateSpansExact(docs, "doc_id", "text", minLen = 8)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction"))
+    val kg = spans(Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minCount = 2)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction"))
+    assert(sa == kg)
+  }
+
+  test("below the k-gram width: minLen=5 finds the planted 5-token duplicate k=8 misses") {
+    val df = planted(8)
+    val at8 = Dedup.duplicateSpans(df, "doc_id", "text", k = 8, minCount = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at5 = SuffixSpans.duplicateSpansExact(df, "doc_id", "text", minLen = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 7 shares ONLY the 5-gram with docs 2 and 3
+    assert(!at8.contains(7L), "k=8 must not see the 5-token duplicate")
+    assert(at5.contains(7L), "minLen=5 must see the 5-token duplicate")
+    assert(at8.subsetOf(at5))
+  }
+
+  test("repeatExtents: exact extents on a hand-computed fixture (boundaries, self-repeat, overlap)") {
+    val df = Seq(
+      (1L, "u1 u2 d1 d2 d3 d4 d5 x9"),   // planted run at pos 2..6
+      (2L, "v1 d1 d2 d3 d4 d5 v2 v3"),   // planted run at pos 1..5
+      (3L, "r r r r r r")                // overlapping self-repeat
+    ).toDF("doc_id", "text")
+    val ext = SuffixSpans.repeatExtents(df, "doc_id", "text", minLen = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    // doc1: suffix at pos 2 shares exactly d1..d5 (5 tokens) with doc2
+    assert(ext((1L, 2)) == 5L)
+    assert(ext((2L, 1)) == 5L)
+    // interior positions share the tail of the run
+    assert(ext((1L, 3)) == 4L && ext((1L, 4)) == 3L)
+    assert(!ext.contains((1L, 5))) // "d4 d5 x9" shares only 2 tokens — under minLen
+    // "r"*6: suffix 0 vs suffix 1 share 5
+    assert(ext((3L, 0)) == 5L)
+    assert(ext((3L, 3)) == 3L)
+    val spans3 = SuffixSpans.duplicateSpansExact(df, "doc_id", "text", minLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(spans3(1L) == (5L, 1L)) // dup_tokens = 5, one span
+    assert(spans3(2L) == (5L, 1L))
+    assert(spans3(3L) == (6L, 1L)) // the whole run is duplicated coverage
+  }
+
+  test("longestPassages: the planted phrases surface verbatim, longest first") {
+    val df = planted(8)
+    val top = SuffixSpans.longestPassages(df, "doc_id", "text", minLen = 5, topN = 10)
+      .collect()
+    assert(top.nonEmpty)
+    // the longest repeat is the 23-token phrase; it must lead and its
+    // text must be exactly the planted passage from both hosting docs
+    val lens = top.map(_.getAs[Long]("dup_len"))
+    assert(lens.head == 23L, s"expected 23-token passage first, got ${lens.head}")
+    assert(lens.sorted.reverse.sameElements(lens), "not ordered by dup_len desc")
+    val p23Texts = top.filter(_.getAs[Long]("dup_len") == 23L)
+      .map(_.getAs[String]("passage")).toSet
+    assert(p23Texts.size == 1, s"both occurrences must yield the same passage: $p23Texts")
+    assert(p23Texts.head.split(" ").length == 23)
+  }
+}
