@@ -165,6 +165,69 @@ object Dedup {
           lit(0L)).as("n_removed"))
   }
 
+  /** Bloom of the corpus' DUPLICATED k-gram hashes (corpus count ≥ 2)
+    * — the epoch artifact for ingest-time span-dedup. Built like
+    * [[duplicateSpans]]' frequency pass (one positional-gram hash
+    * aggregation, map-side combinable), then the surviving hashes fold
+    * into a [[graft.functions.GraftBloom]] broadcast: at fpp=1e-8 a
+    * billion duplicated grams is ~4.8 GB of bits where the exact hash
+    * set would not broadcast at all. Refresh per epoch/compaction —
+    * the standard "batch-maintained dup-set" streaming composition. */
+  def duplicatedGramBloom(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, fpp: Double = 1e-8): graft.functions.BroadcastBloom = {
+    val dup = cached(graft.Parallelism.spread(df)
+      .select(words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(explode(positionalShingleArray(k)).as("__g"))
+      .select(xxhash64(col("__g")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("h"))
+    val n = math.max(dup.count(), 1L)
+    graft.functions.GraftBloom.build(dup, "h", n, fpp)
+  }
+
+  /** Stateless per-row duplicate-span statistics against an epoch
+    * bloom of duplicated gram hashes ([[duplicatedGramBloom]]): every
+    * document is scored IN THE ROW — positional grams, bloom probes,
+    * and the gaps-and-islands interval merge all run inside
+    * higher-order expressions, so the operator is a pure projection:
+    * no join, no aggregation, no state — legal anywhere in a streaming
+    * query (the span-dedup ingest gate) and free at 100 TB (it rides
+    * the scan). Output: (idCol, n_tokens, dup_tokens, n_spans,
+    * dup_fraction) for every doc with ≥ k tokens (0/0/0.0 when clean —
+    * a gate filters on dup_fraction). Against the SAME corpus the
+    * bloom was built from, rows with dup_fraction > 0 match
+    * [[duplicateSpans]] exactly up to bloom false positives
+    * (~probes·fpp, spec-pinned equal at fixture scale). */
+  def spanStatsPerRow(docs: DataFrame, bloom: graft.functions.BroadcastBloom,
+                      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    // flagged window starts, ascending; then one in-row fold merges
+    // [i, i+k-1] coverage: cnt += newEnd - max(lastEnd, i-1), span++ on
+    // a gap (i > lastEnd + 1)
+    val starts = filter(
+      transform(positionalShingleArray(k),
+        (g, i) => when(bloom.mightContain(xxhash64(g)), i).otherwise(lit(-1))),
+      x => x >= 0)
+    // le starts at -2 so the very first start (possibly pos 0, i.e.
+    // le+1) still opens a span; greatest(le, i-1) stays correct
+    val folded = aggregate(starts,
+      struct(lit(0L).as("cnt"), lit(0L).as("sp"), lit(-2L).as("le")),
+      (a, i) => struct(
+        (a.getField("cnt") + (i + lit(k - 1)).cast("long") -
+          greatest(a.getField("le"), (i - 1).cast("long"))).as("cnt"),
+        (a.getField("sp") +
+          when(i.cast("long") > a.getField("le") + 1L, lit(1L)).otherwise(lit(0L))).as("sp"),
+        (i + lit(k - 1)).cast("long").as("le")))
+    docs
+      .withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= k)
+      .withColumn("__agg", folded)
+      .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"),
+        col("__agg.cnt").as("dup_tokens"), col("__agg.sp").as("n_spans"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
+  }
+
   /** (id, __start, __end) merged duplicated-token intervals —
     * the shared core of [[duplicateSpans]] and
     * [[removeDuplicateSpans]]. Positions are 0-based token offsets,

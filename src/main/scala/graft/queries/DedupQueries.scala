@@ -76,6 +76,19 @@ object DedupQueries {
         .filter(col("n_removed") >= 0)
         .orderBy("doc_id")),
 
+    // #43g the stateless span-dedup gate scoring its OWN epoch corpus:
+    // bloom of duplicated 8-gram hashes (one agg + treeReduce OR), then
+    // a pure per-row projection — grams, probes, and the interval merge
+    // all inside higher-order expressions. Must reproduce q_dup_spans
+    // exactly (same oracle; bloom fp expectation ≪ 1 at fpp=1e-10).
+    "q_dup_spans_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bloom = Dedup.duplicatedGramBloom(docs, "doc_id", "text", k = 8, fpp = 1e-10)
+      Dedup.spanStatsPerRow(docs, bloom, "doc_id", "text", k = 8)
+        .filter(col("dup_fraction") > 0)
+        .orderBy("doc_id")
+    }),
+
     // #43e suffix-array exact duplicate spans at minLen=5 — BELOW the
     // k-gram query's width, from the prefix-doubling SA construction
     // (SuffixSpans). The oracle recomputes the identical semantics via
@@ -167,6 +180,31 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q_dup_spans" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id, len(ws) AS n_tokens, i AS pos,
+        |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t
+        |      WHERE len(ws) >= 8),
+        |d AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, n_tokens, pos FROM p JOIN d USING (s)),
+        |brk AS (SELECT doc_id, n_tokens, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS b
+        |        FROM dp),
+        |isl AS (SELECT doc_id, n_tokens, pos,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM brk),
+        |sp AS (SELECT doc_id, n_tokens, g, max(pos) - min(pos) + 8 AS toks
+        |       FROM isl GROUP BY doc_id, n_tokens, g)
+        |SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+        | cast(sum(toks) AS BIGINT) AS dup_tokens,
+        | cast(count(*) AS BIGINT) AS n_spans,
+        | round(cast(sum(toks) AS DOUBLE) / n_tokens, 4) AS dup_fraction
+        |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // the gate on its own corpus IS q_dup_spans' semantics
+    "q_dup_spans_gate" ->
       """WITH mk AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
         |p AS (SELECT doc_id, len(ws) AS n_tokens, i AS pos,

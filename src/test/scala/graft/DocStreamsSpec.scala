@@ -105,6 +105,72 @@ class DocStreamsSpec extends AnyFunSuite with SharedSpark {
     } finally sq.stop()
   }
 
+  test("incremental span-dedup: streaming gram hits equal the batch prior-occurrence set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val gate = DocStreams.dupGramHitsStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", k = 8)
+    val q = gate.writeStream.format("memory").queryName("span_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("span_gate").collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toSet
+      val batch = DocStreams.dupGramHitsBatch(
+          docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", k = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty, "fixture corpus contains duplicated 8-grams")
+    } finally q.stop()
+  }
+
+  test("epoch-bloom span gate: stateless, streaming-legal, equals duplicateSpans on its own corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val bloom = Dedup.duplicatedGramBloom(docs, "doc_id", "text", k = 8, fpp = 1e-10)
+
+    // batch: per-row stats restricted to flagged docs == the relational
+    // span pipeline (same corpus, same k — bloom fp ~ 1e-10 · grams ≈ 0)
+    val perRow = Dedup.spanStatsPerRow(docs, bloom, "doc_id", "text", k = 8)
+      .filter(col("dup_fraction") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minCount = 2)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(perRow == batch)
+    assert(perRow.nonEmpty)
+
+    // stream: identical rows, and the executed plan carries NO state
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    val sq = Dedup.spanStatsPerRow(mem.toDF().toDF("doc_id", "text"),
+        bloom, "doc_id", "text", k = 8)
+      .writeStream.format("memory").queryName("span_bloom_gate")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toIndexedSeq); sq.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); sq.processAllAvailable()
+      val streamed = spark.table("span_bloom_gate")
+        .filter(col("dup_fraction") > 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch)
+      assert(sq.lastProgress.stateOperators.isEmpty)
+    } finally sq.stop()
+  }
+
   test("zero-token and sub-k docs pass the gate without state or candidates") {
     val tiny = Seq((1L, ""), (2L, "one two"), (3L, "one two")).toDF("doc_id", "text")
     val out = DocStreams.nearDupCandidatesStream(
