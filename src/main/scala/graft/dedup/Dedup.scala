@@ -37,8 +37,37 @@ object Dedup {
   // oldest UNSCOPED entry past this cap is safe (scoped entries have a
   // guaranteed release point and are never evicted early)
   private val MaxUnscoped = 64
-  private[graft] def cached(df: DataFrame): DataFrame = {
-    df.cache()
+  private[graft] def cached(df: DataFrame): DataFrame =
+    cached(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** StorageLevel for CORPUS-SCALE tracked caches (positional-shingle
+    * frames, shingle explodes, suffix token arrays — entries that are
+    * themselves a multiple of the input). Default MEMORY_AND_DISK
+    * (Spark's Dataset default: memory-speed while it fits, graceful
+    * per-block disk spill when it doesn't — proven at sf10 under a
+    * deliberately small 16 g heap, zero errors). Tune with
+    * `spark.graft.corpusCacheLevel` (e.g. MEMORY_AND_DISK_SER to trade
+    * CPU for ~2-4× less storage footprint, DISK_ONLY to keep executor
+    * memory entirely for execution); recomputing instead of caching is
+    * NOT the trade to take — both consumers of these frames re-run the
+    * tokenize+explode scan, the most expensive narrow stage in the
+    * pipeline. */
+  private[graft] def corpusCacheLevel(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.get("spark.graft.corpusCacheLevel", "MEMORY_AND_DISK"))
+
+  /** [[cached]] at the corpus-scale policy level. */
+  private[graft] def cachedCorpus(df: DataFrame): DataFrame =
+    cached(df, corpusCacheLevel(df.sparkSession))
+
+  /** Storage levels of all live tracked entries — spec hook. */
+  private[graft] def trackedStorageLevels: Seq[org.apache.spark.storage.StorageLevel] =
+    tracked.synchronized(tracked.map(_.df.storageLevel).toSeq)
+
+  private[graft] def cached(df: DataFrame,
+                            level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    df.persist(level)
     val sc = Option(currentScope.get().peek()).map(_.longValue).getOrElse(0L)
     tracked.synchronized {
       if (sc == 0L && tracked.count(_.scope == 0L) >= MaxUnscoped) {
@@ -245,7 +274,7 @@ object Dedup {
     // carries 16 bytes per occurrence, not the k-word string.
     // Cached (tracked registry): the tokenize+explode scan feeds both
     // the frequency aggregate and the join probe.
-    val posed = cached(graft.Parallelism.spread(df)
+    val posed = cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= k)
       .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"),
@@ -362,7 +391,7 @@ object Dedup {
   def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.2,
                               perms: Int = 64, bands: Int = 32): DataFrame = {
-    val sh = cached(shingles(df, idCol, textCol, k))
+    val sh = cachedCorpus(shingles(df, idCol, textCol, k))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val cands = bandPairs(signaturesFromShingles(sh, idCol, perms), idCol, perms, bands)
     val inter = cands
@@ -409,7 +438,7 @@ object Dedup {
     if (threshold >= bandedSafeThreshold(perms, bands))
       ngramJaccardPairsBanded(df, idCol, textCol, k, threshold, perms, bands)
     else {
-      val sh = cached(shingles(df, idCol, textCol, k))
+      val sh = cachedCorpus(shingles(df, idCol, textCol, k))
       // Skew is measured on a Bernoulli SAMPLE of the shingle frame:
       // E[C(Binomial(df, p), 2)] = C(df, 2)·p², i.e. sampling scales
       // every shingle group's meeting count by the same p², so the

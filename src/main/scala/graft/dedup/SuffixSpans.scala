@@ -62,7 +62,7 @@ object SuffixSpans {
   def repeatExtents(df: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 8, maxRounds: Int = 48): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val docsArr = Dedup.cached(graft.Parallelism.spread(df)
+    val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= minLen)
       .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))
@@ -210,7 +210,7 @@ object SuffixSpans {
       .withColumn("__plen", lag("dup_len", 1).over(w))
       .filter(col("__ppos").isNull || col("__ppos") =!= col("pos") - 1 ||
         col("__plen") < col("dup_len") + 1)
-    val docsArr = Dedup.cached(graft.Parallelism.spread(df)
+    val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws")))
     runStarts.join(docsArr, Seq(idCol))
       .select(col(idCol), col("pos"), col("dup_len"),

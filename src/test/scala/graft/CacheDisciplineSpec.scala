@@ -36,3 +36,31 @@ class CacheDisciplineSpec extends AnyFunSuite {
       s"raw cache with no release path (route through Dedup.cached or unpersist in-method): ${offenders.mkString(", ")}")
   }
 }
+
+/** StorageLevel policy for corpus-scale tracked caches: the registry
+  * must persist them at `spark.graft.corpusCacheLevel` (default
+  * MEMORY_AND_DISK — graceful per-block spill, proven at sf10 under a
+  * 16 g heap) and the knob must actually reach the persisted frame. */
+class CacheLevelSpec extends AnyFunSuite with SharedSpark {
+  import org.apache.spark.storage.StorageLevel
+  import graft.dedup.Dedup
+
+  test("corpus-scale caches carry the configured StorageLevel") {
+    import spark.implicits._
+    val docs = (1L to 80L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta run$i tail${i % 7} x y z"))
+      .toDF("doc_id", "text")
+    // default policy
+    Dedup.withCacheScope {
+      Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, minCount = 2).collect()
+      assert(Dedup.trackedStorageLevels.contains(StorageLevel.MEMORY_AND_DISK))
+    }
+    // the knob re-routes the same cache to the configured level
+    spark.conf.set("spark.graft.corpusCacheLevel", "MEMORY_AND_DISK_SER")
+    try Dedup.withCacheScope {
+      Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, minCount = 2).collect()
+      assert(Dedup.trackedStorageLevels.contains(StorageLevel.MEMORY_AND_DISK_SER),
+        s"levels: ${Dedup.trackedStorageLevels}")
+    } finally spark.conf.unset("spark.graft.corpusCacheLevel")
+  }
+}
