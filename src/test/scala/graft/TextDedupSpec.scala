@@ -153,6 +153,52 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
   }
 
+  test("language id accuracy >= 90% on a planted-language corpus") {
+    // the testdata `lang` column is uncorrelated with the text
+    // (TESTDATA.md documents the generator defect), so accuracy is
+    // pinned here on a corpus generated from per-language marker
+    // distributions: each doc mixes its language's stopword markers at
+    // a realistic ~25% rate into random filler, plus adversarial noise
+    // (a couple of OTHER languages' markers). zh docs are unsegmented
+    // character strings, exercising the no-whitespace path.
+    val rng = new scala.util.Random(41)
+    val latin = TextAnalysis.langMarkers.filter(_._1 != "zh")
+    val zhMarkers = TextAnalysis.langMarkers.toMap.apply("zh")
+    val zhFiller = "樹水火山石田月日口大小人天中上下左右"
+    val docs = (0 until 500).map { i =>
+      val (lang, markers) = TextAnalysis.langMarkers(i % TextAnalysis.langMarkers.size)
+      val text =
+        if (lang == "zh") {
+          // ~40-char run of filler chars with several zh markers inside
+          val chars = Seq.fill(40)(zhFiller(rng.nextInt(zhFiller.length)).toString)
+          val withMarkers = chars.zipWithIndex.map { case (c, j) =>
+            if (j % 9 == 0) zhMarkers(rng.nextInt(zhMarkers.size)) else c
+          }
+          withMarkers.mkString("")
+        } else {
+          val noise = latin.filter(_._1 != lang)
+          Seq.fill(40) {
+            val r = rng.nextInt(100)
+            if (r < 25) markers(rng.nextInt(markers.size))              // own markers
+            else if (r < 30) {                                          // foreign noise
+              val (_, m) = noise(rng.nextInt(noise.size)); m(rng.nextInt(m.size))
+            } else s"f${rng.nextInt(100000)}"                           // filler
+          }.mkString(" ")
+        }
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val scored = docs.select(col("lang"),
+        (TextAnalysis.languageId(col("text")) === col("lang")).as("ok"))
+      .collect()
+    val acc = scored.count(_.getBoolean(1)).toDouble / scored.length
+    assert(acc >= 0.9, f"langid accuracy $acc%.3f < 0.9")
+    // per-language floor too — a dead class can hide inside a high mean
+    scored.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val a = rows.count(_.getBoolean(1)).toDouble / rows.length
+      assert(a >= 0.8, f"langid accuracy for $lang: $a%.3f < 0.8")
+    }
+  }
+
   test("winnowing fingerprints: shared window minima overlap for near-dup docs") {
     val fp = TextAnalysis.fingerprints(docs, "text", "doc_id")
     val by = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
