@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Packing, Sampling}
+import graft.pipeline.{Dsir, Packing, Sampling}
 import graft.text.{Collocations, HeavyHitters}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -102,6 +102,25 @@ object CurationQueries {
     "q_tfidf" -> ((s, dir) =>
       graft.text.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rn")),
+
+    // #75 DSIR importance log-weights: target = every 10th document,
+    // raw = the full corpus; hashed unigram+bigram LM ratio per doc.
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      Dsir.importanceLogWeights(docs,
+          Dsir.logRatios(target, docs, "text", "doc_id", buckets = 10000),
+          "text", "doc_id", buckets = 10000)
+        .orderBy("doc_id")
+    }),
+
+    // #75b DSIR Gumbel top-k resample (k=100): exact weighted
+    // without-replacement selection, fully deterministic (md5 draw).
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      Dsir.sample(docs, target, "text", "doc_id", k = 100, buckets = 10000)
+    }),
   )
 
   private val md5Long =
@@ -215,5 +234,41 @@ object CurationQueries {
         |      FROM s)
         |SELECT doc_id, term, tf, df, tfidf, cast(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_dsir" ->
+      (dsirWeightsSql + "\n" +
+        """SELECT doc_id, count(*) AS n_grams, round(sum(log_ratio), 4) AS log_w
+          |FROM b JOIN ratio USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q_dsir_sample" ->
+      (dsirWeightsSql + ",\n" +
+        """wgt AS (SELECT doc_id, count(*) AS n_grams, sum(log_ratio) AS lw
+          |        FROM b JOIN ratio USING (bucket) GROUP BY doc_id)
+          |SELECT doc_id, n_grams, round(lw, 4) AS log_w,
+          |  round(lw - ln(-ln((cast(('0x' || substr(md5('dsir:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)), 4) AS g
+          |FROM wgt ORDER BY g DESC, doc_id LIMIT 100""".stripMargin),
   )
+
+  /** Shared DSIR oracle prelude: grams → buckets → smoothed per-bucket
+    * log ratios (target = doc_id % 10 = 0, buckets = 10000), matching
+    * `Dsir.logRatios` exactly. Callers append their final CTE (after
+    * ",") or SELECT. */
+  private lazy val dsirWeightsSql =
+    """WITH mk AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(ws) AS gram FROM mk
+      |  UNION ALL
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      |  FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+      |  WHERE len(ws) >= 2),
+      |b AS (SELECT doc_id, cast(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 10000 AS bucket FROM g),
+      |tc AS (SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bucket),
+      |rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+      |tt AS (SELECT sum(ct) AS t FROM tc),
+      |rt AS (SELECT sum(cr) AS r FROM rc),
+      |ratio AS (SELECT sp.bucket,
+      |    ln((coalesce(ct, 0) + 1.0) / (t + 10000)) - ln((coalesce(cr, 0) + 1.0) / (r + 10000)) AS log_ratio
+      |  FROM (SELECT range AS bucket FROM range(0, 10000)) sp
+      |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt)""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.text.TextAnalysis
+import graft.text.{QualityClassifier, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,15 @@ object TextQueries {
     // #48 quality scoring.
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "text", "doc_id", stopwords)
+        .orderBy("doc_id")),
+
+    // #77 trainable fasttext-style quality classifier, bootstrapped
+    // from the heuristic score's median split (rows-only: L-BFGS
+    // internals aren't SQL-expressible; separation and holdout
+    // accuracy pinned by QualityClassifierSpec).
+    "q_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.bootstrapScore(Tables.documents(s, dir), "text", "doc_id",
+          stopwords)
         .orderBy("doc_id")),
 
     // #47 language ID (rows-only: heuristic, no SQL equivalent).

@@ -25,6 +25,18 @@ object TextAnalysis {
   def wordChars(ws: Column): Column =
     aggregate(ws, lit(0), (acc, w) => acc + length(w))
 
+  /** Unigram + bigram gram stream over a words-array column (the
+    * fasttext/DSIR feature space; bigrams joined with a single space).
+    * The bigram branch is size-guarded: Spark's `sequence(1, 0)`
+    * counts DOWN to [1, 0] and element_at(ws, 0) throws, so one-word
+    * docs must take the empty-array branch, not an empty sequence. */
+  def wordGrams(wsCol: String): Column =
+    concat(col(wsCol),
+      when(size(col(wsCol)) >= 2, expr(
+        s"transform(sequence(1, size($wsCol) - 1), " +
+          s"i -> concat(element_at($wsCol, i), ' ', element_at($wsCol, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+
   def stopwordCount(ws: Column, stopwords: Seq[String]): Column = {
     val arr = array(stopwords.map(lit): _*)
     size(filter(ws, w => array_contains(arr, w)))
