@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.similarity.{Cosine, Ivf}
+import graft.similarity.{Cosine, Ivf, SemDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -175,6 +175,16 @@ object DedupQueries {
       val cents = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3)
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, cents, nprobe = 3)
         .orderBy("probe_id", "rank")
+    }),
+
+    // #78 SemDeDup semantic dedup (Abbas et al. '23): k-means cells →
+    // within-cell exact pairs → keep the low-centroid-cosine member per
+    // dup group. Rows-only: k-means is not DuckDB-expressible; the
+    // cell/pair/representative semantics are pinned by SemDedupSpec.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val aug = plantedNearDups(Tables.embeddings(s, dir))
+      SemDedup.dedup(aug, "vec_id", "embedding", k = 8, threshold = 0.9)
+        .orderBy("vec_id")
     }),
   )
 
