@@ -110,6 +110,41 @@ object Packing {
         col("tok_start"), col("seq_first"), col("seq_last"))
   }
 
+  /** Sliding-window chunking: each document's token sequence splits
+    * into windows of `maxLen` tokens whose starts advance by `stride`
+    * (stride < maxLen ⇒ overlap — the standard overflowing-tokens
+    * shape for LM training, where the overlap preserves context across
+    * window boundaries). A window is emitted iff it is the document's
+    * first or its predecessor did not already reach the end of the
+    * document, so the tail is covered and nothing is emitted past it;
+    * the last window may be short. Zero-token documents emit nothing.
+    * Output: (idCol, win_id, start, win_tokens, win_text).
+    *
+    * Scale shape: one per-row sequence/filter/explode projection —
+    * NO shuffle, NO window function; output volume is
+    * Σ ceil(max(n−maxLen, 0)/stride + 1) rows, each independent, so
+    * the operator is embarrassingly parallel at any corpus size. */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                     maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    require(stride > 0 && stride <= maxLen,
+      s"stride must be in [1, maxLen], got $stride")
+    df.withColumn("__ws", TextAnalysis.words(col(textCol)))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__ws"),
+        explode(expr(
+          s"filter(sequence(0, __n - 1, $stride), s -> s = 0 OR s - $stride + $maxLen < __n)"))
+          .as("start"))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("win_id"),
+        col("start").cast("long").as("start"),
+        expr(s"slice(__ws, start + 1, $maxLen)").as("__wt"))
+      .select(col(idCol), col("win_id"), col("start"),
+        size(col("__wt")).cast("long").as("win_tokens"),
+        array_join(col("__wt"), " ").as("win_text"))
+  }
+
   /** binPack/packStream carry the id through typed (Long) encoders —
     * fail loudly on a non-integral id column instead of silently
     * null-casting (which would kill an executor task with an opaque

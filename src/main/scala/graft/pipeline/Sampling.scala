@@ -113,4 +113,19 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic global training-order shuffle: appends `pos`, the
+    * row's 0-based position in (md5("<salt>:"+id), id) order. The
+    * epoch's data order is THE reproducibility-critical output of a
+    * curation pipeline — `orderBy(rand())` changes on every retry and
+    * every engine; a hash order is a pure function of the ids. `salt`
+    * is the epoch/seed knob: each salt is an independent permutation.
+    * Runs as [[graft.operators.GlobalOrder.withDenseRank]] — a
+    * parallel range-sort with O(partitions) driver bytes, NO global
+    * window — and (key, id) is unique per row, so the dense rank IS
+    * the row position. */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = "shuffle"): DataFrame = {
+    val key = Curation.md5Long(concat(lit(salt + ":"), col(idCol).cast("string")))
+    graft.operators.GlobalOrder.withDenseRank(df, Seq(key, col(idCol)), "pos")._1
+  }
 }

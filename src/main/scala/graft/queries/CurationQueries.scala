@@ -121,6 +121,20 @@ object CurationQueries {
       val target = docs.filter(col("doc_id") % 10 === 0)
       Dsir.sample(docs, target, "text", "doc_id", k = 100, buckets = 10000)
     }),
+
+    // #79 deterministic global training-order shuffle: md5-keyed
+    // parallel range-sort, position as dense rank — the epoch-order
+    // primitive (engine-portable, no rand()).
+    "q_shuffle_order" -> ((s, dir) =>
+      Sampling.shuffleOrder(Tables.documents(s, dir), "doc_id", salt = "epoch0")
+        .select("doc_id", "pos").orderBy("doc_id")),
+
+    // #80 sliding-window chunking (overflowing tokens, stride 64 of
+    // maxLen 128): per-row projection, zero shuffle.
+    "q_chunk_windows" -> ((s, dir) =>
+      Packing.slidingWindows(Tables.documents(s, dir), "doc_id", "text",
+          maxLen = 128, stride = 64)
+        .orderBy("doc_id", "win_id")),
   )
 
   private val md5Long =
@@ -247,6 +261,23 @@ object CurationQueries {
           |SELECT doc_id, n_grams, round(lw, 4) AS log_w,
           |  round(lw - ln(-ln((cast(('0x' || substr(md5('dsir:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)), 4) AS g
           |FROM wgt ORDER BY g DESC, doc_id LIMIT 100""".stripMargin),
+
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        | cast(row_number() OVER (ORDER BY
+        |   cast(('0x' || substr(md5('epoch0:' || cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |   doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_windows" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |w AS (SELECT doc_id, i AS start, ws[i+1:i+128] AS wt
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(0, len(ws)-1, 64)) AS i) t
+        |      WHERE len(ws) >= 1 AND (i = 0 OR i - 64 + 128 < len(ws)))
+        |SELECT doc_id, cast(start/64 AS BIGINT) AS win_id, cast(start AS BIGINT) AS start,
+        | cast(len(wt) AS BIGINT) AS win_tokens, array_to_string(wt, ' ') AS win_text
+        |FROM w ORDER BY doc_id, win_id""".stripMargin,
   )
 
   /** Shared DSIR oracle prelude: grams → buckets → smoothed per-bucket
