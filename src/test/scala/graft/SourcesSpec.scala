@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{CsvOps, Gpx, Layout, SqlSource, Tcx}
+import graft.sources.{CsvOps, Gpx, Jsonl, Layout, SqlSource, Tcx}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -286,5 +286,46 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(df.count() == 10)
     assert(df.agg(sum("id")).first().getLong(0) == 55)
     conn.close()
+  }
+
+  test("JSONL roundtrip: clean rows survive byte-identical, corrupt lines quarantine") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = Seq((1L, "hello world", "en"), (2L, "bonjour", "fr"), (3L, null, "en"))
+      .toDF("doc_id", "text", "lang")
+    Jsonl.write(df, s"$dir/out", singleFile = true)
+    val back = Jsonl.readQuarantine(spark, s"$dir/out", schema)
+    assert(Jsonl.corrupt(back).count() == 0)
+    val clean = Jsonl.clean(back).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSeq
+    assert(clean == Seq((1L, Some("hello world"), "en"), (2L, Some("bonjour"), "fr"),
+      (3L, None, "en")))
+  }
+
+  test("JSONL corrupt-line policy: quarantine captures, strict fails, none silently drops") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_bad").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val lines = Seq(
+      """{"doc_id": 1, "text": "ok"}""",
+      """{"doc_id": not-json""",                // malformed JSON
+      """{"doc_id": "oops", "text": "typed"}""", // schema violation: string in long
+      """{"doc_id": 4, "text": "also ok"}""")
+    Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val back = Jsonl.readQuarantine(spark, s"$dir/part.jsonl", schema)
+    assert(back.count() == 4) // every input line accounted for
+    val bad = Jsonl.corrupt(back).collect().map(_.getString(0)).toSet
+    assert(bad == Set(lines(1), lines(2)))
+    val good = Jsonl.clean(back).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(good == Seq((1L, "ok"), (4L, "also ok")))
+    intercept[Exception] {
+      Jsonl.readStrict(spark, s"$dir/part.jsonl", schema).collect()
+    }
   }
 }
