@@ -179,11 +179,13 @@ object DedupQueries {
 
     // #78 SemDeDup semantic dedup (Abbas et al. '23): k-means cells →
     // within-cell exact pairs → keep the low-centroid-cosine member per
-    // dup group. Rows-only: k-means is not DuckDB-expressible; the
-    // cell/pair/representative semantics are pinned by SemDedupSpec.
+    // dup group. Auto-k (⌈√n⌉ cells, sampled trainer) so the cost law
+    // stays sub-quadratic at any SF. Rows-only: k-means is not
+    // DuckDB-expressible; the cell/pair/representative semantics are
+    // pinned by SemDedupSpec.
     "q_dedup_semantic" -> ((s, dir) => {
       val aug = plantedNearDups(Tables.embeddings(s, dir))
-      SemDedup.dedup(aug, "vec_id", "embedding", k = 8, threshold = 0.9)
+      SemDedup.dedupAuto(aug, "vec_id", "embedding", threshold = 0.9)
         .orderBy("vec_id")
     }),
   )

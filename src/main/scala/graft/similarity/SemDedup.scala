@@ -118,9 +118,33 @@ object SemDedup {
     * [[Ivf.train]] init is hash-ordered, iteration count fixed, and
     * every downstream step is exact arithmetic over the result. */
   def dedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
-            threshold: Double, iters: Int = 3): DataFrame = {
+            threshold: Double, iters: Int = 3): DataFrame =
+    dedupWith(df, idCol, vecCol, Ivf.train(df, idCol, vecCol, k, iters), threshold)
+
+  /** [[dedup]] with the cell count and trainer sized from the corpus —
+    * the knob that keeps the cost law linear as the data grows. Fixed
+    * k is a quadratic trap: within-cell work is Σc² ≈ n²/k, so any
+    * constant k re-derives the all-pairs cost law at scale. k = ⌈√n⌉
+    * makes it n^1.5/constant-cells; Lloyd's assignment is O(k·dim) per
+    * row, so training moves to a deterministic md5 sample of ~100·k
+    * rows (engine-portable — NOT `df.sample`, whose draw depends on
+    * partition layout) and total train cost stays ~100·k²·dim·iters
+    * regardless of corpus size. One count() job sizes the corpus. */
+  def dedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                threshold: Double, iters: Int = 3): DataFrame = {
+    val n = math.max(1L, df.count())
+    val k = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val frac = math.min(1.0, 100.0 * k / n)
+    val trainDf = if (frac >= 1.0) df
+      else df.filter(graft.pipeline.Sampling.hashUniform(col(idCol)) <= frac)
+    dedupWith(df, idCol, vecCol, Ivf.train(trainDf, idCol, vecCol, k, iters), threshold)
+  }
+
+  /** [[dedup]] body over externally supplied centroids. */
+  def dedupWith(df: DataFrame, idCol: String, vecCol: String,
+                cents: Array[Array[Double]], threshold: Double): DataFrame = {
     val spark = df.sparkSession
-    val cents = Ivf.train(df, idCol, vecCol, k, iters)
+    val k = cents.length
     val bc = BroadcastCentroids(spark, cents)
     // one scan+assignment feeds pairs AND the representative choice
     val base = Dedup.cachedCorpus(baseOf(df, idCol, vecCol, bc))

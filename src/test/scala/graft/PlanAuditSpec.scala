@@ -218,6 +218,25 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))
   }
 
+  test("sliding-window chunker is a pure projection — zero exchanges") {
+    val docs = Tables.documents(spark, sf)
+    val p = graft.pipeline.Packing.slidingWindows(docs, "doc_id", "text", 128, 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("semantic-dedup pair generation is equi-join only (no cartesian, no BNLJ)") {
+    val e = Tables.embeddings(spark, sf)
+    val cents = graft.similarity.Ivf.train(e, "vec_id", "embedding", k = 4, iters = 1)
+    val p = graft.similarity.SemDedup
+      .clusterDupPairs(e, "vec_id", "embedding", cents, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200)) // block-pair relations broadcast
+  }
+
   test("whole-stage codegen covers the scan+filter+project stages") {
     // AQE shows the final (codegen'd) plan only after execution
     val df = SparkEntry.queries("q_derived")(spark, sf)

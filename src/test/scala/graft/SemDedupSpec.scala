@@ -75,6 +75,16 @@ class SemDedupSpec extends AnyFunSuite with SharedSpark {
     assert(clumpIds.filter(_ != wantKept).forall(!out(_)), "non-representatives must drop")
   }
 
+  test("dedupAuto (sized cells, sampled trainer) still resolves planted duplicates") {
+    val df = fixture()
+    val out = SemDedup.dedupAuto(df, "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    (0L until 60L by 10L).foreach { i =>
+      assert(out(i) ^ out(i + 1000L), s"dup group of $i not resolved to one member")
+    }
+    assert(out.size == 66)
+  }
+
   test("dedup is deterministic across runs") {
     val df = fixture()
     def run() = SemDedup.dedup(df, "vec_id", "embedding", k = 4, threshold = 0.9)
