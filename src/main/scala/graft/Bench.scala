@@ -51,6 +51,20 @@ object Bench {
       // heap pressure can't inflate the next query's median 1.6-4× the
       // way the round-3 interleaved run did
       spark.catalog.clearCache()
+      // tracked dedup caches: unpersist AND drop the registry refs, so
+      // the analyzed plans + their storage are collectable
+      graft.dedup.Dedup.releaseCaches()
+      // localCheckpoint blocks (survivors, suffix-array rounds) are NOT
+      // catalog caches — they free only when the RDD is GC'd and the
+      // async ContextCleaner processes it. One gc() queues the refs;
+      // the pause lets the cleaner drain; the second gc() collects what
+      // the cleaner released. Without this, a 93-query sf10 suite ages
+      // the shared JVM enough to inflate later driver-broadcast-heavy
+      // queries 3-12× over their fresh-JVM cost (measured: the
+      // registered ngram query is 97 s in a fresh JVM vs 572 s late in
+      // an aged suite JVM — same code, same data, same plan).
+      System.gc()
+      Thread.sleep(1500)
       System.gc()
       val runs = (1 to iters).map(_ => timeOnce(fn))
       val ok = runs.collect { case Right(s) => s }
