@@ -22,14 +22,20 @@ import org.apache.spark.sql.functions._
   * curation pass reports.
   *
   * Construction (all relational, no driver-side corpus state):
-  *  1. Prefix doubling (Manber–Myers): dense rank of each suffix by
-  *     its first 2^h tokens, doubling h until ranks are fully distinct
-  *     or 2^h ≥ the longest document. Each round is ONE equi-join on
-  *     (doc, pos+2^h) — rows carry (id, pos, rank, rank2), ~32 bytes,
-  *     never token text — plus one [[GlobalOrder.withDenseRank]]
-  *     parallel range-sort. Suffixes never compare across documents
-  *     (a missing lookup ranks as −1 = "ends here", which orders
-  *     doc-final suffixes exactly like finite strings).
+  *  1. Prefix doubling (Manber–Myers): rank each suffix by its first
+  *     2^h tokens, doubling h until ranks are fully distinct or 2^h ≥
+  *     the longest document. Ranks are HEAD ranks (class head's global
+  *     row index, [[GlobalOrder.withHeadRank]]) so a class of size s
+  *     owns rank range [r, r+s) and refines in place: each round only
+  *     the still-ambiguous classes join their pos+2^h partner and
+  *     re-sort — rows carry (id, pos, rank, rank2), ~32 bytes, never
+  *     token text — while singleton classes accrete into frozen
+  *     checkpointed pieces. Natural text individuates almost all
+  *     suffixes within a few rounds, so late rounds cost a corpus
+  *     scan + a small broadcast join, not a corpus sort. Suffixes
+  *     never compare across documents (a position within 2^h of its
+  *     doc end ranks its missing partner as −1 = "ends here", which
+  *     orders doc-final suffixes exactly like finite strings).
   *  2. Suffix-array adjacency: one [[GlobalOrder.withPrev]] boundary
   *     exchange over (rank, id, pos) pairs each suffix with its SA
   *     neighbor; a suffix's longest repeated prefix is realized at an
@@ -67,32 +73,69 @@ object SuffixSpans {
       .filter(size(col("__ws")) >= minLen)
       .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))
 
-    val aggRow = docsArr.agg(max("n_tokens"), sum("n_tokens")).first()
+    val aggRow = docsArr.agg(max("n_tokens")).first()
     if (aggRow.isNullAt(0)) // no doc long enough: empty result, right schema
       return docsArr.select(col(idCol), col("n_tokens"),
         lit(0).as("pos"), lit(0L).as("dup_len")).limit(0)
     val maxLen = aggRow.getLong(0)
-    val totalPositions = aggRow.getLong(1)
 
     // --- 1. prefix doubling ------------------------------------------
+    // Head ranks (rank = global index of the class head) let a round
+    // refine ONLY the still-ambiguous classes: a class of size s owns
+    // the rank range [r, r+s), so its refinement (r + within-class
+    // offset) never collides with — and never has to re-rank — the
+    // already-singleton rest of the corpus. Natural text individuates
+    // almost every suffix within the first few rounds, so after
+    // span ≈ 8 the ambiguous set collapses to the true repeat mass
+    // and each remaining round is a scan + small broadcast join
+    // instead of a full corpus sort (the withDenseRank formulation
+    // re-sorted ALL n positions every round).
     val toks = docsArr.select(col(idCol), col("n_tokens"),
       posexplode(col("__ws")).as(Seq("pos", "__t")))
-    var (r0, classes) = GlobalOrder.withDenseRank(toks, Seq(col("__t")), "__r")
-    var ranked = r0.drop("__t").localCheckpoint()
+    val (r0, _) = GlobalOrder.withHeadRank(toks, Seq(col("__t")), "__r")
+    val all0 = r0.drop("__t").localCheckpoint()
+    val cols = Seq(col(idCol), col("n_tokens"), col("pos"), col("__r"))
+    var ambClasses = all0.groupBy("__r").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("__r")
+    // frozen pieces (classes proven singleton) + the active remainder;
+    // their union is the full rank table at any round
+    val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    frozenParts += all0.join(ambClasses, Seq("__r"), "left_anti").localCheckpoint()
+    var pend = all0.join(ambClasses, Seq("__r")).select(cols: _*).localCheckpoint()
     var span = 1L
-    while (span < maxLen && classes < totalPositions) {
+    while (span < maxLen && !pend.isEmpty) {
+      val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
       // suffix at pos p extends with the rank of the suffix at p+span:
-      // shift the lookup side by -span so the probe is a plain equi-join
-      val lookup = ranked.select(col(idCol), (col("pos") - lit(span)).as("pos"),
+      // shift the lookup side by -span so the probe is a plain
+      // equi-join. Positions with pos ≥ n_tokens − span have no
+      // partner — knowable arithmetically, so the join stays INNER
+      // (broadcastable on the shrinking active side; a left join
+      // would force the full corpus-sized lookup through a shuffle).
+      val nearEnd = pend.filter(col("pos") >= col("n_tokens") - lit(span))
+        .withColumn("__r2", lit(-1L))
+      val lookup = rankedView.select(col(idCol), (col("pos") - lit(span)).as("pos"),
         col("__r").as("__r2"))
-      val paired = ranked.join(lookup, Seq(idCol, "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(-1L)))
-      val (rn, cn) = GlobalOrder.withDenseRank(paired, Seq(col("__r"), col("__r2")), "__rn")
-      ranked = rn.select(col(idCol), col("n_tokens"), col("pos"), col("__rn").as("__r"))
+      val far = pend.filter(col("pos") < col("n_tokens") - lit(span))
+        .join(lookup, Seq(idCol, "pos"))
+      val paired = far.unionByName(nearEnd)
+      val (sub, _) = GlobalOrder.withHeadRank(paired, Seq(col("__r"), col("__r2")), "__sh")
+      // within class [r, r+s): new rank = r + (subset rows strictly
+      // before this row's (r, r2) run) — every member of an ambiguous
+      // class is in the subset, so the offsets are exact
+      val classHead = sub.groupBy("__r").agg(min("__sh").as("__ch"))
+      val refined = sub.join(classHead, Seq("__r"))
+        .select(col(idCol), col("n_tokens"), col("pos"),
+          (col("__r") + col("__sh") - col("__ch")).as("__r"))
         .localCheckpoint()
-      classes = cn
+      ambClasses = refined.groupBy("__r").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select("__r")
+      frozenParts += refined.join(ambClasses, Seq("__r"), "left_anti").localCheckpoint()
+      pend = refined.join(ambClasses, Seq("__r")).select(cols: _*).localCheckpoint()
       span *= 2
     }
+    // classes still ambiguous at span ≥ maxLen are genuinely identical
+    // suffixes (to their doc ends) — their shared rank is final
+    val ranked = (frozenParts :+ pend).reduce(_ unionByName _)
 
     // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
     val suff = ranked.filter(col("pos") <= col("n_tokens") - minLen)

@@ -60,6 +60,78 @@ object GlobalOrder {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Head rank over `orderCols` without a global window: each row's
+    * rank is the 0-based GLOBAL row index of the first row of its key
+    * class (equal keys share the rank of their class head). Unlike
+    * [[withDenseRank]], a class of size s occupies the half-open rank
+    * range [r, r+s) with no other class inside it — which is what lets
+    * the suffix-array doubling loop refine a class IN PLACE (new ranks
+    * r + within-class offsets) without re-ranking the rest of the
+    * corpus. Same machinery: range-partition + in-partition sort, one
+    * stats pass (per-partition row count, first/last key, local head
+    * of the final run — O(partitions) bytes through the driver), then
+    * a second pass assigning ranks from merged offsets. Returns the
+    * ranked frame and the number of distinct classes. */
+  def withHeadRank(df: DataFrame, orderCols: Seq[Column],
+                   rankCol: String = "__rank"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keyNames = orderCols.indices.map(i => s"__dk$i")
+    val keyed = df.select(orderCols.zipWithIndex.map { case (c, i) => c.as(s"__dk$i") } ++
+      df.columns.map(org.apache.spark.sql.functions.col): _*)
+    val kIdx = orderCols.indices.toArray
+    val base = keyed.repartitionByRange(nPart, keyNames.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(keyNames.map(org.apache.spark.sql.functions.col): _*)
+    val rdd0 = base.rdd
+    val stats = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var nRows = 0L; var nRuns = 0L
+      var first: Seq[Any] = null; var last: Seq[Any] = null
+      var lastHead = 0L
+      while (it.hasNext) {
+        val r = it.next(); val k = kIdx.map(r.get).toSeq
+        if (first == null) first = k
+        if (last == null || k != last) { nRuns += 1; lastHead = nRows }
+        last = k; nRows += 1
+      }
+      if (first == null) Iterator.empty
+      else Iterator.single((pid, nRows, nRuns, first, last, lastHead))
+    }.collect().sortBy(_._1).map(s => s._1 -> s).toMap
+    val nParts = rdd0.getNumPartitions
+    // per partition: (row offset, carried-in key, carried-in head rank)
+    val rowOff = new Array[Long](nParts)
+    val carryKeys = new Array[Seq[Any]](nParts)
+    val carryHeads = new Array[Long](nParts)
+    var off = 0L; var ck: Seq[Any] = null; var ch = 0L; var classes = 0L
+    for (p <- 0 until nParts) {
+      rowOff(p) = off; carryKeys(p) = ck; carryHeads(p) = ch
+      stats.get(p).foreach { case (_, nRows, nRuns, first, last, lastHead) =>
+        val merge = ck != null && first == ck
+        classes += nRuns - (if (merge) 1L else 0L)
+        ch = if (nRuns == 1L && merge) ch else off + lastHead
+        ck = last
+        off += nRows
+      }
+    }
+    val bc = spark.sparkContext.broadcast((rowOff, carryKeys, carryHeads))
+    val out = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val (offs, cks, chs) = bc.value
+      val pOff = offs(pid); val inKey = cks(pid); val inHead = chs(pid)
+      var i = 0L; var curKey: Seq[Any] = null; var curHead = 0L
+      it.map { r =>
+        val k = kIdx.map(r.get).toSeq
+        if (curKey == null) {
+          curHead = if (inKey != null && k == inKey) inHead else pOff
+          curKey = k
+        } else if (k != curKey) { curKey = k; curHead = pOff + i }
+        i += 1
+        Row.fromSeq(r.toSeq :+ curHead)
+      }
+    }
+    val outSchema = StructType(base.schema.fields.toIndexedSeq :+
+      StructField(rankCol, org.apache.spark.sql.types.LongType, nullable = false))
+    (spark.createDataFrame(out, outSchema).drop(keyNames: _*), classes)
+  }
+
   /** Dense rank (0-based, contiguous) over `orderCols` without a
     * global window: range-partition + in-partition sort (Spark's
     * parallel sort), one pass collecting per-partition (distinct-run

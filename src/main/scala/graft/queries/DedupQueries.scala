@@ -53,6 +53,17 @@ object DedupQueries {
         k = 3, threshold = 0.8)
         .orderBy("doc1", "doc2")),
 
+    // #79 bounded edit-distance join on 80-char heads: chunk–gram
+    // pigeonhole candidates (8-char chunks ⋈ 8-grams, keyed shuffle,
+    // no all-pairs) + codegen'd levenshtein verify — the
+    // character-level near-dup family token-set similarity can't see.
+    // Exact (both routes lossless), so the quadratic DuckDB
+    // formulation is a hash oracle.
+    "q_dedup_editdist" -> ((s, dir) =>
+      graft.dedup.EditDistance.editDistancePairs(Tables.documents(s, dir),
+          "doc_id", "text", maxFrac = 0.1, headChars = 80)
+        .orderBy("doc1", "doc2")),
+
     // #43c exact duplicate-substring spans (Lee et al. shape): token
     // ranges covered by any 8-gram occurring ≥2 times corpus-wide,
     // merged per doc via a gaps-and-islands window — fully relational,
@@ -191,6 +202,17 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_editdist" ->
+      """WITH h AS (SELECT doc_id, substr(text, 1, 80) AS hd,
+        |             length(substr(text, 1, 80)) AS l FROM documents),
+        |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.hd AS ha, b.hd AS hb,
+        |        greatest(a.l, b.l) AS m
+        |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |        AND abs(a.l - b.l) <= floor(greatest(a.l, b.l) * 0.1))
+        |SELECT doc1, doc2, cast(levenshtein(ha, hb) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(ha, hb) <= floor(m * 0.1)
+        |ORDER BY doc1, doc2""".stripMargin,
+
     "q_dup_spans" ->
       """WITH mk AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),

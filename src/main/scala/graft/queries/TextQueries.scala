@@ -114,6 +114,18 @@ object TextQueries {
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // #80 trigram LM with stupid backoff, trained on doc_id % 5 < 4
+    // and scored on the held-out % 5 = 4 slice — the held-out
+    // perplexity quality filter, with the backoff chain genuinely
+    // exercised (self-scored models never miss an n-gram).
+    "q_text_trigram_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.trigramBackoffScore(
+          docs.filter(col("doc_id") % 5 < 4), docs.filter(col("doc_id") % 5 === 4),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // #60c repetition signals (MassiveText/Gopher-style dup-ngram and
     // top-bigram shares).
     "q_text_repetition" -> ((s, dir) =>
@@ -157,6 +169,40 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_trigram_backoff" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |tr AS (SELECT * FROM w WHERE doc_id % 5 < 4),
+        |sc AS (SELECT * FROM w WHERE doc_id % 5 = 4),
+        |t3 AS (SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |       FROM tr, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |       WHERE len(ws) >= 3),
+        |c3 AS (SELECT a, b, c, count(*) AS c_abc FROM t3 GROUP BY 1, 2, 3),
+        |c2ab AS (SELECT a, b, count(*) AS c_ab FROM t3 GROUP BY 1, 2),
+        |b2 AS (SELECT ws[i] AS b, ws[i+1] AS c
+        |       FROM tr, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+        |       WHERE len(ws) >= 2),
+        |c2bc AS (SELECT b, c, count(*) AS c_bc FROM b2 GROUP BY 1, 2),
+        |c1b AS (SELECT b, count(*) AS c_b FROM b2 GROUP BY 1),
+        |tok AS (SELECT unnest(ws) AS c FROM tr),
+        |c1 AS (SELECT c, count(*) AS c_c FROM tok GROUP BY 1),
+        |nv AS (SELECT count(*) AS n_total, count(DISTINCT c) AS v_types FROM tok),
+        |s3 AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |       FROM sc, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |       WHERE len(ws) >= 3),
+        |j AS (SELECT doc_id,
+        |        CASE WHEN c_abc IS NOT NULL THEN cast(c_abc AS DOUBLE) / c_ab
+        |             WHEN c_bc IS NOT NULL THEN 0.4 * cast(c_bc AS DOUBLE) / c_b
+        |             ELSE 0.4 * 0.4 * (coalesce(c_c, 0) + 1.0) / (n_total + v_types)
+        |        END AS s,
+        |        CASE WHEN c_abc IS NULL THEN 1.0 ELSE 0.0 END AS bo
+        |      FROM s3 LEFT JOIN c3 USING (a, b, c) LEFT JOIN c2ab USING (a, b)
+        |        LEFT JOIN c2bc USING (b, c) LEFT JOIN c1b USING (b)
+        |        LEFT JOIN c1 USING (c), nv)
+        |SELECT doc_id, count(*) AS n_trigrams, round(avg(ln(s)), 4) AS avg_logscore,
+        | round(avg(bo), 4) AS backoff_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_redact_pii" ->
       """WITH aug AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example.com via 10.2.' ||

@@ -110,6 +110,74 @@ object TextAnalysis {
         round(avg(log(col("c_ab").cast("double") / col("c_a"))), 4).as("avg_logprob"))
   }
 
+  /** Trigram LM with stupid backoff (Brants et al. '07), trained on
+    * one split and scored on another — the held-out-perplexity quality
+    * filter shape: unlike [[bigramLogProb]] (self-scored, every event
+    * observed), a held-out document hits unseen trigrams, so the
+    * backoff chain is exercised for real. Score per trigram (a,b,c):
+    *   S = c₃(abc)/c₂(ab)            if the trigram was seen in train,
+    *   S = α·c₂(bc)/c₁(b)            else if the (b,c) bigram was,
+    *   S = α²·(c₁(c)+1)/(N+V)        else (add-one unigram floor, so
+    *                                  OOV words stay finite).
+    * with α = 0.4, c₂ counting TRIGRAM-SLOT prefixes (so the seen-case
+    * conditional sums to 1) and bigram-slot counts for the backoff
+    * tier. Returns per scored doc: (idCol, n_trigrams, avg_logscore,
+    * backoff_frac — the share of positions that backed off).
+    *
+    * Shape: train-side n-gram aggregations (map-side partial), then
+    * three LEFT equi-joins keyed on the n-grams, one per-doc agg — all
+    * keyed shuffles; the model lives in the plan, never on the driver.
+    * Scored docs with < 3 words produce no row. */
+  def trigramBackoffScore(train: DataFrame, score: DataFrame,
+                          textCol: String, idCol: String,
+                          alpha: Double = 0.4): DataFrame = {
+    def tris(d: DataFrame) = graft.Parallelism.spread(d)
+      .withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__ws) - 2), " +
+          "i -> struct(element_at(__ws, i) as a, element_at(__ws, i + 1) as b, " +
+          "element_at(__ws, i + 2) as c))")).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"))
+    val trTri = tris(train)
+    val c3 = trTri.groupBy("a", "b", "c").agg(count(lit(1)).as("c_abc"))
+    val c2ab = trTri.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val trBi = graft.Parallelism.spread(train)
+      .withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 1), " +
+          "i -> struct(element_at(__ws, i) as b, element_at(__ws, i + 1) as c))")).as("p"))
+      .select(col("p.b").as("b"), col("p.c").as("c"))
+    val c2bc = trBi.groupBy("b", "c").agg(count(lit(1)).as("c_bc"))
+    val c1b = trBi.groupBy("b").agg(count(lit(1)).as("c_b"))
+    val trTok = graft.Parallelism.spread(train)
+      .select(explode(words(col(textCol))).as("c"))
+    val c1 = trTok.groupBy("c").agg(count(lit(1)).as("c_c"))
+    val nv = trTok.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("c")).as("v_types"))
+
+    tris(score)
+      .join(c3, Seq("a", "b", "c"), "left")
+      .join(c2ab, Seq("a", "b"), "left")
+      .join(c2bc, Seq("b", "c"), "left")
+      .join(c1b, Seq("b"), "left")
+      .join(c1, Seq("c"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__s",
+        when(col("c_abc").isNotNull,
+          col("c_abc").cast("double") / col("c_ab"))
+        .when(col("c_bc").isNotNull,
+          lit(alpha) * col("c_bc").cast("double") / col("c_b"))
+        .otherwise(lit(alpha * alpha) *
+          (coalesce(col("c_c"), lit(0L)).cast("double") + 1.0) /
+          (col("n_total") + col("v_types")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(log(col("__s"))), 4).as("avg_logscore"),
+        round(avg(when(col("c_abc").isNull, 1.0).otherwise(0.0)), 4).as("backoff_frac"))
+  }
+
   /** Repetition signals (the public MassiveText/Gopher-style quality
     * heuristics: excessive within-document repetition marks boilerplate
     * and spam): per document, the duplicate fraction of its 2-grams and

@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.EditDistance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounded edit-distance join (SURVEY.md §2 #79) pinned against the
+  * brute-force all-pairs computation on planted-typo corpora: the
+  * chunk–gram pigeonhole candidates plus the short-head band route
+  * must be LOSSLESS (same pairs, same distances as the quadratic
+  * reference), including heads shorter than the fingerprint width and
+  * pairs straddling the full/short boundary. */
+class EditDistanceSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def bruteForce(docs: Seq[(Long, String)], maxFrac: Double,
+                         headChars: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = dp(i); dp(i) = cur
+        }
+      }
+      dp(a.length)
+    }
+    val heads = docs.map { case (id, t) => (id, t.take(headChars)) }
+    (for {
+      (ia, ha) <- heads; (ib, hb) <- heads if ia < ib
+      d = lev(ha, hb)
+      if d <= math.floor(math.max(ha.length, hb.length) * maxFrac)
+    } yield (ia, ib, d.toLong)).toSet
+  }
+
+  /** 80-char-ish heads built from a fixed alphabet soup with planted
+    * near-copies at controlled edit counts, plus short and tiny docs. */
+  private def corpus(): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(91)
+    def s(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val base = s(120)
+    def edit(t: String, k: Int): String = {
+      var cur = t
+      for (_ <- 1 to k) {
+        val i = rng.nextInt(cur.length)
+        rng.nextInt(3) match {
+          case 0 => cur = cur.updated(i, ('a' + rng.nextInt(26)).toChar) // sub
+          case 1 => cur = cur.substring(0, i) + s(1) + cur.substring(i)  // ins
+          case 2 => cur = cur.substring(0, i) + cur.substring(i + 1)     // del
+        }
+      }
+      cur
+    }
+    Seq(
+      1L -> base, 2L -> edit(base, 3), 3L -> edit(base, 8),
+      4L -> edit(base, 20),          // over threshold vs base
+      5L -> s(120), 6L -> s(120),    // unrelated fulls
+      7L -> s(60), 8L -> s(60),      // short, unrelated
+      9L -> edit(base, 1),           // 1 edit off base
+      10L -> s(50), 11L -> edit("0123456789" * 5, 2).take(55),
+      12L -> "0123456789" * 5,       // short near-dup family
+      13L -> edit("0123456789" * 5, 4),
+      14L -> s(5), 15L -> s(5),      // tiny
+      16L -> base.take(76),          // short vs full straddle: 4 deletes
+      17L -> s(120)
+    )
+  }
+
+  test("editDistancePairs equals brute force (planted corpus)") {
+    val docs = corpus()
+    val df = docs.toDF("doc_id", "text")
+    val got = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = bruteForce(docs, 0.1, 80)
+    assert(got === want)
+    // the corpus must actually exercise all three routes
+    assert(want.exists { case (a, b, _) => a == 1L && b == 16L },
+      "full/short straddle pair missing from fixture")
+    assert(want.exists { case (a, b, _) => Set(a, b).subsetOf(Set(12L, 13L, 11L)) },
+      "short-short pair missing from fixture")
+    assert(want.exists(_._3 >= 1), "nonzero-distance pair missing from fixture")
+  }
+
+  test("identical heads pair at distance 0 beyond the head width") {
+    // texts differ only AFTER headChars — heads identical
+    val df = Seq(1L -> ("x" * 100 + "tailA"), 2L -> ("x" * 100 + "tailB"))
+      .toDF("doc_id", "text")
+    val got = EditDistance.editDistancePairs(df, "doc_id", "text", 0.1, 80)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 0L)))
+  }
+
+  test("sf0.001 corpus matches brute force") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val df = Tables.documents(spark, sf)
+    val got = EditDistance.editDistancePairs(df, "doc_id", "text", 0.1, 80)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteForce(docs, 0.1, 80))
+  }
+}
