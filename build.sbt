@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps a byte TAIL of stdout and parses the LAST
+// line as JSON. Under the default output strategy every program line
+// is re-logged with an "[info] " prefix and sbt appends its own
+// "[success] Total time" line, so no tail line is ever raw JSON
+// (BENCH_r01..r07 all have parsed:null). StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the
+// trailing sbt line — together the Bench artifact line is the literal
+// last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

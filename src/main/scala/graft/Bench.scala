@@ -43,6 +43,14 @@ object Bench {
     val only = args.headOption.map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SharedFrames families: expensive intermediates several queries
+    // legitimately share (the point of the registry — a user running
+    // both members pays the construction once, and the artifact should
+    // show that amortized cost). An entry LIVES while the suite is
+    // inside its family prefix and is dropped as soon as the suite
+    // moves on, so it never inflates unrelated queries' storage
+    // pressure. Medians stay honest via creator-release below.
+    val familyPrefix = Map("sa_extents" -> "q_dup_", "dsir_weights" -> "q_dsir")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // isolate queries within the shared JVM: drop cached frames the
@@ -63,10 +71,19 @@ object Bench {
       // queries 3-12× over their fresh-JVM cost (measured: the
       // registered ngram query is 97 s in a fresh JVM vs 572 s late in
       // an aged suite JVM — same code, same data, same plan).
+      SharedFrames.release(keep =
+        tag => familyPrefix.get(tag).exists(name.startsWith))
       System.gc()
       Thread.sleep(1500)
       System.gc()
-      val runs = (1 to iters).map(_ => timeOnce(fn))
+      // a query pays for the shared entries IT creates on every
+      // iteration (honest median); entries created by an EARLIER
+      // family member stay available for reuse — that amortization is
+      // the measurement the registry exists to demonstrate
+      SharedFrames.creatorTag = name
+      val runs = (1 to iters).map { _ =>
+        SharedFrames.releaseCreatedBy(name); timeOnce(fn)
+      }
       val ok = runs.collect { case Right(s) => s }
       runs.collectFirst { case Left(e) => e }.foreach(errors += name -> _)
       name -> (if (ok.nonEmpty) math.rint(median(ok) * 1000) / 1000 else 0.0)

@@ -33,13 +33,20 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("eps_us", expr("ts div 1000"))
-        .withColumn("ts", timestamp_micros(col("eps_us")))
-    else
-      raw.withColumn("eps_us", unix_micros(col("ts")))
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) under nanosAsLong: ns since epoch
+        raw.withColumn("eps_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("eps_us")))
+      case TimestampNTZType => // µs, isAdjustedToUTC=false: the naive
+        // datetime IS the UTC instant (driver data + session are UTC) —
+        // the cast re-interprets it in the session zone, no shift
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("eps_us", unix_micros(col("ts")))
+      case _ =>
+        raw.withColumn("eps_us", unix_micros(col("ts")))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -111,6 +111,15 @@ object Dedup {
     tracked.clear()
   }
 
+  /** Unpersist + untrack ONE tracked frame — for operators that can
+    * prove the frame is consumed before they return (everything the
+    * returned plan needs is materialized), so the cache doesn't
+    * outlive the call and accumulate across repeated library use. */
+  private[graft] def untrack(df: DataFrame): Unit = tracked.synchronized {
+    val i = tracked.indexWhere(_.df eq df)
+    if (i >= 0) { tracked(i).df.unpersist(); tracked.remove(i) }
+  }
+
   // one tokenizer for the whole library — shingling equality across
   // modules (contaminationPerRow vs contaminationBloom) depends on it
   private def words(text: org.apache.spark.sql.Column) =

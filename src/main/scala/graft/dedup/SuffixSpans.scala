@@ -64,10 +64,34 @@ object SuffixSpans {
   /** (idCol, n_tokens, pos, dup_len): for every token position whose
     * longest repeated prefix reaches `minLen`, its EXACT length.
     * A "repeat" is any other corpus position (any doc, including the
-    * same one) whose suffix shares that prefix. */
+    * same one) whose suffix shares that prefix.
+    *
+    * The construction is memoized through [[graft.SharedFrames]]
+    * (eager localCheckpoint keyed on the input plan), so several
+    * consumers in one JVM — `duplicateSpansExact` and
+    * `longestPassages` over the same corpus, or repeated calls — pay
+    * the suffix ordering ONCE. `buildMinLen` (when in [2, minLen])
+    * builds the shared extents at that smaller width and derives this
+    * call's result by `dup_len >= minLen`: exact, because a repeat of
+    * length ≥ minLen needs ≥ minLen remaining tokens on both sides,
+    * so every pair realizing it already exists in the wider
+    * construction's suffix set — callers running multiple thresholds
+    * should pass the smallest as `buildMinLen` everywhere. Release
+    * with `SharedFrames.release` after the last consumer. */
   def repeatExtents(df: DataFrame, idCol: String, textCol: String,
-                    minLen: Int = 8, maxRounds: Int = 48): DataFrame = {
+                    minLen: Int = 8, maxRounds: Int = 48,
+                    buildMinLen: Int = 0): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val build = if (buildMinLen >= 2 && buildMinLen <= minLen) buildMinLen else minLen
+    val ext = graft.SharedFrames.getOrCompute("sa_extents", Seq(df),
+      Seq(idCol, textCol, build, maxRounds)) {
+      computeExtents(df, idCol, textCol, build, maxRounds)
+    }
+    if (minLen > build) ext.filter(col("dup_len") >= minLen) else ext
+  }
+
+  private def computeExtents(df: DataFrame, idCol: String, textCol: String,
+                             minLen: Int, maxRounds: Int): DataFrame = {
     val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= minLen)
@@ -219,8 +243,8 @@ object SuffixSpans {
     * BELOW a k-gram pipeline's shuffle width and reports exact repeat
     * extents on the way. */
   def duplicateSpansExact(df: DataFrame, idCol: String, textCol: String,
-                          minLen: Int = 8): DataFrame = {
-    val ext = repeatExtents(df, idCol, textCol, minLen)
+                          minLen: Int = 8, buildMinLen: Int = 0): DataFrame = {
+    val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen)
       .withColumn("__end", col("pos") + col("dup_len") - 1)
     val w = Window.partitionBy(idCol).orderBy("pos")
     val prevMax = max(col("__end")).over(
@@ -244,9 +268,10 @@ object SuffixSpans {
     * Output: (idCol, pos, dup_len, passage), ordered dup_len desc with
     * (idCol, pos) tie-break — deterministic. */
   def longestPassages(df: DataFrame, idCol: String, textCol: String,
-                      minLen: Int = 8, topN: Int = 20): DataFrame = {
+                      minLen: Int = 8, topN: Int = 20,
+                      buildMinLen: Int = 0): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
-    val ext = repeatExtents(df, idCol, textCol, minLen)
+    val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen)
     val w = Window.partitionBy(idCol).orderBy("pos")
     val runStarts = ext
       .withColumn("__ppos", lag("pos", 1).over(w))

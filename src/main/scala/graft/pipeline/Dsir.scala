@@ -72,13 +72,23 @@ object Dsir {
 
   /** Unrounded per-doc weight sum — rounding happens only at each
     * output surface (cross-engine float discipline: arithmetic on an
-    * already-rounded value creates half-decimal oracle boundaries). */
+    * already-rounded value creates half-decimal oracle boundaries).
+    * Memoized through [[graft.SharedFrames]] (eager localCheckpoint
+    * keyed on the raw-corpus and ratio plans): the gram explode over
+    * the raw corpus is the dominant cost of BOTH
+    * [[importanceLogWeights]] and [[sample]], and a pipeline that
+    * scores then resamples the same corpus (the standard DSIR flow)
+    * pays it once. Release with `SharedFrames.release` after the
+    * last consumer. */
   private def weightsRaw(raw: DataFrame, ratios: DataFrame, textCol: String,
                          idCol: String, buckets: Int): DataFrame =
-    bucketed(raw, textCol, idCol, buckets)
-      .join(broadcast(ratios), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum("log_ratio").as("__lw"))
+    graft.SharedFrames.getOrCompute("dsir_weights", Seq(raw, ratios),
+      Seq(textCol, idCol, buckets)) {
+      bucketed(raw, textCol, idCol, buckets)
+        .join(broadcast(ratios), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"), sum("log_ratio").as("__lw"))
+    }
 
   /** Per-document importance log-weight: Σ_grams log_ratio(bucket(g)).
     * Returns (idCol, n_grams, log_w rounded 4). Documents with no

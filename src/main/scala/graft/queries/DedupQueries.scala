@@ -53,12 +53,12 @@ object DedupQueries {
         k = 3, threshold = 0.8)
         .orderBy("doc1", "doc2")),
 
-    // #79 bounded edit-distance join on 80-char heads: chunk–gram
-    // pigeonhole candidates (8-char chunks ⋈ 8-grams, keyed shuffle,
-    // no all-pairs) + codegen'd levenshtein verify — the
-    // character-level near-dup family token-set similarity can't see.
-    // Exact (both routes lossless), so the quadratic DuckDB
-    // formulation is a hash oracle.
+    // #82 bounded edit-distance join on 80-char heads: per-length
+    // chunk–gram pigeonhole candidates ((q, gram)-keyed shuffle, no
+    // all-pairs, hot-gram router with a length-banded fallback) +
+    // codegen'd levenshtein verify — the character-level near-dup
+    // family token-set similarity can't see. Exact (all routes
+    // lossless), so the quadratic DuckDB formulation is a hash oracle.
     "q_dedup_editdist" -> ((s, dir) =>
       graft.dedup.EditDistance.editDistancePairs(Tables.documents(s, dir),
           "doc_id", "text", maxFrac = 0.1, headChars = 80)
@@ -113,10 +113,13 @@ object DedupQueries {
 
     // #43f maximal repeated passages: the 20 longest exact repeats with
     // their text — rows-only (extent+content inventory; spec-pinned on
-    // planted corpora).
+    // planted corpora). buildMinLen=5 points this query at the SAME
+    // shared suffix-array extents q_dup_spans_sa builds (exact: the
+    // wider construction filtered to dup_len >= 8), so a harness
+    // running both pays the SA construction once.
     "q_dup_passages" -> ((s, dir) =>
       graft.dedup.SuffixSpans.longestPassages(Tables.documents(s, dir),
-        "doc_id", "text", minLen = 8, topN = 20)),
+        "doc_id", "text", minLen = 8, topN = 20, buildMinLen = 5)),
 
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
     "q_dedup_minhash" -> ((s, dir) =>

@@ -114,7 +114,7 @@ object TextQueries {
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
-    // #80 trigram LM with stupid backoff, trained on doc_id % 5 < 4
+    // #83 trigram LM with stupid backoff, trained on doc_id % 5 < 4
     // and scored on the held-out % 5 = 4 slice — the held-out
     // perplexity quality filter, with the backoff chain genuinely
     // exercised (self-scored models never miss an n-gram).

@@ -146,11 +146,19 @@ object SemDedup {
     val spark = df.sparkSession
     val k = cents.length
     val bc = BroadcastCentroids(spark, cents)
-    // one scan+assignment feeds pairs AND the representative choice
+    // one scan+assignment feeds pairs AND the representative choice.
+    // The cache lives only for the duration of THIS call: `assigned`
+    // is checkpointed eagerly (slim — 3 scalar columns per row) and
+    // `survivors` materializes its labels internally, so after both
+    // consume the cache the returned plan references only
+    // checkpoint-backed frames and the base frame can be untracked —
+    // repeated library calls no longer accumulate full-corpus caches
+    // in executor storage.
     val base = Dedup.cachedCorpus(baseOf(df, idCol, vecCol, bc))
-    val assigned = coscOf(base, idCol, cents)
+    val assigned = coscOf(base, idCol, cents).localCheckpoint(eager = true)
     val pairs = pairsFromBase(base, idCol, k, threshold, blocks = 0)
-    val labels = Dedup.survivors(pairs, base.select(col(idCol)), idCol)
+    val labels = Dedup.survivors(pairs, assigned.select(col(idCol)), idCol)
+    Dedup.untrack(base)
     // representative per duplicate group: min (cosc, id) — struct
     // min orders lexicographically, exactly the paper's keep-low rule
     val rep = labels.join(assigned.withColumnRenamed(idCol, "id"), Seq("id"))

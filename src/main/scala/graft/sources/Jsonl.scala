@@ -42,10 +42,20 @@ object Jsonl {
       s"schema already contains $CorruptCol")
     val withCorrupt =
       StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    // blank lines are skipped (matching the native json datasource —
+    // they are line noise, not records); a line that parses to a NULL
+    // struct (the literal `null` document, which PERMISSIVE does not
+    // flag) is quarantined with its raw text rather than admitted as a
+    // phantom all-null row — the audit contract is that nothing is
+    // silently admitted or dropped. `{}` still parses clean to an
+    // all-null-fields row (the struct itself is non-null), as native.
     spark.read.text(path)
-      .select(from_json(col("value"), withCorrupt,
+      .filter(org.apache.spark.sql.functions.trim(col("value")) =!= "")
+      .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("__p"))
-      .select((schema.fieldNames :+ CorruptCol).map(f => col(s"__p.`$f`").as(f)): _*)
+      .select(schema.fieldNames.map(f => col(s"__p.`$f`").as(f)) :+
+        org.apache.spark.sql.functions.when(col("__p").isNull, col("value"))
+          .otherwise(col(s"__p.`$CorruptCol`")).as(CorruptCol): _*)
   }
 
   /** Read that FAILS on the first malformed line (ingest gates that

@@ -4,12 +4,14 @@ import graft.dedup.EditDistance
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bounded edit-distance join (SURVEY.md §2 #79) pinned against the
+/** Bounded edit-distance join (SURVEY.md §2 #82) pinned against the
   * brute-force all-pairs computation on planted-typo corpora: the
-  * chunk–gram pigeonhole candidates plus the short-head band route
-  * must be LOSSLESS (same pairs, same distances as the quadratic
-  * reference), including heads shorter than the fingerprint width and
-  * pairs straddling the full/short boundary. */
+  * per-length chunk–gram pigeonhole candidates plus the hot-gram
+  * length-band fallback must be LOSSLESS (same pairs, same distances
+  * as the quadratic reference), including heads shorter than the
+  * fingerprint width, pairs straddling length classes, boilerplate
+  * corpora that trip the hot-gram router, and short-text-majority
+  * corpora (the round-7 BNLJ cliff). */
 class EditDistanceSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
@@ -82,6 +84,56 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
     assert(want.exists { case (a, b, _) => Set(a, b).subsetOf(Set(12L, 13L, 11L)) },
       "short-short pair missing from fixture")
     assert(want.exists(_._3 >= 1), "nonzero-distance pair missing from fixture")
+  }
+
+  test("hot-gram router: boilerplate-dominated corpus stays exact through the band fallback") {
+    // every doc shares an identical boilerplate prefix, so EVERY chunk
+    // of the near-dup family is a hot gram at hotDf=2 — the router must
+    // push those heads to the length-banded route and lose nothing.
+    // skewSampleFrac=1 makes the routing decision deterministic.
+    val rng = new scala.util.Random(17)
+    def s(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val boiler = "thequickbrownfoxjumpsoverthelazydogagainandagain" // 48 chars
+    val tail = s(32)
+    def editTail(k: Int): String = // k substitutions inside the tail
+      boiler + tail.zipWithIndex.map { case (c, i) => if (i < k) 'z' else c }.mkString
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> (boiler + tail), 2L -> editTail(1), 3L -> editTail(3),
+      4L -> editTail(8), 5L -> editTail(20),               // 5 over threshold
+      6L -> (boiler + s(32)), 7L -> (boiler + s(32)),      // hot, unrelated tails
+      8L -> (boiler + tail).take(77),                      // hot + short: 3 dels off 1
+      9L -> s(80), 10L -> s(80))                           // cold fulls
+    val df = docs.toDF("doc_id", "text")
+    val got = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, hotDf = 2, skewSampleFrac = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = bruteForce(docs, 0.1, 80)
+    assert(got === want)
+    assert(want.exists { case (a, b, _) => a == 1L && b == 8L },
+      "hot short/full straddle pair missing from fixture")
+    assert(want.size >= 4, s"fixture too weak: $want")
+  }
+
+  test("short-text corpus (every head under the fingerprint width) stays exact") {
+    // the round-7 short path broadcast-nested-looped this shape; the
+    // per-length pigeonhole must handle an all-short corpus exactly
+    val rng = new scala.util.Random(23)
+    def s(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val base = s(40)
+    def edit1(t: String, i: Int) = t.updated(i % t.length, 'z')
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> base, 2L -> edit1(base, 7), 3L -> edit1(edit1(base, 3), 11),
+      4L -> s(40), 5L -> s(35), 6L -> s(30), 7L -> (s(35) + "xxxxx"),
+      8L -> base.take(37), 9L -> s(12), 10L -> s(12)
+    )
+    val df = docs.toDF("doc_id", "text")
+    val got = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = bruteForce(docs, 0.1, 80)
+    assert(got === want)
+    assert(want.exists { case (a, b, _) => a == 1L && b == 8L },
+      "cross-length pair missing from fixture")
   }
 
   test("identical heads pair at distance 0 beyond the head width") {

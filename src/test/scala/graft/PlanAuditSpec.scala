@@ -237,6 +237,28 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("BroadcastHashJoin"), p.take(1200)) // block-pair relations broadcast
   }
 
+  test("FULL REGISTRY: no cartesian, no unsanctioned BNLJ, no unpartitioned Window") {
+    // the absence list asserted over EVERY registered query, not a
+    // hand-picked subset — the round-7 editdist BNLJ hid in a query no
+    // plan test covered. Sanctioned exceptions: the two BOUNDED-probe
+    // exact baselines (q_dedup_embed's 500-probe slice, q_ann_topk's
+    // 10-probe slice), whose broadcast nested loop over a constant
+    // build side IS the intended O(|probes|·n) plan.
+    val bnljSanctioned = Set("q_dedup_embed", "q_ann_topk")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val lp = df.queryExecution.optimizedPlan
+      val badW = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(badW.isEmpty, s"$name plans an unpartitioned Window")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!bnljSanctioned(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+    }
+  }
+
   test("whole-stage codegen covers the scan+filter+project stages") {
     // AQE shows the final (codegen'd) plan only after execution
     val df = SparkEntry.queries("q_derived")(spark, sf)

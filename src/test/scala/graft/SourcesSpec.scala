@@ -328,4 +328,27 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       Jsonl.readStrict(spark, s"$dir/part.jsonl", schema).collect()
     }
   }
+
+  test("JSONL blank and null lines: no phantom all-null rows in clean()") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_blank").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val lines = Seq(
+      """{"doc_id": 1, "text": "ok"}""",
+      "",                       // blank: skipped (line noise, as native json)
+      "   ",                    // whitespace-only: skipped
+      "null",                   // literal null doc: quarantined, not admitted
+      """{}""",                 // empty object: CLEAN all-null-fields row (as native)
+      """{"doc_id": 2, "text": "ok2"}""")
+    Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val back = Jsonl.readQuarantine(spark, s"$dir/part.jsonl", schema)
+    assert(back.count() == 4) // 2 clean + {} + quarantined null
+    assert(Jsonl.corrupt(back).collect().map(_.getString(0)).toSeq == Seq("null"))
+    val clean = Jsonl.clean(back).orderBy("doc_id").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)))).toSeq
+    assert(clean == Seq((None, None), (Some(1L), Some("ok")), (Some(2L), Some("ok2"))))
+  }
 }

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Sharded fresh-JVM bench harness.
+
+The round-6/7 lesson: a 95-query sf10 suite in ONE shared JVM ages the
+JVM enough to inflate late queries 3-13x over their fresh-JVM cost
+(measured: ngram 97 s fresh vs 572 s aged, same plan). This harness
+splits the registry into family-coherent shards, runs each shard in a
+FRESH forked JVM (tools/runjvm.sh graft.Bench <csv>), and merges the
+per-shard JSON into one artifact. Families that legitimately share a
+SharedFrames entry (q_dup_*, q_dsir*) stay in one shard so the
+amortization is measured, not destroyed.
+
+Usage: tools/bench_sharded.py SF_DIR OUT_JSON [ITERS]
+"""
+import json, subprocess, sys, os, collections
+
+sf_dir = sys.argv[1]
+out_json = sys.argv[2]
+iters = sys.argv[3] if len(sys.argv) > 3 else "1"
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# full registry from the last correctness artifact (all registered names)
+names = sorted(json.load(open(os.path.join(repo, "CORRECTNESS_r07.json"))).keys())
+
+SHARD_RULES = [  # (shard, prefixes) — first match wins
+    ("sa",       ["q_dup_"]),
+    ("dedup",    ["q_dedup_"]),
+    ("dsir_cur", ["q_dsir", "q_contamination", "q_split", "q_pipeline",
+                   "q_quality", "q_mixture", "q_sample", "q_pack",
+                   "q_redact", "q_shuffle", "q_chunk"]),
+    ("text",     ["q_text_", "q_tfidf", "q_colloc", "q_heavy", "q_vocab",
+                   "q_bpe"]),
+    ("core",     []),  # fallback
+]
+
+shards = collections.OrderedDict((s, []) for s, _ in SHARD_RULES)
+for n in names:
+    for s, prefixes in SHARD_RULES:
+        if not prefixes or any(n.startswith(p) for p in prefixes):
+            shards[s].append(n); break
+
+merged, errors, shard_info = {}, {}, {}
+for shard, qs in shards.items():
+    if not qs:
+        continue
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_ITERS=iters)
+    print(f"[shard {shard}] {len(qs)} queries", flush=True)
+    r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
+                        ",".join(qs)], env=env, capture_output=True, text=True)
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    total_line = next((json.loads(l) for l in reversed(lines)
+                       if '"metric":"total"' in l), None)
+    full_line = next((json.loads(l) for l in lines
+                      if '"metric":"queries_full"' in l), None)
+    err_line = next((json.loads(l) for l in lines
+                     if '"metric":"errors"' in l), None)
+    if full_line is None:
+        print(f"[shard {shard}] FAILED rc={r.returncode}\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        shard_info[shard] = {"rc": r.returncode, "error": "no output line"}
+        continue
+    merged.update(full_line["queries"])
+    if err_line:
+        errors.update(err_line["errors"])
+    shard_info[shard] = {"rc": r.returncode, "n": len(qs),
+                         "wall": total_line["value"] if total_line else None}
+    print(f"[shard {shard}] done: {shard_info[shard]}", flush=True)
+
+artifact = {
+    "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
+    "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
+    "queries": dict(sorted(merged.items())),
+    "errors": errors, "shards": shard_info, "n_queries": len(merged),
+}
+with open(out_json, "w") as f:
+    json.dump(artifact, f, indent=1)
+print(f"wrote {out_json}: {artifact['n_queries']} queries, "
+      f"total {artifact['value']} s, {len(errors)} errors")
