@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   * MemoryStream events/sec for the stateful operators. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // --list: print the registry (one name per line) and exit — the
+    // sharded harness enumerates queries from the CODE via this flag,
+    // never from a frozen round artifact that would silently exclude
+    // queries registered since.
+    if (args.headOption.contains("--list")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
@@ -49,8 +57,10 @@ object Bench {
     // show that amortized cost). An entry LIVES while the suite is
     // inside its family prefix and is dropped as soon as the suite
     // moves on, so it never inflates unrelated queries' storage
-    // pressure. Medians stay honest via creator-release below.
-    val familyPrefix = Map("sa_extents" -> "q_dup_", "dsir_weights" -> "q_dsir")
+    // pressure. Medians stay honest via creator-release below. The map
+    // is declared next to the registry (SparkEntry.sharedFamilies,
+    // spec-guarded) so a new family cannot bypass it.
+    val familyPrefix = SparkEntry.sharedFamilies
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // isolate queries within the shared JVM: drop cached frames the

@@ -19,12 +19,22 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * queries reading the same table through different DataFrame objects
   * still hit.
   *
+  * WITHIN-JVM STALENESS: a hit returns the rows as they were CHECKPOINTED.
+  * If the files under an input path change while the JVM lives, the
+  * plan key still matches (same path, same schema) and the entry
+  * serves the old rows. The registry assumes immutable inputs for an
+  * entry's lifetime — call [[releaseAll]] after mutating a source.
+  *
   * Release discipline: entries hold executor storage until released.
-  * [[release]] drops the references (the blocks free when the
-  * ContextCleaner processes the GC'd RDDs — same lifecycle as every
-  * other localCheckpoint in the library); the Bench harness releases a
-  * family as soon as the suite moves past it, and library callers
-  * should release after the last consumer (or use [[releaseAll]]). */
+  * [[release]]/[[releaseCreatedBy]] explicitly unpersist the
+  * checkpointed blocks (dropping references alone would leave
+  * reclamation to GC + the async ContextCleaner — under memory
+  * pressure the blocks could linger until a driver GC happens to
+  * run). A released entry's DataFrame must no longer be used: its
+  * lineage was truncated at the checkpoint, so the rows are gone.
+  * The Bench harness releases a family as soon as the suite moves
+  * past it; library callers should release after the last consumer
+  * (or use [[releaseAll]]). */
 object SharedFrames {
 
   private final case class Entry(tag: String, params: Seq[Any],
@@ -36,11 +46,24 @@ object SharedFrames {
     * Bench harness sets it to the running query's name so it can
     * release a query's OWN entries between timing iterations (keeping
     * per-query medians honest) while leaving entries an EARLIER query
-    * built available for reuse. */
+    * built available for reuse. Global mutable state, adequate for the
+    * single-threaded bench; concurrent library callers racing on it
+    * only mis-label creators (release granularity), never rows. */
   @volatile var creatorTag: String = ""
 
   private def keyOf(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed.canonicalized
+
+  private def sameInputs(e: Entry, keys: Seq[LogicalPlan]): Boolean =
+    e.keys.length == keys.length &&
+      e.keys.zip(keys).forall { case (a, b) => a.sameResult(b) }
+
+  /** The checkpointed RDDs behind a localCheckpoint'ed frame — the
+    * handles release() uses to unpersist the blocks eagerly. */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 
   /** The memoized frame for (tag, params, inputs), computing and
     * eagerly checkpointing it on first call. `inputs` participate in
@@ -49,33 +72,68 @@ object SharedFrames {
   def getOrCompute(tag: String, inputs: Seq[DataFrame], params: Seq[Any])
                   (compute: => DataFrame): DataFrame = {
     val keys = inputs.map(keyOf)
-    entries.synchronized {
-      entries.find(e => e.tag == tag && e.params == params &&
-        e.keys.length == keys.length &&
-        e.keys.zip(keys).forall { case (a, b) => a.sameResult(b) })
-    } match {
+    def find(): Option[Entry] = entries.synchronized {
+      entries.find(e => e.tag == tag && e.params == params && sameInputs(e, keys))
+    }
+    find() match {
       case Some(e) => e.df
       case None =>
-        // compute OUTSIDE the lock (it runs Spark jobs); a concurrent
-        // duplicate costs one redundant construction, never correctness
+        // compute OUTSIDE the lock (it runs Spark jobs). Two threads
+        // may race here; the loser's re-check below discards its
+        // redundant checkpoint (blocks unpersisted, never pinned) and
+        // every caller sees ONE canonical entry.
         val df = compute.localCheckpoint(eager = true)
-        entries.synchronized { entries += Entry(tag, params, keys, df, creatorTag) }
-        df
+        entries.synchronized {
+          entries.find(e => e.tag == tag && e.params == params && sameInputs(e, keys))
+        } match {
+          case Some(winner) =>
+            checkpointRdds(df).foreach(_.unpersist(blocking = false))
+            winner.df
+          case None =>
+            entries.synchronized { entries += Entry(tag, params, keys, df, creatorTag) }
+            df
+        }
     }
   }
 
-  /** Drop every entry whose tag fails `keep` — references released,
-    * blocks reclaimed by the ContextCleaner after GC. */
-  def release(keep: String => Boolean = _ => false): Unit = entries.synchronized {
-    val (kept, dropped) = entries.partition(e => keep(e.tag))
-    entries.clear(); entries ++= kept
-    dropped.foreach(_ => ()) // refs dropped with the buffer rows
+  /** The live entry for `tag` over the same inputs whose params
+    * satisfy `accept`, if any — opportunistic reuse for callers that
+    * can derive their result from a frame built under DIFFERENT
+    * (covering) parameters: a suffix-extent table built at a smaller
+    * minLen serves any larger threshold through a filter. Returns the
+    * matching entry's params alongside its frame so the caller can
+    * compute the derivation. Never computes. */
+  def lookup(tag: String, inputs: Seq[DataFrame])
+            (accept: Seq[Any] => Boolean): Option[(Seq[Any], DataFrame)] = {
+    val keys = inputs.map(keyOf)
+    entries.synchronized {
+      entries.find(e => e.tag == tag && accept(e.params) && sameInputs(e, keys))
+        .map(e => (e.params, e.df))
+    }
   }
 
-  /** Drop entries created under `creator` (see [[creatorTag]]). */
-  def releaseCreatedBy(creator: String): Unit = entries.synchronized {
-    val kept = entries.filterNot(_.creator == creator)
-    entries.clear(); entries ++= kept
+  private def drop(dropped: Seq[Entry]): Unit =
+    dropped.foreach(e => checkpointRdds(e.df).foreach(_.unpersist(blocking = false)))
+
+  /** Drop (and unpersist) every entry whose tag fails `keep`. */
+  def release(keep: String => Boolean = _ => false): Unit = {
+    val dropped = entries.synchronized {
+      val (kept, out) = entries.partition(e => keep(e.tag))
+      entries.clear(); entries ++= kept
+      out.toSeq
+    }
+    drop(dropped)
+  }
+
+  /** Drop (and unpersist) entries created under `creator`
+    * (see [[creatorTag]]). */
+  def releaseCreatedBy(creator: String): Unit = {
+    val dropped = entries.synchronized {
+      val (out, kept) = entries.partition(_.creator == creator)
+      entries.clear(); entries ++= kept
+      out.toSeq
+    }
+    drop(dropped)
   }
 
   def releaseAll(): Unit = release()

@@ -24,4 +24,17 @@ object SparkEntry {
     CoreQueries.oracle ++ StatsQueries.oracle ++ WindowQueries.oracle ++
       FitQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
       MiscQueries.oracle ++ CurationQueries.oracle
+
+  /** SharedFrames tag → registry-name prefix of the query family that
+    * legitimately reuses it. The Bench harness keeps a shared entry
+    * alive exactly while the suite is inside the family's prefix, so
+    * the amortization is measured without inflating unrelated queries'
+    * storage pressure. Lives HERE — next to the registry, where new
+    * queries (and new shared tags) are added — and is spec-guarded:
+    * PlanAuditSpec asserts every tag observed live after constructing
+    * the full registry appears in this map, so a third family cannot
+    * be added without declaring its prefix (an undeclared tag would be
+    * released mid-family by Bench and silently measure as unshared). */
+  def sharedFamilies: Map[String, String] =
+    Map("sa_extents" -> "q_dup_", "dsir_weights" -> "q_dsir")
 }

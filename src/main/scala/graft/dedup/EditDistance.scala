@@ -47,11 +47,21 @@ import org.apache.spark.sql.functions._
   *    pigeonhole cannot spare a designated chunk, so partial
   *    suppression would lose pairs whose only intact chunk is hot —
   *    and instead pair through a LENGTH-BANDED equi-join (explode to
-  *    the admissible partner lengths, join on the length key) against
-  *    the full corpus. Hot heads are boilerplate-dominated by
-  *    construction, a vanishing minority in real corpora; a flipped
-  *    sampling decision costs time, never correctness, because both
-  *    routes are exact.
+  *    the admissible partner lengths, join on a SALTED length key —
+  *    the bare key has ≤ headChars distinct values) against the full
+  *    corpus. Hot heads are boilerplate-dominated by construction, a
+  *    vanishing minority in real corpora; a flipped sampling decision
+  *    costs time, never correctness, because both routes are exact.
+  *    KNOWN DEGENERATION: the fallback is linear in |hot| · |band|.
+  *    `substring(text, 1, headChars)` truncation makes `len ==
+  *    headChars` the modal length in real corpora, so a
+  *    template-heavy corpus where MANY heads go hot approaches
+  *    all-pairs inside that one band — exact, but quadratic candidate
+  *    rows: the cost cliff the chunk route exists to avoid, now
+  *    gated behind the `hotDf` threshold. If profiling shows a large
+  *    hot set, raise `hotDf` (more heads stay on the pigeonhole
+  *    route) or add a secondary band key (e.g. a cold-prefix gram)
+  *    before verification.
   * Candidates then verify with the codegen'd `levenshtein` kernel on
   * ≤ `headChars`-char strings. All routes are exact (no recall loss):
   * the per-length pigeonhole covers every pair of non-hot heads with
@@ -80,36 +90,58 @@ object EditDistance {
     def dOf(lp: String) = s"cast(floor(${olenMax(lp)} * $maxFrac) as int)"
     def qOf(lp: String) = s"greatest(1, ($lp) div (${dOf(lp)} + 1))"
 
-    val heads = graft.Parallelism.spread(df)
+    // ONE slim cached row per head: every downstream frame (chunks,
+    // grams, probe, band lookup, verify sides) derives from this cache
+    // with a single projection/explode — the round-8 shape recomputed
+    // the scan+substring pipeline once per consumer (grams twice,
+    // chunks twice, heads four times), which benchmarked at 4.5× the
+    // round-7 cost. The cache is tracked (Dedup.cachedCorpus), so the
+    // harness-level releaseCaches() reclaims it between queries.
+    val heads = Dedup.cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol).as("id"),
         substring(col(textCol), 1, headChars).as("__h"))
-      .withColumn("__len", length(col("__h")))
+      .withColumn("__len", length(col("__h"))))
     val nonEmpty = heads.filter(col("__len") >= 1)
       .withColumn("__q", expr(qOf("__len")))
 
     // chunk side: ≥ d+1 disjoint q-char chunks per head (count =
-    // floor(L/q) ≥ d+1 since q = L div (d+1))
-    val chunks = nonEmpty.select(col("id"), col("__q"), explode(array_distinct(
-        expr("transform(sequence(1, __len - __q + 1, __q), i -> substring(__h, i, __q))")))
-      .as("__s"))
+    // floor(L/q) ≥ d+1 since q = L div (d+1)); cached — consumed by
+    // both the hot-id semi-join and the candidate join
+    val chunks = Dedup.cachedCorpus(
+      nonEmpty.select(col("id"), col("__q"), explode(array_distinct(
+          expr("transform(sequence(1, __len - __q + 1, __q), i -> substring(__h, i, __q))")))
+        .as("__s")))
     // gram side: all q'-grams for every chunk width q' a shorter
-    // admissible partner might use
-    val grams = nonEmpty
+    // admissible partner might use. NOT cached — it is the one
+    // explode-heavy frame (~headChars rows per head), and after the
+    // probe below samples HEADS (not gram rows) it has exactly one
+    // consumer, so caching would only add a full materialization.
+    def gramsOf(h: DataFrame): DataFrame = h
       .select(col("id"), col("__h"), col("__len"), explode(array_distinct(expr(
         s"transform(sequence(greatest(1, cast(floor(__len * $keep) as int)), __len)," +
           s" lp -> ${qOf("lp")})"))).as("__q"))
       .select(col("id"), col("__q"), explode(array_distinct(
         expr("transform(sequence(1, __len - __q + 1), i -> substring(__h, i, __q))")))
         .as("__s"))
+    val grams = gramsOf(nonEmpty)
 
     // hot-gram router: sampled per-(q, gram) document frequency on the
-    // gram side — the side whose multiplicity explodes candidates
+    // gram side — the side whose multiplicity explodes candidates.
+    // Heads are sampled BEFORE the gram explode: per (q, gram) the
+    // surviving count is Binomial(df, p) either way (gram rows are
+    // distinct per head), but the explode then runs over p·n heads
+    // instead of all of them.
     val p = math.min(1.0, math.max(1e-6, skewSampleFrac))
-    val probe = if (p >= 1.0) grams else grams.sample(withReplacement = false, p, seed = 42L)
+    val probe = gramsOf(
+      if (p >= 1.0) nonEmpty
+      else nonEmpty.sample(withReplacement = false, p, seed = 42L))
     val hotKeys = broadcast(probe.groupBy("__q", "__s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > hotDf * p).select("__q", "__s"))
-    val hotIds = chunks.join(hotKeys, Seq("__q", "__s"), "left_semi")
-      .select("id").distinct()
+    // small (hot heads are a boilerplate minority) but consumed twice
+    // (candidate anti-join + band semi-join) — cache, not recompute
+    val hotIds = Dedup.cachedCorpus(
+      chunks.join(hotKeys, Seq("__q", "__s"), "left_semi")
+        .select("id").distinct())
 
     // safe heads: keyed equi-join on (q, gram); the gram side keeps ALL
     // heads (a hot head can still be the LONGER partner of a safe one)
@@ -124,6 +156,17 @@ object EditDistance {
     // length-banded equi-join against the whole corpus — explode to
     // admissible partner lengths, join on the length key. lev ≥
     // |lenA − lenB| makes the band exact in both directions.
+    // SALTED: __len ≤ headChars means the bare length key has ≤
+    // headChars (~80) distinct values — a full-corpus shuffle onto 80
+    // reducers, a guaranteed straggler if hot heads are ever numerous
+    // (template-heavy corpora truncate most heads to exactly headChars,
+    // making one length modal). The hot (small) side replicates each
+    // banded row across all `salts` values; the corpus side takes one
+    // salt from its id hash — every (sid, oid) pair still meets exactly
+    // once, on exactly one (length, salt) key, but the shuffle now has
+    // headChars × salts keys. Both routes stay exact; salting moves
+    // cost only.
+    val salts = 32
     val banded = nonEmpty.join(hotIds, Seq("id"), "left_semi")
       .select(col("id"), col("__len"))
       .unionByName(heads.filter(col("__len") === 0).select(col("id"), col("__len")))
@@ -131,7 +174,10 @@ object EditDistance {
       .select(col("id").as("sid"), explode(expr(
         s"sequence(__len - cast(floor(__len * $maxFrac) as int), ${olenMax("__len")})"))
         .as("__plen"))
-      .join(heads.select(col("id").as("oid"), col("__len").as("__plen")), Seq("__plen"))
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      .join(heads.select(col("id").as("oid"), col("__len").as("__plen"),
+          pmod(xxhash64(col("id")), lit(salts)).cast("int").as("__salt")),
+        Seq("__plen", "__salt"))
       .filter(col("sid") =!= col("oid"))
       .select(least(col("sid"), col("oid")).as("doc1"),
         greatest(col("sid"), col("oid")).as("doc2"))

@@ -70,24 +70,40 @@ object SuffixSpans {
     * (eager localCheckpoint keyed on the input plan), so several
     * consumers in one JVM — `duplicateSpansExact` and
     * `longestPassages` over the same corpus, or repeated calls — pay
-    * the suffix ordering ONCE. `buildMinLen` (when in [2, minLen])
-    * builds the shared extents at that smaller width and derives this
-    * call's result by `dup_len >= minLen`: exact, because a repeat of
-    * length ≥ minLen needs ≥ minLen remaining tokens on both sides,
-    * so every pair realizing it already exists in the wider
-    * construction's suffix set — callers running multiple thresholds
-    * should pass the smallest as `buildMinLen` everywhere. Release
-    * with `SharedFrames.release` after the last consumer. */
+    * the suffix ordering ONCE. Reuse is OPPORTUNISTIC and covering:
+    * a call first looks for ANY live extents entry over the same
+    * corpus built at a width ≤ its minLen and derives its result by
+    * `dup_len >= minLen` — exact, because a repeat of length ≥ minLen
+    * needs ≥ minLen remaining tokens on both sides, so every pair
+    * realizing it already exists in the narrower-width construction's
+    * suffix set. Absent a covering entry it builds at its OWN width
+    * (a wider build admits more suffixes into adjacency, a far less
+    * selective gram prefilter, and a bigger materialized extent
+    * table — round 8 measured a forced minLen-5 build at 3× the
+    * minLen-8 cost, a bad trade when the narrow consumer may never
+    * run). `buildMinLen` (when in [2, minLen]) forces the wider build
+    * for callers that KNOW a narrower consumer follows. Release with
+    * `SharedFrames.release` after the last consumer. */
   def repeatExtents(df: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 8, maxRounds: Int = 48,
                     buildMinLen: Int = 0): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val build = if (buildMinLen >= 2 && buildMinLen <= minLen) buildMinLen else minLen
-    val ext = graft.SharedFrames.getOrCompute("sa_extents", Seq(df),
-      Seq(idCol, textCol, build, maxRounds)) {
-      computeExtents(df, idCol, textCol, build, maxRounds)
+    val covering = graft.SharedFrames.lookup("sa_extents", Seq(df)) {
+      case Seq(i, t, b: Int, m) => i == idCol && t == textCol &&
+        m == maxRounds && b <= minLen
+      case _ => false
     }
-    if (minLen > build) ext.filter(col("dup_len") >= minLen) else ext
+    covering match {
+      case Some((Seq(_, _, b: Int, _), ext)) =>
+        if (minLen > b) ext.filter(col("dup_len") >= minLen) else ext
+      case _ =>
+        val build = if (buildMinLen >= 2 && buildMinLen <= minLen) buildMinLen else minLen
+        val ext = graft.SharedFrames.getOrCompute("sa_extents", Seq(df),
+          Seq(idCol, textCol, build, maxRounds)) {
+          computeExtents(df, idCol, textCol, build, maxRounds)
+        }
+        if (minLen > build) ext.filter(col("dup_len") >= minLen) else ext
+    }
   }
 
   private def computeExtents(df: DataFrame, idCol: String, textCol: String,

@@ -59,10 +59,11 @@ object Dsir {
     val r = counts(raw)
     val tTot = t.agg(sum("c").as("__tt"))
     val rTot = r.agg(sum("c").as("__rt"))
-    spine
-      .join(t.withColumnRenamed("c", "ct"), Seq("bucket"), "left")
-      .join(r.withColumnRenamed("c", "cr"), Seq("bucket"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+    graft.operators.ScalarAttach.attach(graft.operators.ScalarAttach.attach(
+      spine
+        .join(t.withColumnRenamed("c", "ct"), Seq("bucket"), "left")
+        .join(r.withColumnRenamed("c", "cr"), Seq("bucket"), "left"),
+      tTot), rTot)
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
             (col("__tt").cast("double") + buckets)) -

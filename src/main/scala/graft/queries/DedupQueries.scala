@@ -113,13 +113,17 @@ object DedupQueries {
 
     // #43f maximal repeated passages: the 20 longest exact repeats with
     // their text — rows-only (extent+content inventory; spec-pinned on
-    // planted corpora). buildMinLen=5 points this query at the SAME
-    // shared suffix-array extents q_dup_spans_sa builds (exact: the
-    // wider construction filtered to dup_len >= 8), so a harness
-    // running both pays the SA construction once.
+    // planted corpora). Builds at its OWN minLen=8: round 8 forced a
+    // shared minLen-5 build here (buildMinLen=5) and measured the
+    // family 47.2 -> 76.3 s at sf0.1 — the wider construction plus
+    // eager materialization cost more than the downstream reuse saved.
+    // Sharing is now opportunistic (SuffixSpans covering lookup): when
+    // q_dup_spans_sa's minLen-5 extents are already live, this query
+    // derives from them for free; otherwise it pays only its own
+    // narrow build.
     "q_dup_passages" -> ((s, dir) =>
       graft.dedup.SuffixSpans.longestPassages(Tables.documents(s, dir),
-        "doc_id", "text", minLen = 8, topN = 20, buildMinLen = 5)),
+        "doc_id", "text", minLen = 8, topN = 20)),
 
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
     "q_dedup_minhash" -> ((s, dir) =>

@@ -106,13 +106,21 @@ object MiscQueries {
       val assets = Multimodal.assetsFromText(
         graft.Parallelism.spread(docs), "doc_id", "text").localCheckpoint()
       val feats = Multimodal.extractFeatures(assets, dim = 8)
+      // one-row global frame count, attached to every modality row via
+      // the constant-key broadcast hash join and nulled for non-video
+      // rows — identical to a left join on a lit("video") key, but that
+      // shape's foldable key degenerates to a BNLJ (the join condition
+      // collapses to a one-sided literal comparison, leaving no equi
+      // key), which the full-registry plan audit bans
       val frameCounts = Multimodal.sampleFrames(assets, everyMs = 50)
-        .agg(count(lit(1)).as("n_frames"))
-        .select(lit("video").as("modality"), col("n_frames"))
-      feats.groupBy("modality")
-        .agg(count(lit(1)).as("n_assets"),
-          round(avg(element_at(col("features"), 1)), 4).as("mean_f0"))
-        .join(frameCounts, Seq("modality"), "left")
+        .agg(count(lit(1)).as("__nf"))
+      graft.operators.ScalarAttach.attach(
+          feats.groupBy("modality")
+            .agg(count(lit(1)).as("n_assets"),
+              round(avg(element_at(col("features"), 1)), 4).as("mean_f0")),
+          frameCounts)
+        .withColumn("n_frames", when(col("modality") === "video", col("__nf")))
+        .drop("__nf")
         .orderBy("modality")
     }),
 

@@ -49,8 +49,11 @@ object Jsonl {
     // phantom all-null row — the audit contract is that nothing is
     // silently admitted or dropped. `{}` still parses clean to an
     // all-null-fields row (the struct itself is non-null), as native.
+    // "Blank" is the full whitespace CLASS (rlike \s), not trim()'s
+    // ASCII space: native skips a tab- or CR-only line too, and a
+    // trim-based check would route those to quarantine instead.
     spark.read.text(path)
-      .filter(org.apache.spark.sql.functions.trim(col("value")) =!= "")
+      .filter(!col("value").rlike("^\\s*$"))
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("__p"))
       .select(schema.fieldNames.map(f => col(s"__p.`$f`").as(f)) :+

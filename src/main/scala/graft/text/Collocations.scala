@@ -37,12 +37,13 @@ object Collocations {
     // the explode/aggregate pipeline when the result executes. An
     // empty/1-word corpus yields an empty biCnt, so the joins (and the
     // result) are empty without a special case.
-    val totals = biCnt.agg(sum("cnt").as("n_bi"))
-      .crossJoin(uni.agg(sum("tf").as("n_uni")))
-    biCnt.filter(col("cnt") >= minCount)
-      .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("tf", "tf_a"), Seq("a"))
-      .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("tf", "tf_b"), Seq("b"))
-      .crossJoin(broadcast(totals))
+    val totals = graft.operators.ScalarAttach.attach(
+      biCnt.agg(sum("cnt").as("n_bi")), uni.agg(sum("tf").as("n_uni")))
+    graft.operators.ScalarAttach.attach(
+      biCnt.filter(col("cnt") >= minCount)
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("tf", "tf_a"), Seq("a"))
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("tf", "tf_b"), Seq("b")),
+      totals)
       .select(col("a"), col("b"), col("cnt"),
         round(log((col("cnt").cast("double") / col("n_bi")) /
           ((col("tf_a").cast("double") / col("n_uni")) *

@@ -75,8 +75,7 @@ object TextAnalysis {
       .select(col(idCol), explode(words(col(textCol))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     val n = toks.agg(count(lit(1)).as("total"))
-    toks.join(vocab, Seq("tok"))
-      .crossJoin(broadcast(n))
+    graft.operators.ScalarAttach.attach(toks.join(vocab, Seq("tok")), n)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("tf").cast("double") / col("total"))), 4).as("avg_logprob"))
@@ -157,13 +156,13 @@ object TextAnalysis {
     val nv = trTok.agg(count(lit(1)).as("n_total"),
       countDistinct(col("c")).as("v_types"))
 
-    tris(score)
-      .join(c3, Seq("a", "b", "c"), "left")
-      .join(c2ab, Seq("a", "b"), "left")
-      .join(c2bc, Seq("b", "c"), "left")
-      .join(c1b, Seq("b"), "left")
-      .join(c1, Seq("c"), "left")
-      .crossJoin(broadcast(nv))
+    graft.operators.ScalarAttach.attach(
+      tris(score)
+        .join(c3, Seq("a", "b", "c"), "left")
+        .join(c2ab, Seq("a", "b"), "left")
+        .join(c2bc, Seq("b", "c"), "left")
+        .join(c1b, Seq("b"), "left")
+        .join(c1, Seq("c"), "left"), nv)
       .withColumn("__s",
         when(col("c_abc").isNotNull,
           col("c_abc").cast("double") / col("c_ab"))

@@ -36,8 +36,7 @@ object TfIdf {
     // term's idf), so it aggregates df itself — a zero-column scan,
     // not the tokenized pipeline — and rides along as one broadcast row
     val totals = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(totals))
+    val scored = graft.operators.ScalarAttach.attach(tf.join(dfreq, Seq("term")), totals)
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))

@@ -244,6 +244,9 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // exact baselines (q_dedup_embed's 500-probe slice, q_ann_topk's
     // 10-probe slice), whose broadcast nested loop over a constant
     // build side IS the intended O(|probes|·n) plan.
+    // One-row scalar attaches (corpus totals) are NOT exempted: they
+    // ride a constant-key BroadcastHashJoin (operators.ScalarAttach),
+    // so a BNLJ anywhere else is a real accident.
     val bnljSanctioned = Set("q_dedup_embed", "q_ann_topk")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val df = SparkEntry.queries(name)(spark, sf)
@@ -257,6 +260,13 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       if (!bnljSanctioned(name))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
     }
+    // constructing the registry above populated every SharedFrames
+    // entry the queries create — each live tag must be DECLARED in
+    // SparkEntry.sharedFamilies, or Bench would release it mid-family
+    // and the amortization would silently measure as unshared
+    val undeclared = SharedFrames.liveTags.toSet -- SparkEntry.sharedFamilies.keySet
+    assert(undeclared.isEmpty,
+      s"SharedFrames tags without a declared Bench family: $undeclared")
   }
 
   test("whole-stage codegen covers the scan+filter+project stages") {

@@ -19,8 +19,13 @@ out_json = sys.argv[2]
 iters = sys.argv[3] if len(sys.argv) > 3 else "1"
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# full registry from the last correctness artifact (all registered names)
-names = sorted(json.load(open(os.path.join(repo, "CORRECTNESS_r07.json"))).keys())
+# full registry from the CODE (graft.Bench --list prints the registry),
+# never from a frozen round artifact — a pinned artifact silently
+# excludes every query registered after that round
+_r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench", "--list"],
+                    capture_output=True, text=True, check=True)
+names = sorted(l.strip() for l in _r.stdout.splitlines() if l.strip().startswith("q_"))
+assert names, "empty registry from graft.Bench --list"
 
 SHARD_RULES = [  # (shard, prefixes) — first match wins
     ("sa",       ["q_dup_"]),
