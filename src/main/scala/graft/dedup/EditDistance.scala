@@ -105,12 +105,13 @@ object EditDistance {
       .withColumn("__q", expr(qOf("__len")))
 
     // chunk side: ≥ d+1 disjoint q-char chunks per head (count =
-    // floor(L/q) ≥ d+1 since q = L div (d+1)); cached — consumed by
-    // both the hot-id semi-join and the candidate join
-    val chunks = Dedup.cachedCorpus(
-      nonEmpty.select(col("id"), col("__q"), explode(array_distinct(
-          expr("transform(sequence(1, __len - __q + 1, __q), i -> substring(__h, i, __q))")))
-        .as("__s")))
+    // floor(L/q) ≥ d+1 since q = L div (d+1)). Consumed twice (hot-id
+    // semi-join + candidate join) but NOT cached: it re-derives from
+    // the cached heads with one in-memory explode, cheaper than
+    // materializing ~(d+1)·n slim rows to storage and reading them back
+    val chunks = nonEmpty.select(col("id"), col("__q"), explode(array_distinct(
+        expr("transform(sequence(1, __len - __q + 1, __q), i -> substring(__h, i, __q))")))
+      .as("__s"))
     // gram side: all q'-grams for every chunk width q' a shorter
     // admissible partner might use. NOT cached — it is the one
     // explode-heavy frame (~headChars rows per head), and after the
@@ -166,7 +167,14 @@ object EditDistance {
     // once, on exactly one (length, salt) key, but the shuffle now has
     // headChars × salts keys. Both routes stay exact; salting moves
     // cost only.
-    val salts = 32
+    // salt breadth tracks cluster width: replication (the hot side
+    // pays ×salts rows) only buys anything when the shuffle has more
+    // reducer slots than bare length keys, so a 32-thread local run
+    // uses a handful of salts while a 1000-executor cluster gets the
+    // full spread. Measured at sf0.1/local[32]: a fixed ×32 salt cost
+    // +5 s on the query for zero local benefit.
+    val salts = math.max(1, math.min(32,
+      df.sparkSession.sparkContext.defaultParallelism / 8))
     val banded = nonEmpty.join(hotIds, Seq("id"), "left_semi")
       .select(col("id"), col("__len"))
       .unionByName(heads.filter(col("__len") === 0).select(col("id"), col("__len")))

@@ -113,17 +113,20 @@ object DedupQueries {
 
     // #43f maximal repeated passages: the 20 longest exact repeats with
     // their text — rows-only (extent+content inventory; spec-pinned on
-    // planted corpora). Builds at its OWN minLen=8: round 8 forced a
-    // shared minLen-5 build here (buildMinLen=5) and measured the
-    // family 47.2 -> 76.3 s at sf0.1 — the wider construction plus
-    // eager materialization cost more than the downstream reuse saved.
-    // Sharing is now opportunistic (SuffixSpans covering lookup): when
-    // q_dup_spans_sa's minLen-5 extents are already live, this query
-    // derives from them for free; otherwise it pays only its own
-    // narrow build.
+    // planted corpora). buildMinLen=5 points this query at the SAME
+    // shared suffix-array extents q_dup_spans_sa consumes (exact: the
+    // wider construction filtered to dup_len >= 8). The round-8
+    // in-suite numbers (76.3 s family) suggested this build was a
+    // regression; the round-9 isolated fresh-JVM A-B settled it the
+    // other way: minLen-5 build + eager checkpoint + reuse = 27.6 s
+    // family vs 47.7 s for independent lazy builds (r7 code, same
+    // session) — the in-suite inflation was shared-JVM aging, not the
+    // construction. SuffixSpans' covering lookup makes the
+    // amortization order-independent: whichever family member runs
+    // first builds at 5, the other derives by filter.
     "q_dup_passages" -> ((s, dir) =>
       graft.dedup.SuffixSpans.longestPassages(Tables.documents(s, dir),
-        "doc_id", "text", minLen = 8, topN = 20)),
+        "doc_id", "text", minLen = 8, topN = 20, buildMinLen = 5)),
 
     // #41 MinHash+LSH candidates (rows-only: xxhash64-specific).
     "q_dedup_minhash" -> ((s, dir) =>
