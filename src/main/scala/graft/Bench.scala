@@ -127,12 +127,13 @@ object Bench {
     // iters/nerr on their own short line (subset runs included) so a
     // failed run is never indistinguishable from a clean 0-second one
     println(s"""{"metric":"info","iters":$iters,"nerr":${errors.size}}""")
-    if (only.isEmpty) {
+    val streamingOpt = if (only.isEmpty) {
       val streaming = graft.streaming.StreamBench.curve(spark, sfDir)
         .toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString("{", ",", "}")
       println(s"""{"metric":"streaming","events_per_sec":$streaming}""")
-    }
+      Some(streaming)
+    } else None
     val total = math.rint(results.map(_._2).sum * 100) / 100
     // the harness capturing stdout keeps only a ~2 KB byte tail —
     // iters/nerr ride the streaming line above so THIS line (the
@@ -141,8 +142,13 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     println(line)
     // belt-and-braces: the full-name line also lands in the working
-    // dir, so a clipped stdout capture never loses the per-query data
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    // dir, so a clipped stdout capture never loses the per-query data —
+    // including the streaming section, which the driver's ~2 KB stdout
+    // tail clipped out of the round-9 artifact (the parsed line must
+    // stay lean, but the FILE has no window)
+    val streamingJson = streamingOpt
+      .map(s => s""","events_per_sec":$s""").getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$streamingJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -55,42 +55,42 @@ import org.apache.spark.sql.functions._
   *    it sits in the same segment of same-length partners at a shift
   *    admissible under the budget — per-key document frequency
   *    collapses from corpus-wide to near-constant.
-  *  - Hot-segment guard via OVER-PARTITIONING: the partition uses
-  *    `c = d+1+extraSegs` segments (clamped to the head length),
-  *    `extraSegs` more than the pigeonhole minimum. With τ ≤ d edits
-  *    destroying ≤ τ segments, ≥ c−τ ≥ extraSegs+1 segments stay
-  *    intact — so a head owning ≤ extraSegs HOT segments (per-key
-  *    document frequency over `hotDf`, measured on a Bernoulli
-  *    head-sample of the probe side) still has ≥ 1 intact COLD
-  *    segment, and its hot segment ROWS can simply be dropped from
-  *    the indexed side: suppression, not diversion, at zero recall
-  *    loss. Only heads with MORE than extraSegs hot segments — the
-  *    verbatim-banner pathology, where a corpus-wide template
-  *    occupies most of the head — divert to a LENGTH-BANDED
-  *    equi-join (explode to admissible partner lengths, SALTED
-  *    length key — the bare key has ≤ headChars distinct values).
-  *    The previous design diverted a head for ANY hot segment; on
-  *    the template-vocabulary bench corpus that sent 16% of heads
-  *    (787/5000 at sf0.1) to a |hot|·|corpus| fallback — ~39B pairs
-  *    extrapolated to sf10. With suppression the divert set is
-  *    heads that are boilerplate in ≥ 3 of ~11 segments — near zero
-  *    on anything but actual banner spam. A flipped sampling
-  *    decision costs time, never correctness, because both routes
-  *    are exact. KNOWN DEGENERATION: the fallback is linear in
-  *    |hot| · |band|; a corpus whose heads are verbatim-identical
-  *    banners pairs quadratically — but so does its true output.
+  *  - Hot-segment guard via OVER-PARTITIONING + PER-HEAD TOP-SPARE
+  *    DROP: the partition uses `c = d+1+extraSegs` segments (clamped
+  *    to the head length), `extraSegs` more than the pigeonhole
+  *    minimum. With τ ≤ d edits destroying ≤ τ segments, ≥ c−τ ≥
+  *    spare+1 segments stay intact (spare = c−(d+1)), so every head
+  *    may leave up to `spare` segments UN-INDEXED and remain fully
+  *    covered — which segments is a free choice, so each head drops
+  *    its costliest: the top `spare` of its HOT segments (per-key
+  *    probe-side document frequency over the clamped threshold
+  *    `clamp(hotFrac·n, hotDf, hotDfCap)`, measured on a Bernoulli
+  *    head-sample) ranked by sampled df. Suppression, never
+  *    diversion, at zero recall loss — there is NO corpus-wide
+  *    fallback join. Earlier designs diverted whole heads (to a
+  *    salted length-band join) once they owned more than `spare` hot
+  *    segments; the round-10 sf10 run measured 82% of a low-entropy
+  *    corpus diverting, and any corpus-wide fallback is quadratic
+  *    when a constant fraction of the corpus takes it. A flipped
+  *    sampling decision costs time, never correctness. Zero-length
+  *    heads (no segments) pair only with each other (lev("",y) =
+  *    len(y)) via a tiny keyed self-join.
   *
-  * Candidates verify with the codegen'd BANDED `levenshtein(a, b,
-  * threshold)` kernel (Ukkonen band, O(dMax·len) cells, early exit)
-  * and only the verified survivors — not the candidate set — pay a
-  * `distinct()`: the thresholded kernel returns −1 above
+  * Verification is FUSED into the candidate join stage: both join
+  * sides carry their head string, and the codegen'd BANDED
+  * `levenshtein(a, b, threshold)` kernel (Ukkonen band, O(dMax·len)
+  * cells, early exit) filters candidate rows as the shuffled-hash
+  * join emits them — on a low-entropy corpus the candidate multiset
+  * is orders of magnitude larger than both the input and the output
+  * (10.7 B rows at sf10 for a 500 k-doc corpus), and the round-9
+  * join-then-attach-heads plan shuffled it three more times (>150 GB
+  * of disk for rows that exist only to be refuted). Only verified
+  * survivors pay the closing `distinct()` (a pair can meet on
+  * several intact segments). The thresholded kernel returns −1 above
   * `dMax = floor(headChars·maxFrac) ≥` every per-pair bound, so the
   * ≥ 0 guard plus the per-pair bound filter is exactly the unbanded
-  * semantics at a fraction of the DP cells, and deduplicating after
-  * the filter shuffles hundreds of rows where deduplicating the
-  * candidate set shuffled millions. All routes are exact (no recall
-  * loss): the segment window covers every within-budget pair of
-  * non-hot heads, hot heads enumerate their length band, and
+  * semantics at a fraction of the DP cells. Exact, no recall loss:
+  * the segment window covers every within-budget pair, and
   * length-banding (`|lenA − lenB| ≤ τ`) is implied by
   * `lev ≥ |lenA − lenB|`.
   */
@@ -98,20 +98,37 @@ object EditDistance {
 
   /** (doc1, doc2, dist): unordered pairs within the normalized head
     * edit-distance bound. Deterministic; `dist` is exact.
-    * `hotDf`/`hotFrac`/`skewSampleFrac`/`extraSegs` tune the
-    * hot-segment router (see Scaladoc); both candidate routes are
+    * `hotDf`/`hotFrac`/`skewSampleFrac`/`extraSegs`/`hotDfCap` tune
+    * the hot-segment router (see Scaladoc); every candidate route is
     * exact, so they affect cost only. The effective hot threshold is
-    * `max(hotDf, hotFrac·n)` — RELATIVE to corpus size, because
-    * per-key document frequency of merely-common segments grows
-    * linearly with n (a small-vocabulary corpus has df ≈ n/150 keys
-    * everywhere) while the pathology the router exists for is a
-    * banner in a constant FRACTION of documents; a fixed absolute
-    * threshold diverts more of the corpus the bigger it gets,
-    * turning the fallback quadratic exactly when it matters. */
+    * `clamp(hotFrac·n, hotDf, hotDfCap)`: relative for small corpora
+    * (df ≈ n/vocab genuinely tracks n there), CAPPED because what the
+    * threshold guards is per-key join cost — an absolute quantity —
+    * and in large corpora per-key df stops tracking n (growth adds
+    * new template families, not proportionally bigger ones; round
+    * 10's sf10 run measured the uncapped threshold disabling
+    * suppression entirely and writing the disk full). Over-marking
+    * under the cap is harmless: each head drops at most its `spare`
+    * costliest hot segments and keeps the rest — exactness never
+    * depends on the threshold. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxFrac: Double = 0.1, headChars: Int = 80,
                         hotDf: Int = 64, skewSampleFrac: Double = 0.1,
-                        extraSegs: Int = 2, hotFrac: Double = 0.05): DataFrame = {
+                        extraSegs: Int = 2, hotFrac: Double = 0.05,
+                        hotDfCap: Int = 256): DataFrame =
+    stages(df, idCol, textCol, maxFrac, headChars, hotDf, skewSampleFrac,
+      extraSegs, hotFrac, hotDfCap)("result")
+
+  /** Every intermediate frame by name ("heads", "segs", "probe",
+    * "hotKeys", "hotIds", "fullCand", "bandCand", "result") — the
+    * operator's own construction, exposed so measurement tools profile
+    * THE SHIPPED PIPELINE instead of a hand-synced copy (the retired
+    * DebugEditDist drifted from the operator twice in one round). */
+  private[graft] def stages(df: DataFrame, idCol: String, textCol: String,
+                        maxFrac: Double = 0.1, headChars: Int = 80,
+                        hotDf: Int = 64, skewSampleFrac: Double = 0.1,
+                        extraSegs: Int = 2, hotFrac: Double = 0.05,
+                        hotDfCap: Int = 256): Map[String, DataFrame] = {
     require(headChars >= 1, s"headChars must be >= 1, got $headChars")
     require(maxFrac >= 0 && maxFrac < 0.5, s"maxFrac must be in [0, 0.5), got $maxFrac")
     require(extraSegs >= 0, s"extraSegs must be >= 0, got $extraSegs")
@@ -155,15 +172,18 @@ object EditDistance {
     val nonEmpty = heads.filter(col("__len") >= 1)
 
     // indexed side: the c(L) fixed-position segments of each head
-    // (its shorter-side partition). O(d+1) slim rows per head.
-    val segs = nonEmpty.select(col("id"), col("__len").as("__lp"),
+    // (its shorter-side partition). O(d+1) rows per head, carrying the
+    // head string so verification can run INSIDE the candidate join
+    // stage (see below) — the string rides the small build side.
+    val segs = nonEmpty.select(col("id"), col("__h"), col("__len").as("__lp"),
       explode(expr(
         s"""transform(sequence(1, ${cOf("__len")}),
             i -> struct(i as __i,
                         substring(__h, ${segP("__len", cOf("__len"), "i")},
                                        ${segW("__len", cOf("__len"), "i")}) as __s))"""))
         .as("__seg"))
-      .select(col("id"), col("__lp"), col("__seg.__i").as("__i"), col("__seg.__s").as("__s"))
+      .select(col("id"), col("__h"), col("__lp"),
+        col("__seg.__i").as("__i"), col("__seg.__s").as("__s"))
 
     // probe side: for every admissible shorter length lp, segment i of
     // the lp-partition, and exact-window shift s (|s| + |delta - s| <=
@@ -182,7 +202,7 @@ object EditDistance {
     // naive nesting re-evaluated the ceil/floor tower ~c·(tau+1) times
     // per length and measured 25x slower.
     def probeOf(h: DataFrame): DataFrame = h
-      .select(col("id"), col("__h"), explode(expr(
+      .select(col("id"), col("__h"), col("__len"), explode(expr(
         s"""flatten(transform(
               transform(
                 transform(
@@ -205,7 +225,8 @@ object EditDistance {
                                 (r.wb + if(i > r.ck, 1, 0)) as __w)))),
                 x -> x.__p >= 1 and x.__p + x.__w - 1 <= __len)))"""))
         .as("__e"))
-      .select(col("id"), col("__e.__lp").as("__lp"), col("__e.__i").as("__i"),
+      .select(col("id"), col("__h"), col("__len"),
+        col("__e.__lp").as("__lp"), col("__e.__i").as("__i"),
         expr("substring(__h, __e.__p, __e.__w)").as("__s"))
     // NOTE the shift window uses tau' = d(lp) >= tau(pair) =
     // floor(__len * maxFrac): a superset window (more shifts than the
@@ -221,89 +242,120 @@ object EditDistance {
     val probeSample = probeOf(
       if (p >= 1.0) nonEmpty
       else nonEmpty.sample(withReplacement = false, p, seed = 42L))
-    // scale-aware threshold: heads is already cached, so the count is
-    // a cache scan, not a second source read
-    val hotThreshold = math.max(hotDf.toDouble, hotFrac * heads.count())
-    val hotKeys = broadcast(probeSample
-      .groupBy("__lp", "__i", "__s").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > hotThreshold * p).select("__lp", "__i", "__s"))
-    // divert set: heads with MORE hot segments than the
-    // over-partition's spare capacity c − (d+1) ≤ extraSegs — for
-    // anything else, dropping the hot rows below is lossless (≥ 1
-    // intact cold segment survives any admissible edit script). Tiny
-    // (banner-spam pathology only) but consumed twice (candidate
-    // anti-join + band semi-join) — cache
-    val hotIds = Dedup.cachedCorpus(
-      segs.join(hotKeys, Seq("__lp", "__i", "__s"), "left_semi")
-        .groupBy("id", "__lp").agg(count(lit(1)).as("__hot"))
-        .filter(col("__hot") > expr(s"${cOf("__lp")} - (${dOf("__lp")} + 1)"))
-        .select("id"))
+    // hot threshold clamp(hotFrac·n, hotDf, hotDfCap), with the corpus
+    // size riding IN-PLAN as a broadcast one-row totals frame
+    // (ScalarAttach, the TF-IDF discipline): a driver-side
+    // `heads.count()` here made CONSTRUCTING the DataFrame launch a
+    // scan+cache job, so plan-only consumers (the full-registry plan
+    // audit, docs/PLANS.md regeneration) paid a corpus scan per query
+    // built. At execution the aggregate is a scan of the already-cached
+    // heads either way.
+    //
+    // WHY the cap (the round-10 sf10 lesson — the uncapped relative
+    // threshold 0.05·n = 25,000 at sf10 sat above EVERY real key's df,
+    // disabling suppression exactly where its absolute economics
+    // matter, and the un-suppressed candidate join wrote >78 GB of
+    // shuffle): what the threshold guards is per-key JOIN COST — a key
+    // with segs-df a and probe-df b contributes a·b candidate rows and
+    // banded DPs, an ABSOLUTE quantity independent of corpus size. And
+    // per-key df does not in general grow ∝ n: growing corpora add NEW
+    // template families rather than proportionally bigger ones (the
+    // ScaleUp replica construction models exactly this — disjoint
+    // per-replica vocabularies hold per-key df constant while n grows
+    // 100×). The relative term stays for small corpora, where df ≈
+    // n/vocab genuinely tracks n; the cap keeps suppression live at
+    // scale; and the corpus where everything is merely-common no
+    // longer fears over-suppression, because the divert fallback below
+    // is cost-routed instead of unconditionally corpus-wide.
+    val totalsN = heads.agg(count(lit(1)).cast("double").as("__n"))
+    val hotKeys = broadcast(graft.operators.ScalarAttach.attach(
+        probeSample.groupBy("__lp", "__i", "__s").agg(count(lit(1)).as("__df")),
+        totalsN)
+      .filter(col("__df") >
+        least(greatest(lit(hotFrac) * col("__n"), lit(hotDf.toDouble)),
+          lit(hotDfCap.toDouble)) * p)
+      .select(col("__lp"), col("__i"), col("__s"), col("__df")))
+    // PER-HEAD TOP-SPARE DROP — the suppression rule, and the only
+    // one: each head may leave up to `spare = c − (d+1)` of its
+    // segments un-indexed and remain fully covered, because any
+    // admissible edit script destroys ≤ τ ≤ d segments, so ≥ c − d =
+    // spare + 1 stay intact and at least one intact segment is still
+    // indexed. WHICH segments to withhold is therefore a free choice —
+    // so withhold the COSTLIEST: rank each head's hot segments by
+    // sampled probe-side df and drop the top `spare`. This replaces
+    // round 9's all-or-nothing divert (suppress every hot row, else
+    // send the whole head to a corpus-wide length-band join): at sf10
+    // the bench corpus put 82% of heads over the divert limit, and
+    // BOTH fallbacks go quadratic when most of the corpus takes them
+    // (band: |divert|·|band|, both ∝ n; keep-all: Σ hot-df with df ∝
+    // n). Top-spare keeps every head on the keyed join, removes each
+    // head's worst keys, and needs no fallback at all. A head with
+    // more hot segments than spare keeps its cheapest hot rows —
+    // bounded damage the fused verify below absorbs.
+    val spare = expr(s"${cOf("__lp")} - (${dOf("__lp")} + 1)")
+    val dropSet = segs
+      .join(hotKeys, Seq("__lp", "__i", "__s"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(desc("__df"), col("__i"))))
+      .filter(col("__rk") <= spare)
+      .select("id", "__i")
+    val segsIndexed = segs.join(dropSet, Seq("id", "__i"), "left_anti")
 
-    // kept heads: keyed equi-join on (shorter-length, segment-id,
-    // content), with hot segment ROWS suppressed (broadcast
-    // anti-join — exact given the divert rule above); the probe side
-    // keeps ALL heads and ALL content (a diverted head can still be
-    // the LONGER partner of a kept one, and a kept head must still
-    // find partners through its partners' hot regions). NO distinct
-    // here — the verified survivors pay it instead (see Scaladoc).
-    val fullCand = segs.join(hotIds, Seq("id"), "left_anti")
-      .join(hotKeys, Seq("__lp", "__i", "__s"), "left_anti")
-      .join(probe.withColumnRenamed("id", "id2"), Seq("__lp", "__i", "__s"))
-      .filter(col("id") =!= col("id2"))
-      .select(least(col("id"), col("id2")).as("doc1"),
-        greatest(col("id"), col("id2")).as("doc2"))
-
-    // hot heads (plus empty heads, whose partition is degenerate):
-    // length-banded equi-join against the whole corpus — explode to
-    // admissible partner lengths, join on the length key. lev ≥
-    // |lenA − lenB| makes the band exact in both directions.
-    // SALTED: __len ≤ headChars means the bare length key has ≤
-    // headChars (~80) distinct values — a full-corpus shuffle onto 80
-    // reducers, a guaranteed straggler if hot heads are ever numerous.
-    // The hot (small) side replicates each banded row across all
-    // `salts` values; the corpus side takes one salt from its id hash
-    // — every (sid, oid) pair still meets exactly once, on exactly one
-    // (length, salt) key. Salt breadth tracks cluster width: a
-    // 32-thread local run uses a handful of salts while a
-    // 1000-executor cluster gets the full spread.
-    val salts = math.max(1, math.min(32,
-      df.sparkSession.sparkContext.defaultParallelism / 8))
-    val banded = nonEmpty.join(hotIds, Seq("id"), "left_semi")
-      .select(col("id"), col("__len"))
-      .unionByName(heads.filter(col("__len") === 0).select(col("id"), col("__len")))
-    val bandCand = banded
-      .select(col("id").as("sid"), explode(expr(
-        s"sequence(__len - cast(floor(__len * ${maxFrac}D) as int), ${olenMax("__len")})"))
-        .as("__plen"))
-      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
-      .join(heads.select(col("id").as("oid"), col("__len").as("__plen"),
-          pmod(xxhash64(col("id")), lit(salts)).cast("int").as("__salt")),
-        Seq("__plen", "__salt"))
-      .filter(col("sid") =!= col("oid"))
-      .select(least(col("sid"), col("oid")).as("doc1"),
-        greatest(col("sid"), col("oid")).as("doc2"))
-
-    // verify candidates with the exact DP kernel, BANDED: every
-    // admissible pair has dist ≤ floor(max(lA,lB)·maxFrac) ≤
-    // floor(headChars·maxFrac) =: dMax, so the thresholded kernel
-    // (O((2·dMax+1)·len) cells instead of the full len² matrix, early
-    // exit when a row's minimum exceeds the threshold) is exact here —
-    // it returns the true distance for everything the filter could
-    // keep and −1 (guarded below; −1 would sail through a bare
-    // ≤-bound filter) only for pairs the full kernel would have
-    // discarded anyway. distinct() runs LAST, over verified survivors:
-    // candidate multiplicity (a pair meeting on several intact
-    // segments, or on both routes) costs ≤ c redundant banded DPs, far
-    // cheaper than a full-candidate-set shuffle.
+    // Candidate join + FUSED verification, one stage. Two lessons the
+    // round-10 sf10 run paid for in full:
+    //  - SHUFFLE HASH, not sort-merge: the probe side is the volume
+    //    (~(τ+1)²·c rows per head) and a sort-merge join SORTS it —
+    //    the sort spill alone wrote ~3× the shuffle bytes. The segs
+    //    build side is c rows per doc, uniformly hashed over
+    //    (len, seg, content) keys — exactly the shape shuffled-hash
+    //    wants; AQE's skew mitigation still applies to SHJ.
+    //  - VERIFY INSIDE THE JOIN STAGE: on a low-entropy corpus the
+    //    candidate multiset is orders of magnitude larger than the
+    //    output (10.7 B rows at sf10 against 407 M probe rows), and
+    //    round 9's join-then-attach-heads plan shuffled those rows
+    //    THREE more times (hA join, hB join, distinct) — >150 GB of
+    //    disk for rows that exist only to be refuted. With both head
+    //    strings riding the join inputs, the banded `levenshtein(a, b,
+    //    dMax)` kernel (Ukkonen band, O((2·dMax+1)·len) cells, early
+    //    exit — exact for every pair the bound filter could keep, −1
+    //    guarded below only for pairs the full kernel would discard)
+    //    filters candidates AS THE JOIN EMITS THEM: nothing but
+    //    verified survivors is ever shuffled again, and the
+    //    `distinct()` (a pair can meet on several intact segments)
+    //    runs over those survivors. The probe side pays the head
+    //    string on its one shuffle (~2× row width, template text
+    //    compresses well under lz4); the candidate stream pays zero.
+    // The pair bound uses the PROBE head's length: the probe is the
+    // longer member by construction (lp ≤ __len), so
+    // max(lenA, lenB) = __lenB.
     val dMax = math.floor(headChars * maxFrac).toInt
-    val hA = heads.select(col("id").as("doc1"), col("__h").as("__hA"), col("__len").as("__lA"))
-    val hB = heads.select(col("id").as("doc2"), col("__h").as("__hB"), col("__len").as("__lB"))
-    fullCand.unionByName(bandCand)
-      .join(hA, Seq("doc1")).join(hB, Seq("doc2"))
-      .withColumn("dist", levenshtein(col("__hA"), col("__hB"), dMax).cast("long"))
+    val verified = segsIndexed.hint("shuffle_hash")
+      .join(probe.select(col("id").as("id2"), col("__h").as("__hB"),
+          col("__len").as("__lenB"), col("__lp"), col("__i"), col("__s")),
+        Seq("__lp", "__i", "__s"))
+      .filter(col("id") =!= col("id2"))
+      .withColumn("dist", levenshtein(col("__h"), col("__hB"), dMax).cast("long"))
       .filter(col("dist") >= 0 &&
-        col("dist") <= floor(greatest(col("__lA"), col("__lB")) * maxFrac))
-      .select(col("doc1"), col("doc2"), col("dist"))
-      .distinct()
+        col("dist") <= floor(col("__lenB") * maxFrac))
+      .select(least(col("id"), col("id2")).as("doc1"),
+        greatest(col("id"), col("id2")).as("doc2"), col("dist"))
+
+    // empty heads sit outside the segment scheme (a zero-length head
+    // has no segments and an empty probe window) and pair exactly with
+    // each other at dist 0: lev("", y) = len(y) ≤ floor(len(y)·maxFrac)
+    // forces len(y) = 0 for maxFrac < 1. A keyed self-join on the
+    // constant length — their true output is quadratic in their count,
+    // like any verbatim-duplicate family.
+    val empties = heads.filter(col("__len") === 0)
+    val emptyPairs = empties.select(col("id").as("doc1"), col("__len"))
+      .join(empties.select(col("id").as("doc2"), col("__len")), Seq("__len"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), lit(0L).as("dist"))
+
+    val result = verified.unionByName(emptyPairs).distinct()
+    Map("heads" -> heads, "segs" -> segs, "probe" -> probe,
+      "hotKeys" -> hotKeys, "dropSet" -> dropSet, "segsIndexed" -> segsIndexed,
+      "verified" -> verified, "result" -> result)
   }
 }

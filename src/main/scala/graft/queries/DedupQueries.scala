@@ -53,12 +53,16 @@ object DedupQueries {
         k = 3, threshold = 0.8)
         .orderBy("doc1", "doc2")),
 
-    // #82 bounded edit-distance join on 80-char heads: per-length
-    // chunk–gram pigeonhole candidates ((q, gram)-keyed shuffle, no
-    // all-pairs, hot-gram router with a length-banded fallback) +
-    // codegen'd levenshtein verify — the character-level near-dup
-    // family token-set similarity can't see. Exact (all routes
-    // lossless), so the quadratic DuckDB formulation is a hash oracle.
+    // #82 bounded edit-distance join on 80-char heads: PassJoin
+    // position-aware partition matching (PVLDB '11) — fixed-position
+    // segments on the indexed side, exact shift-window substring
+    // enumeration on the probe side, (len, seg, content)-keyed
+    // shuffle, no all-pairs; over-partitioning lets hot (boilerplate)
+    // segments be SUPPRESSED at zero recall loss, with a salted
+    // length-banded fallback only for banner-spam heads + codegen'd
+    // banded levenshtein verify — the character-level near-dup family
+    // token-set similarity can't see. Exact (all routes lossless), so
+    // the quadratic DuckDB formulation is a hash oracle.
     "q_dedup_editdist" -> ((s, dir) =>
       graft.dedup.EditDistance.editDistancePairs(Tables.documents(s, dir),
           "doc_id", "text", maxFrac = 0.1, headChars = 80)
