@@ -17,9 +17,13 @@ object DebugEditDist {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local("graft-debug-editdist", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    val extraSegs = sys.env.getOrElse("SPARK_GRAFT_ED_EXTRASEGS", "2").toInt
+    val hotDfCap = sys.env.getOrElse("SPARK_GRAFT_ED_HOTDFCAP", "256").toInt
+    println(s"[cfg] extraSegs=$extraSegs hotDfCap=$hotDfCap")
     val st = graft.dedup.EditDistance.stages(
       Tables.documents(spark, sfDir), "doc_id", "text",
-      maxFrac = 0.1, headChars = 80)
+      maxFrac = 0.1, headChars = 80,
+      extraSegs = extraSegs, hotDfCap = hotDfCap)
 
     def timeCount(name: String): Long = {
       val t0 = System.nanoTime()
@@ -27,13 +31,17 @@ object DebugEditDist {
       println(f"[stage] $name%-10s rows=$n%12d  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       n
     }
-    Seq("heads", "segs", "probe", "hotKeys", "dropSet", "segsIndexed").foreach(timeCount)
-    // per-key df on each side of the candidate equi-join
-    for (side <- Seq("segsIndexed", "probe")) {
-      val top = st(side).groupBy("__lp", "__i", "__s")
-        .agg(count(lit(1)).as("df")).orderBy(desc("df")).limit(8).collect()
-      println(s"[topdf] $side: " + top.map(r =>
-        s"(${r.get(0)},${r.get(1)},'${r.get(2)}')=${r.get(3)}").mkString(" "))
+    // SPARK_GRAFT_ED_ONLY=result: time just the end-to-end result (the
+    // config A-B loop); default profiles every stage + key df tops
+    if (!sys.env.get("SPARK_GRAFT_ED_ONLY").contains("result")) {
+      Seq("heads", "segs", "probe", "hotKeys", "dropSet", "segsIndexed").foreach(timeCount)
+      // per-key df on each side of the candidate equi-join
+      for (side <- Seq("segsIndexed", "probe")) {
+        val top = st(side).groupBy("__lp", "__i", "__s")
+          .agg(count(lit(1)).as("df")).orderBy(desc("df")).limit(8).collect()
+        println(s"[topdf] $side: " + top.map(r =>
+          s"(${r.get(0)},${r.get(1)},'${r.get(2)}')=${r.get(3)}").mkString(" "))
+      }
     }
     timeCount("result")
     spark.stop()
