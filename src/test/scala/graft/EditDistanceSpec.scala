@@ -136,6 +136,40 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
       "cross-length pair missing from fixture")
   }
 
+  test("hot-prefix drop composes with the multi-match-aware window (late-segment-only pairs survive)") {
+    // The adversarial composition the sf10 cross-check caught in round
+    // 10: every head shares a 14-char boilerplate prefix, so segments
+    // 1–2 (width 7 at L=80, c=11) are corpus-hot and get DROPPED by
+    // the per-head top-spare rule; the planted pair then has one
+    // substitution in each of segments 3..9, leaving its ONLY intact
+    // non-dropped segments at i = 10, 11. The textbook first-intact
+    // probe window (|Δ−s| ≤ d−i+1) is EMPTY there (d−10+1 = −1 at
+    // Δ = s = 0) — composing it with the drop silently lost this pair
+    // class (54% of sf10's output) while every then-existing spec
+    // stayed green. The sound composed bound (d−i+1+spare) must keep
+    // it. skewSampleFrac=1 makes hotness deterministic.
+    val rng = new scala.util.Random(41)
+    def s(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val prefix = "BOILERPREFIX14" // 14 chars = segments 1–2 exactly
+    val mid = s(42)   // positions 15..56 (segments 3..8)
+    val tail = s(24)  // positions 57..80 (segments 9..11)
+    val x = prefix + mid + tail
+    // one substitution in each of segments 3..9 → dist 7, intact
+    // segments exactly {1, 2, 10, 11}
+    val segStarts = Seq(15, 22, 29, 36, 43, 50, 57) // 1-based starts of segs 3..9
+    val y = segStarts.foldLeft(x) { (t, p) =>
+      t.updated(p - 1, if (t(p - 1) == 'z') 'q' else 'z') }
+    val filler = (10L until 90L).map(i => i -> (prefix + s(66)))
+    val docs: Seq[(Long, String)] = Seq(1L -> x, 2L -> y) ++ filler
+    val got = EditDistance.editDistancePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = bruteForce(docs, 0.1, 80)
+    assert(want.contains((1L, 2L, 7L)),
+      "fixture broken: planted late-segment pair not within budget")
+    assert(got === want)
+  }
+
   test("identical heads pair at distance 0 beyond the head width") {
     // texts differ only AFTER headChars — heads identical
     val df = Seq(1L -> ("x" * 100 + "tailA"), 2L -> ("x" * 100 + "tailB"))
