@@ -120,7 +120,7 @@ object EditDistance {
       extraSegs, hotFrac, hotDfCap)("result")
 
   /** Every intermediate frame by name ("heads", "segs", "probe",
-    * "hotKeys", "hotIds", "fullCand", "bandCand", "result") — the
+    * "hotKeys", "dropSet", "segsIndexed", "verified", "result") — the
     * operator's own construction, exposed so measurement tools profile
     * THE SHIPPED PIPELINE instead of a hand-synced copy (the retired
     * DebugEditDist drifted from the operator twice in one round). */

@@ -57,12 +57,14 @@ object DedupQueries {
     // position-aware partition matching (PVLDB '11) — fixed-position
     // segments on the indexed side, exact shift-window substring
     // enumeration on the probe side, (len, seg, content)-keyed
-    // shuffle, no all-pairs; over-partitioning lets hot (boilerplate)
-    // segments be SUPPRESSED at zero recall loss, with a salted
-    // length-banded fallback only for banner-spam heads + codegen'd
-    // banded levenshtein verify — the character-level near-dup family
-    // token-set similarity can't see. Exact (all routes lossless), so
-    // the quadratic DuckDB formulation is a hash oracle.
+    // shuffle, no all-pairs; over-partitioning lets each head DROP its
+    // `spare` costliest hot (boilerplate) segments at zero recall loss
+    // — suppression only, there is NO corpus-wide fallback join — with
+    // the codegen'd banded levenshtein verify fused into the candidate
+    // join stage. The character-level near-dup family token-set
+    // similarity can't see. Exact (suppression never loses a pair by
+    // pigeonhole), so the quadratic DuckDB formulation is a hash
+    // oracle.
     "q_dedup_editdist" -> ((s, dir) =>
       graft.dedup.EditDistance.editDistancePairs(Tables.documents(s, dir),
           "doc_id", "text", maxFrac = 0.1, headChars = 80)

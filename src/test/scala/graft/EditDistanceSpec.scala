@@ -6,12 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Bounded edit-distance join (SURVEY.md §2 #82) pinned against the
   * brute-force all-pairs computation on planted-typo corpora: the
-  * per-length chunk–gram pigeonhole candidates plus the hot-gram
-  * length-band fallback must be LOSSLESS (same pairs, same distances
-  * as the quadratic reference), including heads shorter than the
-  * fingerprint width, pairs straddling length classes, boilerplate
-  * corpora that trip the hot-gram router, and short-text-majority
-  * corpora (the round-7 BNLJ cliff). */
+  * PassJoin position-aware partition scheme — fixed-position segments
+  * on the indexed side, exact shift-window enumeration on the probe
+  * side, per-head top-spare hot-segment DROP (no fallback route) —
+  * must be LOSSLESS (same pairs, same distances as the quadratic
+  * reference), including heads shorter than the fingerprint width,
+  * pairs straddling length classes, boilerplate corpora that trip the
+  * hot-segment suppression, short-text-majority corpora (the round-7
+  * BNLJ cliff), and the drop×window composition (a planted pair whose
+  * only intact segments are late AND whose early segments are dropped
+  * — the class the textbook first-intact window bound silently
+  * loses). */
 class EditDistanceSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
@@ -86,11 +91,12 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
     assert(want.exists(_._3 >= 1), "nonzero-distance pair missing from fixture")
   }
 
-  test("hot-gram router: boilerplate-dominated corpus stays exact through the band fallback") {
-    // every doc shares an identical boilerplate prefix, so EVERY chunk
-    // of the near-dup family is a hot gram at hotDf=2 — the router must
-    // push those heads to the length-banded route and lose nothing.
-    // skewSampleFrac=1 makes the routing decision deterministic.
+  test("hot-segment suppression: boilerplate-dominated corpus stays exact through the top-spare drop") {
+    // every doc shares an identical boilerplate prefix, so EVERY
+    // prefix segment of the near-dup family is hot at hotDf=2 — each
+    // head drops its `spare` costliest hot segments and must lose
+    // nothing (pigeonhole keeps >= spare+1 intact segments indexed).
+    // skewSampleFrac=1 makes the hotness decision deterministic.
     val rng = new scala.util.Random(17)
     def s(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
     val boiler = "thequickbrownfoxjumpsoverthelazydogagainandagain" // 48 chars
