@@ -35,12 +35,13 @@ object DebugEditDist {
     // config A-B loop); default profiles every stage + key df tops
     if (!sys.env.get("SPARK_GRAFT_ED_ONLY").contains("result")) {
       Seq("heads", "segs", "probe", "hotKeys", "dropSet", "segsIndexed").foreach(timeCount)
-      // per-key df on each side of the candidate equi-join
+      // per-key df on each side of the candidate equi-join (the join
+      // key is the 64-bit xxhash64(len, seg, content) — group on it)
       for (side <- Seq("segsIndexed", "probe")) {
-        val top = st(side).groupBy("__lp", "__i", "__s")
+        val top = st(side).groupBy("__k")
           .agg(count(lit(1)).as("df")).orderBy(desc("df")).limit(8).collect()
         println(s"[topdf] $side: " + top.map(r =>
-          s"(${r.get(0)},${r.get(1)},'${r.get(2)}')=${r.get(3)}").mkString(" "))
+          s"${r.get(0)}=${r.get(1)}").mkString(" "))
       }
     }
     timeCount("result")

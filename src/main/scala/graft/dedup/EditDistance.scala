@@ -175,6 +175,16 @@ object EditDistance {
     // (its shorter-side partition). O(d+1) rows per head, carrying the
     // head string so verification can run INSIDE the candidate join
     // stage (see below) — the string rides the small build side.
+    // __k = xxhash64(len, seg, content) is the JOIN key: both sides
+    // already carry their full head for the fused verify, so the raw
+    // (__lp, __i, __s) key triple — an int, an int, and an up-to-
+    // headChars string — can collapse to one 64-bit hash. The probe
+    // side (the volume: ~(tau+1)·c·(tau+1) rows per head) then
+    // shuffles 8 bytes of key instead of ~width bytes of segment
+    // content plus two ints, and the join hashes/compares longs
+    // instead of strings. A hash collision only ADDS a candidate row,
+    // which the in-join banded levenshtein refutes — exactness never
+    // rests on the key.
     val segs = nonEmpty.select(col("id"), col("__h"), col("__len").as("__lp"),
       explode(expr(
         s"""transform(sequence(1, ${cOf("__len")}),
@@ -183,7 +193,8 @@ object EditDistance {
                                        ${segW("__len", cOf("__len"), "i")}) as __s))"""))
         .as("__seg"))
       .select(col("id"), col("__h"), col("__lp"),
-        col("__seg.__i").as("__i"), col("__seg.__s").as("__s"))
+        col("__seg.__i").as("__i"), col("__seg.__s").as("__s"),
+        xxhash64(col("__lp"), col("__seg.__i"), col("__seg.__s")).as("__k"))
 
     // probe side: for every admissible shorter length lp, segment i of
     // the lp-partition, and exact-window shift s (|s| + |delta - s| <=
@@ -209,51 +220,63 @@ object EditDistance {
                   transform(
                     sequence(__len - cast(floor(__len * ${maxFrac}D) as int), __len),
                     lp -> struct(lp as lp, ${dOf("lp")} as d)),
-                  t -> struct(t.lp as lp, t.d as d,
+                  t -> struct(t.lp as lp,
                               greatest(least(t.d + 1 + $extraSegs, t.lp), t.d + 1) as c)),
                 u -> struct(u.lp as lp,
                             u.c as c,
-                            u.d as d,
+                            cast(floor(__len * ${maxFrac}D) as int) as tau,
                             (__len - u.lp) as dlt,
                             (u.lp div u.c) as wb,
                             (u.c - (u.lp % u.c)) as ck,
-                            cast(ceil(((__len - u.lp) - u.d) / 2.0D) as int) as slo,
-                            ((__len - u.lp) + u.d) div 2 as shi)),
+                            cast(ceil(((__len - u.lp) - cast(floor(__len * ${maxFrac}D) as int)) / 2.0D) as int) as slo,
+                            ((__len - u.lp) + cast(floor(__len * ${maxFrac}D) as int)) div 2 as shi)),
               r -> filter(
-                flatten(transform(sequence(1, r.c),
+                flatten(transform(sequence(1, least(r.c, r.tau + 1 + $extraSegs)),
                   i -> transform(
                     filter(sequence(r.slo, r.shi),
-                      s -> s >= r.dlt - (r.d - i + 1 + $extraSegs)
-                       and s <= r.dlt + (r.d - i + 1 + $extraSegs)),
+                      s -> s >= r.dlt - (r.tau - i + 1 + $extraSegs)
+                       and s <= r.dlt + (r.tau - i + 1 + $extraSegs)),
                     s -> struct(r.lp as __lp, i as __i,
                                 ((i - 1) * r.wb + greatest(0, i - 1 - r.ck) + 1 + s) as __p,
                                 (r.wb + if(i > r.ck, 1, 0)) as __w)))),
                 x -> x.__p >= 1 and x.__p + x.__w - 1 <= __len)))"""))
         .as("__e"))
       .select(col("id"), col("__h"), col("__len"),
-        col("__e.__lp").as("__lp"), col("__e.__i").as("__i"),
-        expr("substring(__h, __e.__p, __e.__w)").as("__s"))
-    // NOTE the shift window uses tau' = d(lp) >= tau(pair) =
-    // floor(__len * maxFrac): a superset window (more shifts than the
-    // pair's true budget admits) costs candidate rows, never pairs.
+        expr("xxhash64(__e.__lp, __e.__i, substring(__h, __e.__p, __e.__w))")
+          .as("__k"))
+    // NOTE the shift window uses the PAIR-TRUE budget tau =
+    // floor(__len * maxFrac): the probe is the LONGER member by
+    // construction (lp <= __len), so max(lenA, lenB) = __len and tau
+    // is exactly the bound the verify enforces. Earlier rounds used
+    // the superset tau' = d(lp) = floor(olenMax(lp) * maxFrac) >= tau
+    // (the largest budget ANY admissible longer partner of lp could
+    // grant — correct but loose by up to ceil(1/(1-maxFrac)) when
+    // this head is shorter than lp's worst-case partner); the round-10
+    // sf10 run showed the candidate constant (~8,000 banded-DP
+    // refutations per emitted pair) is the suite's dominant cost, and
+    // the pair-true budget shrinks the shift window AND truncates the
+    // segment enumeration (windows are empty for i > tau+1+spare, so
+    // the sequence stops there) with zero recall loss. The segment
+    // GEOMETRY (c, widths, positions) still derives from d(lp) alone —
+    // both sides must agree on the partition, and the indexed side
+    // cannot know its partner's length.
     // The per-segment filter is PassJoin's multi-match-aware
     // tightening, composed with the top-spare drop below under the
     // FIRST-INTACT-NON-DROPPED convention: every admissible pair has
     // >= c-tau >= spare+1 intact segments, so some intact NON-dropped
     // segment i** exists; its predecessors are non-intact segments
     // (>= 1 edit each — an edit touches at most one segment) plus at
-    // most `spare` dropped-intact ones, so editsBefore >= i**-1-spare,
-    // and with editsAfter >= |delta - s| the window at segment i is
-    // s in [delta - (d-i+1+spare), delta + (d-i+1+spare)]. The pair
-    // is caught at i**; other intact segments may fall outside their
-    // windows, which costs nothing. NOT the textbook first-intact
-    // bound (d-i+1): that one is sound only WITHOUT segment dropping,
-    // and composing it with the drop lost 54% of sf10's pairs in a
-    // cross-check (598,018 vs 1,313,994 rows) while every sf0.1-scale
-    // spec stayed green — the hot-prefix spec now pins the
-    // composition directly. At delta = 0 the sound bound still cuts
-    // the enumeration ~20% (windows taper to 1 shift at i = c) —
-    // superset shrink, zero recall loss.
+    // most `spare` dropped-intact ones, so editsBefore >= i**-1-spare
+    // (hence i** <= tau+1+spare, the truncation above), and with
+    // editsAfter >= |delta - s| the window at segment i is
+    // s in [delta - (tau-i+1+spare), delta + (tau-i+1+spare)]. The
+    // pair is caught at i**; other intact segments may fall outside
+    // their windows, which costs nothing. NOT the textbook
+    // first-intact bound (tau-i+1): that one is sound only WITHOUT
+    // segment dropping, and composing it with the drop lost 54% of
+    // sf10's pairs in a cross-check (598,018 vs 1,313,994 rows) while
+    // every sf0.1-scale spec stayed green — the hot-prefix spec now
+    // pins the composition directly.
     val probe = probeOf(nonEmpty)
 
     // hot-segment router: sampled per-(lp, i, content) document
@@ -292,12 +315,12 @@ object EditDistance {
     // is cost-routed instead of unconditionally corpus-wide.
     val totalsN = heads.agg(count(lit(1)).cast("double").as("__n"))
     val hotKeys = broadcast(graft.operators.ScalarAttach.attach(
-        probeSample.groupBy("__lp", "__i", "__s").agg(count(lit(1)).as("__df")),
+        probeSample.groupBy("__k").agg(count(lit(1)).as("__df")),
         totalsN)
       .filter(col("__df") >
         least(greatest(lit(hotFrac) * col("__n"), lit(hotDf.toDouble)),
           lit(hotDfCap.toDouble)) * p)
-      .select(col("__lp"), col("__i"), col("__s"), col("__df")))
+      .select(col("__k"), col("__df")))
     // PER-HEAD TOP-SPARE DROP — the suppression rule, and the only
     // one: each head may leave up to `spare = c − (d+1)` of its
     // segments un-indexed and remain fully covered, because any
@@ -317,7 +340,7 @@ object EditDistance {
     // bounded damage the fused verify below absorbs.
     val spare = expr(s"${cOf("__lp")} - (${dOf("__lp")} + 1)")
     val dropSet = segs
-      .join(hotKeys, Seq("__lp", "__i", "__s"))
+      .join(hotKeys, Seq("__k"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("id").orderBy(desc("__df"), col("__i"))))
@@ -353,10 +376,10 @@ object EditDistance {
     // longer member by construction (lp ≤ __len), so
     // max(lenA, lenB) = __lenB.
     val dMax = math.floor(headChars * maxFrac).toInt
-    val verified = segsIndexed.hint("shuffle_hash")
+    val verified = segsIndexed.select("id", "__h", "__k").hint("shuffle_hash")
       .join(probe.select(col("id").as("id2"), col("__h").as("__hB"),
-          col("__len").as("__lenB"), col("__lp"), col("__i"), col("__s")),
-        Seq("__lp", "__i", "__s"))
+          col("__len").as("__lenB"), col("__k")),
+        Seq("__k"))
       .filter(col("id") =!= col("id2"))
       .withColumn("dist", levenshtein(col("__h"), col("__hB"), dMax).cast("long"))
       .filter(col("dist") >= 0 &&
