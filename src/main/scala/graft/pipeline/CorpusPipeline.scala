@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** `exactPairs = true` swaps the near-dup candidate stage from
+    * MinHash banding to the exact threshold-Jaccard join
+    * ([[graft.dedup.Dedup.ngramJaccardPairsAuto]] at `estJaccard`):
+    * recall 1 instead of banding's estimate, and — because every
+    * stage is then plain relational algebra — the END-TO-END pipeline
+    * output becomes checkable against an independent SQL engine. The
+    * MinHash default remains the cheap path when the corpus is too
+    * hot for the exact join's shingle fan-out. */
   case class Config(minWords: Int = 20, maxStopRatio: Double = 0.9,
                     shingleK: Int = 3, minhashPerms: Int = 32, bands: Int = 8,
-                    estJaccard: Double = 0.5)
+                    estJaccard: Double = 0.5, exactPairs: Boolean = false)
 
   case class GateConfig(minWords: Int = 20, maxStopRatio: Double = 0.9,
                         stopwords: Seq[String] =
@@ -95,7 +103,10 @@ object CorpusPipeline {
     // the scope exit reclaims it — and only it, never a concurrent
     // Dedup caller's still-pending caches.
     val surv = Dedup.withCacheScope {
-      val cands = Dedup.minhashCandidates(exactKept, idCol, textCol,
+      val cands = if (cfg.exactPairs)
+        Dedup.ngramJaccardPairsAuto(exactKept, idCol, textCol,
+          cfg.shingleK, cfg.estJaccard)
+      else Dedup.minhashCandidates(exactKept, idCol, textCol,
         cfg.shingleK, cfg.minhashPerms, cfg.bands, cfg.estJaccard)
       Dedup.survivors(cands, exactKept.select(col(idCol)), idCol)
     }

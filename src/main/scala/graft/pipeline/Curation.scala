@@ -24,6 +24,18 @@ object Curation {
     conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
+  /** The [[md5Long]] portability contract at FINGERPRINT width: the
+    * first 15 md5 hex digits (60 bits) as a long. 32 bits is plenty
+    * for bucketing draws but collides at corpus-fingerprint scale
+    * (birthday bound ~2^16 distinct keys); 15 hex digits push that to
+    * ~2^30 while keeping the value inside a SIGNED 64-bit in both
+    * engines (16 digits would overflow DuckDB's BIGINT parse for high
+    * md5 prefixes). Used by winnowing fingerprints so the DuckDB
+    * oracle recomputes them bit-for-bit. */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** Stable bucket in [0,100) from [[md5Long]]. */
   def hashBucket(c: Column): Column = md5Long(c) % 100
 
@@ -54,9 +66,22 @@ object Curation {
     * pipeline plus one join. */
   def leakageSafeSplit(corpus: DataFrame, idCol: String, textCol: String,
                        holdoutPct: Int, k: Int = 3, perms: Int = 32,
-                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                       bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    leakageSafeSplitFromPairs(corpus,
+      Dedup.minhashCandidates(corpus, idCol, textCol, k, perms, bands, threshold),
+      idCol, holdoutPct)
+
+  /** [[leakageSafeSplit]] with the near-dup PAIR SOURCE supplied by
+    * the caller — any (doc1, doc2) frame: MinHash candidates (the
+    * 100 TB default above), exact threshold Jaccard
+    * ([[graft.dedup.Dedup.ngramJaccardPairsAuto]] — recall 1, and
+    * relational end to end, so the whole split is oracle-checkable
+    * against an independent engine), SimHash, or edit-distance pairs.
+    * The cluster resolution and the bucket draw don't care where the
+    * edges came from. */
+  def leakageSafeSplitFromPairs(corpus: DataFrame, pairs: DataFrame,
+                                idCol: String, holdoutPct: Int): DataFrame = {
     require(holdoutPct >= 0 && holdoutPct <= 100, s"holdoutPct out of range: $holdoutPct")
-    val pairs = Dedup.minhashCandidates(corpus, idCol, textCol, k, perms, bands, threshold)
     val surv = Dedup.survivors(pairs, corpus.select(col(idCol)), idCol)
     surv.select(col("id").as(idCol), col("survivor"))
       .withColumn("bucket", hashBucket(col("survivor")))

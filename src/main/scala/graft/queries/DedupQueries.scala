@@ -190,9 +190,17 @@ object DedupQueries {
         .orderBy("probe_id", "rank")
     }),
 
-    // #53b end-to-end corpus cleanup pipeline (rows-only).
+    // #53b end-to-end corpus cleanup pipeline, hash-oracled: with
+    // exactPairs the near-dup stage is the exact threshold-Jaccard
+    // join (recall 1) instead of MinHash banding, so every stage —
+    // quality gate → exact dedup (min-id per content) → pair join →
+    // min-label clusters → survivors — is plain relational algebra
+    // the oracle recomputes end to end (clusters via a recursive
+    // transitive closure). The MinHash config stays spec-pinned
+    // (TextDedupSpec "corpus pipeline").
     "q_pipeline_clean" -> ((s, dir) =>
-      graft.pipeline.CorpusPipeline.clean(Tables.documents(s, dir), "doc_id", "text")
+      graft.pipeline.CorpusPipeline.clean(Tables.documents(s, dir), "doc_id", "text",
+          graft.pipeline.CorpusPipeline.Config(exactPairs = true))
         .select("doc_id").orderBy("doc_id")),
 
     // #46b IVF ANN: k-means coarse quantizer + posting-list probe
@@ -218,6 +226,42 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the full pipeline, recomputed independently: quality gate on the
+    // ROUNDED stop ratio (the Spark side filters on the rounded
+    // column), exact dedup keeps min doc_id per verbatim text, exact
+    // Jaccard >= 0.5 edges over distinct 3-shingles of the survivors,
+    // connected components via recursive transitive closure (min
+    // reachable id == Spark's min-label propagation fixpoint), keep
+    // docs that are their own component minimum
+    "q_pipeline_clean" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |q AS (SELECT doc_id, text, ws FROM w
+        |      WHERE len(ws) >= 20
+        |        AND round(CASE WHEN len(ws) = 0 THEN 0.0
+        |              ELSE cast(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(ws)
+        |            END, 4) <= 0.9),
+        |ek AS (SELECT doc_id, ws FROM q
+        |       WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM ek, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |       WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |       FROM pr JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
+        |       WHERE cast(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM ed UNION SELECT doc2, doc1 FROM ed),
+        |reach AS (SELECT a, b FROM e
+        |          UNION
+        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |surv AS (SELECT ek.doc_id,
+        |           least(ek.doc_id, coalesce(min(r.b), ek.doc_id)) AS survivor
+        |         FROM ek LEFT JOIN reach r ON r.a = ek.doc_id GROUP BY ek.doc_id)
+        |SELECT doc_id FROM surv WHERE doc_id = survivor ORDER BY doc_id""".stripMargin,
+
     "q_dedup_editdist" ->
       """WITH h AS (SELECT doc_id, substr(text, 1, 80) AS hd,
         |             length(substr(text, 1, 80)) AS l FROM documents),

@@ -41,14 +41,24 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
-    // #64b leakage-safe split (rows-only: cluster resolution is
-    // iterative): near-dup families share a train/holdout side — the
-    // md5 bucket is computed on the resolved cluster id, not the doc.
-    "q_split_leakage_safe" -> ((s, dir) =>
-      graft.pipeline.Curation.leakageSafeSplit(
-          Tables.documents(s, dir), "doc_id", "text", holdoutPct = 20,
-          threshold = 0.7)
-        .orderBy("doc_id")),
+    // #64b leakage-safe split: near-dup families share a train/holdout
+    // side — the md5 bucket is computed on the resolved cluster id,
+    // not the doc. Registered with the EXACT threshold-Jaccard pair
+    // source (t = 0.6, below the banding recall boundary ~0.69 so the
+    // router picks the exact join): recall-1 edges make the whole
+    // split relational, and the min-label cluster resolution is
+    // recomputed in the oracle as a recursive transitive closure — a
+    // full hash oracle for an operator that was rows-only while it
+    // rode MinHash candidates (engine-hash-specific edges). The
+    // MinHash-source variant stays spec-pinned (TextDedupSpec).
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Curation.leakageSafeSplitFromPairs(docs,
+          graft.dedup.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
+            k = 3, threshold = 0.6),
+          "doc_id", holdoutPct = 20)
+        .orderBy("doc_id")
+    }),
 
     // #75 PII redaction: deterministic synthetic PII (email + IPv4 +
     // E.164 phone derived from doc_id) appended to each document, then
@@ -98,7 +108,10 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // #50 winnowing fingerprints (rows-only: engine-hash specific).
+    // #50 winnowing fingerprints — hash-oracled: the shingle hash is
+    // the engine-portable 60-bit md5 prefix (md5Long60), so DuckDB
+    // recomputes every fingerprint bit-for-bit (shingles → hash →
+    // full-window sliding minima → distinct).
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id", "fp")),
@@ -169,6 +182,53 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // winnowing recomputed bit-for-bit: 3-shingles, 60-bit md5-prefix
+    // hash (= Spark's md5Long60), minima over FULL w=4 windows only
+    // (short docs keep position 0, window = whole doc), distinct
+    "q_text_fingerprint" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |s AS (SELECT doc_id, i - 1 AS i, len(ws) - 2 AS nsh,
+        |        cast(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT) AS hv
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+        |      WHERE len(ws) >= 3),
+        |w AS (SELECT doc_id, i, nsh,
+        |        min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM s)
+        |SELECT DISTINCT doc_id, fp FROM w
+        |WHERE i <= greatest(nsh - 4, 0) ORDER BY doc_id, fp""".stripMargin,
+
+    // exact Jaccard >= 0.6 edges (distinct 3-shingles), connected
+    // components via recursive transitive closure (min reachable id ==
+    // Spark's min-label propagation fixpoint), md5 bucket/split drawn
+    // on the SURVIVOR id — singletons reduce to q_split's per-doc draw
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |       WHERE len(ws) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |ed AS (SELECT doc1, doc2
+        |       FROM pr JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
+        |       WHERE cast(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+        |e AS (SELECT doc1 AS a, doc2 AS b FROM ed UNION SELECT doc2, doc1 FROM ed),
+        |reach AS (SELECT a, b FROM e
+        |          UNION
+        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |surv AS (SELECT d.doc_id,
+        |           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS survivor
+        |         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+        |SELECT doc_id, survivor,
+        | cast(cast(('0x' || substr(md5(cast(survivor AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bucket,
+        | CASE WHEN cast(('0x' || substr(md5(cast(survivor AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+        |      THEN 'holdout' ELSE 'train' END AS split
+        |FROM surv ORDER BY doc_id""".stripMargin,
+
     "q_text_trigram_backoff" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),

@@ -263,8 +263,12 @@ object TextAnalysis {
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-word
-    * shingles hashed (xxhash64), sliding-window (w) minima, distinct.
-    * Returns (idCol, fp bigint) rows.
+    * shingles hashed with the engine-portable 60-bit md5 prefix
+    * ([[graft.pipeline.Curation.md5Long60]] — fingerprints are
+    * compared across corpora and across engines, so the hash is part
+    * of the operator's contract, not an implementation detail),
+    * sliding-window (w) minima, distinct. Returns (idCol, fp bigint)
+    * rows.
     *
     * Shape notes: shingles come from whole-array shifts (`slice` once
     * per offset, O(k·n) total, not O(k) per element), and the sliding
@@ -278,7 +282,7 @@ object TextAnalysis {
     // k shifted copies zipped → one shingle string per position
     val zipped = (0 until k).map(i => expr(s"slice(__ws, ${i + 1}, size(__ws) - ${k - 1})"))
     val shingles = zipped.reduceLeft((acc, nxt) => zip_with(acc, nxt, (a, b) => concat_ws(" ", a, b)))
-    val shingleHashes = transform(shingles, s => xxhash64(s))
+    val shingleHashes = transform(shingles, s => graft.pipeline.Curation.md5Long60(s))
     val hashed = d
       .withColumn("__nsh", size(shingles))
       .select(col(idCol), col("__nsh"), posexplode(shingleHashes).as(Seq("__i", "__h")))
