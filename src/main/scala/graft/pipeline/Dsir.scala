@@ -39,6 +39,7 @@ object Dsir {
       .select(col(idCol), explode(TextAnalysis.wordGrams("__dsir_ws")).as("__g"))
       .select(col(idCol), bucketOf(col("__g"), buckets).as("bucket"))
 
+
   /** Per-bucket log likelihood ratio ln p̂_target(b) − ln q̂_raw(b),
     * Laplace-smoothed over the `buckets` bins so unseen buckets are
     * defined on both sides. Returns exactly `buckets` rows (absent
@@ -48,13 +49,21 @@ object Dsir {
                 buckets: Int = 10000): DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     val spark = target.sparkSession
-    def counts(df: DataFrame) =
-      bucketed(df, textCol, idCol, buckets).groupBy("bucket")
-        .agg(count(lit(1)).as("c"))
     // dense bucket spine so the ratio table has no holes: unseen
     // target buckets must DOWN-weight docs that hit them, which an
     // inner-join-with-missing-rows formulation would silently skip
     val spine = spark.range(0, buckets).select(col("id").as("bucket"))
+    // each counts frame is consumed TWICE (the spine join probe and
+    // its own grand total) — tracked-cache the 10k-row aggregates so
+    // the corpus-scale gram explode beneath each runs ONCE per corpus.
+    // Spark's exchange reuse is not guaranteed across the ScalarAttach
+    // build/probe boundary: the round-11 sf10 A-B measured the rTot
+    // subtree re-running the full raw explode (~3.4 s of q_dsir's
+    // 1.6x-vs-r7 regression); the cache is lazy (no job at frame
+    // CONSTRUCTION — the plan-audit laziness rule) and 10k rows tiny.
+    def counts(df: DataFrame) = graft.dedup.Dedup.cached(
+      bucketed(df, textCol, idCol, buckets).groupBy("bucket")
+        .agg(count(lit(1)).as("c")))
     val t = counts(target)
     val r = counts(raw)
     val tTot = t.agg(sum("c").as("__tt"))
