@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: editdist robustness beyond the bench corpus (VERDICT r10
+  * item 5). The sf10 knob grid proved cost invariance on ONE corpus
+  * shape; this generates two synthetic corpora at the same document
+  * count whose TRUE pair counts are known in closed form, so the
+  * operator's output is cross-checked exactly while its cost profile
+  * is probed at the two extremes the bench corpus sits between.
+  *
+  *  - HIGH-ENTROPY: every head is 80 chars of doc-unique md5 hex (no
+  *    shared boilerplate at all — the hot-segment machinery should
+  *    never fire); every 50th document is a planted copy of its
+  *    predecessor with exactly 2 substitutions ('Z' is not a hex
+  *    char, so each overlay is a real edit). True pairs = n/50; a
+  *    chance pair needs two independent random hex strings within
+  *    edit distance 8 (LCS >= 76 of 80 where E[LCS] ~ 34) —
+  *    probability astronomically small.
+  *  - ADVERSARIAL (all-near-identical): every head shares a FIXED
+  *    aperiodic 40-char boilerplate prefix (half the head is
+  *    corpus-hot — strictly more hot segments than the default spare
+  *    can drop), followed by 40 chars of cluster-unique md5 hex;
+  *    members m = 0..9 of each 10-doc cluster carry m % 4
+  *    substitutions at member-disjoint positions inside the cluster
+  *    region, so intra-cluster distances are <= 6 <= budget 8 and ALL
+  *    C(10,2) = 45 intra pairs qualify. True pairs = clusters x 45;
+  *    cross-cluster pairs need two random 40-char hex tails within
+  *    distance 14 — again astronomically unlikely.
+  *
+  * Before running the operator on the adversarial corpus, the main
+  * PREDICTS the candidate-join volume for a given extraSegs (sum over
+  * join keys of segsDf x probeDf — two aggregations, no join), so a
+  * configuration that would blow up is reported instead of filling
+  * the disk (the round-10 lesson, applied preemptively).
+  *
+  *   tools/runjvm.sh graft.EditDistStress [n] [extraSegsAdv]
+  */
+object EditDistStress {
+
+  /** n docs: doc-unique random hex heads; id % 50 == 49 copies id-1
+    * with 2 substitutions. True pairs: n/50. */
+  def highEntropy(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"), expr(
+      """CASE WHEN id % 50 = 49
+         THEN overlay(overlay(substring(concat(md5(cast(id - 1 AS STRING)),
+                md5(concat('s:', id - 1)), md5(concat('t:', id - 1))), 1, 80)
+                PLACING 'Z' FROM 8 FOR 1) PLACING 'Z' FROM 32 FOR 1)
+         ELSE substring(concat(md5(cast(id AS STRING)),
+                md5(concat('s:', id)), md5(concat('t:', id))), 1, 80)
+         END""").as("text"))
+
+  /** n docs in clusters of 10: fixed 40-char boilerplate + 40 cluster
+    * hex chars; member m carries m % 4 'Z' substitutions at positions
+    * 41 + 4m .. 41 + 4m + (m % 4) - 1 (member-disjoint). True pairs:
+    * (n / 10) * 45. */
+  def adversarial(spark: SparkSession, n: Long): DataFrame = {
+    val boiler = "the quick brown fox jumps over lazy dogs" // 40 chars, aperiodic
+    require(boiler.length == 40)
+    spark.range(n)
+      .withColumn("__h", expr(
+        s"""concat('$boiler', substring(concat(md5(concat('c:', id div 10)),
+            md5(concat('d:', id div 10))), 1, 40))"""))
+      .withColumn("__bp", expr("cast(41 + 4 * pmod(id, 10) AS INT)"))
+      .select(col("id").as("doc_id"), expr(
+        """CASE cast(pmod(id, 10) % 4 AS INT)
+           WHEN 0 THEN __h
+           WHEN 1 THEN overlay(__h PLACING 'Z' FROM __bp FOR 1)
+           WHEN 2 THEN overlay(overlay(__h PLACING 'Z' FROM __bp FOR 1)
+                         PLACING 'Z' FROM __bp + 1 FOR 1)
+           ELSE overlay(overlay(overlay(__h PLACING 'Z' FROM __bp FOR 1)
+                         PLACING 'Z' FROM __bp + 1 FOR 1)
+                         PLACING 'Z' FROM __bp + 2 FOR 1)
+           END""").as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val extraSegsAdv = args.lift(1).map(_.toInt).getOrElse(9)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local("graft-editdist-stress", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, docs: DataFrame, expect: Long, extraSegs: Int): Unit = {
+      val t0 = System.nanoTime()
+      val got = graft.dedup.EditDistance.editDistancePairs(
+        docs, "doc_id", "text", maxFrac = 0.1, headChars = 80,
+        extraSegs = extraSegs).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name%-14s n=$n extraSegs=$extraSegs pairs=$got%10d expect=$expect%10d ${if (got == expect) "OK" else "MISMATCH"} $s%8.1f s")
+      graft.dedup.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+    }
+
+    /** Predicted candidate-join volume for the adversarial corpus at
+      * `extraSegs`: sum over keys of segsDf * probeDf via the
+      * operator's own stage frames — no join executed. */
+    def predict(docs: DataFrame, extraSegs: Int): Long = {
+      val st = graft.dedup.EditDistance.stages(docs, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, extraSegs = extraSegs)
+      val a = st("segsIndexed").groupBy("__k").agg(count(lit(1)).as("a"))
+      val b = st("probe").groupBy("__k").agg(count(lit(1)).as("b"))
+      val v = a.join(b, Seq("__k")).agg(sum(col("a") * col("b"))).first().getLong(0)
+      graft.dedup.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      v
+    }
+
+    run("high_entropy", highEntropy(spark, n), n / 50, extraSegs = 2)
+
+    val adv = adversarial(spark, n)
+    for (es <- Seq(2, extraSegsAdv)) {
+      val v = predict(adv, es)
+      println(f"[stress] adversarial candidate volume at extraSegs=$es: $v%,d")
+      if (v <= 20000000000L) run("adversarial", adv, n / 10 * 45, es)
+      else println(s"[stress] adversarial SKIPPED at extraSegs=$es: predicted " +
+        f"$v%,d candidates (${v / 100000000L} x 1e8) would repeat the round-10 disk fill")
+    }
+    spark.stop()
+  }
+}

@@ -241,9 +241,22 @@ object EditDistance {
                                 (r.wb + if(i > r.ck, 1, 0)) as __w)))),
                 x -> x.__p >= 1 and x.__p + x.__w - 1 <= __len)))"""))
         .as("__e"))
-      .select(col("id"), col("__h"), col("__len"),
+      .select(col("id"), col("__h"), col("__len"), col("__e.__lp").as("__lp"),
         expr("xxhash64(__e.__lp, __e.__i, substring(__h, __e.__p, __e.__w))")
           .as("__k"))
+      // prune enumerated lengths that EXIST IN NO HEAD: the window
+      // enumerates every admissible shorter length lp in [L-tau, L],
+      // but a probe row for an lp with zero indexed heads can never
+      // match — it only costs shuffle. The distinct head-length set is
+      // <= headChars values (bytes, broadcastable at any corpus size);
+      // the left-semi BHJ runs BEFORE the probe exchange, so dead rows
+      // die in the map stage. On a fixed-length corpus (every head
+      // exactly headChars - the round-11 stress corpora, and the bulk
+      // of the sf10 bench corpus) this cuts the probe volume up to
+      // (tau+1)-fold.
+      .join(broadcast(nonEmpty.select(col("__len").as("__lp")).distinct()),
+        Seq("__lp"), "left_semi")
+      .drop("__lp")
     // NOTE the shift window uses the PAIR-TRUE budget tau =
     // floor(__len * maxFrac): the probe is the LONGER member by
     // construction (lp <= __len), so max(lenA, lenB) = __len and tau
