@@ -19,6 +19,28 @@ object Bench {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
     }
+    // --streaming: ONLY the MemoryStream throughput curve, one line —
+    // lets the sharded harness attach a fresh-JVM streaming section to
+    // its artifact (a query-subset shard skips streaming, and the
+    // round-10 sf10 artifact had no streaming numbers at all).
+    if (args.headOption.contains("--streaming")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val curve = graft.streaming.StreamBench.curve(spark, sfDir)
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + math.rint(v) }.mkString("{", ",", "}")
+      println(s"""{"metric":"streaming","events_per_sec":$curve}""")
+      spark.stop()
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt

@@ -71,11 +71,25 @@ for shard, qs in shards.items():
                          "wall": total_line["value"] if total_line else None}
     print(f"[shard {shard}] done: {shard_info[shard]}", flush=True)
 
+# streaming rates in their own fresh JVM (a query-subset shard skips
+# the streaming section entirely — the r10 sf10 artifact had none)
+streaming = None
+_s = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
+                     "--streaming"],
+                    env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                             SPARK_GRAFT_CPUS="32"),
+                    capture_output=True, text=True)
+for l in _s.stdout.splitlines():
+    if l.startswith("{") and '"metric":"streaming"' in l:
+        streaming = json.loads(l)["events_per_sec"]
+print(f"[streaming] {streaming}")
+
 artifact = {
     "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
     "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
     "queries": dict(sorted(merged.items())),
     "errors": errors, "shards": shard_info, "n_queries": len(merged),
+    "events_per_sec": streaming,
 }
 with open(out_json, "w") as f:
     json.dump(artifact, f, indent=1)
