@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** `exactPairs = true` swaps the near-dup candidate stage from
-    * MinHash banding to the exact threshold-Jaccard join
+  /** `exactPairs = true` swaps the near-dup candidate stage from raw
+    * MinHash banding to the threshold-Jaccard router
     * ([[graft.dedup.Dedup.ngramJaccardPairsAuto]] at `estJaccard`):
-    * recall 1 instead of banding's estimate, and — because every
-    * stage is then plain relational algebra — the END-TO-END pipeline
-    * output becomes checkable against an independent SQL engine. The
-    * MinHash default remains the cheap path when the corpus is too
-    * hot for the exact join's shingle fan-out. */
+    * every emitted edge then satisfies TRUE Jaccard >= estJaccard
+    * (exact join below the banding recall boundary; banded
+    * candidates + exact verify above it, per-pair miss <= 1e-9), and
+    * — because the edge semantics are then plain relational algebra —
+    * the END-TO-END pipeline output becomes checkable against an
+    * independent SQL engine. The raw-candidate MinHash default
+    * remains the cheap path when verified edges aren't needed. */
   case class Config(minWords: Int = 20, maxStopRatio: Double = 0.9,
                     shingleK: Int = 3, minhashPerms: Int = 32, bands: Int = 8,
                     estJaccard: Double = 0.5, exactPairs: Boolean = false)

@@ -191,16 +191,20 @@ object DedupQueries {
     }),
 
     // #53b end-to-end corpus cleanup pipeline, hash-oracled: with
-    // exactPairs the near-dup stage is the exact threshold-Jaccard
-    // join (recall 1) instead of MinHash banding, so every stage —
-    // quality gate → exact dedup (min-id per content) → pair join →
-    // min-label clusters → survivors — is plain relational algebra
-    // the oracle recomputes end to end (clusters via a recursive
-    // transitive closure). The MinHash config stays spec-pinned
+    // exactPairs the near-dup stage is threshold-Jaccard through the
+    // auto router at t = 0.8 — above the banding recall boundary, so
+    // the banded MinHash→EXACT-VERIFY route runs (every emitted edge
+    // satisfies true J >= t; per-pair miss <= 1e-9, the
+    // q_dedup_ngram_banded justification). Every stage — quality gate
+    // → exact dedup (min-id per content) → verified pair join →
+    // min-label clusters → survivors — is then oracle-checkable end
+    // to end (clusters via a recursive transitive closure) at the
+    // banded cost law, not the exact join's (158 vs 31 s at sf10).
+    // The raw-candidate MinHash config stays spec-pinned
     // (TextDedupSpec "corpus pipeline").
     "q_pipeline_clean" -> ((s, dir) =>
       graft.pipeline.CorpusPipeline.clean(Tables.documents(s, dir), "doc_id", "text",
-          graft.pipeline.CorpusPipeline.Config(exactPairs = true))
+          graft.pipeline.CorpusPipeline.Config(exactPairs = true, estJaccard = 0.8))
         .select("doc_id").orderBy("doc_id")),
 
     // #46b IVF ANN: k-means coarse quantizer + posting-list probe
@@ -229,10 +233,12 @@ object DedupQueries {
     // the full pipeline, recomputed independently: quality gate on the
     // ROUNDED stop ratio (the Spark side filters on the rounded
     // column), exact dedup keeps min doc_id per verbatim text, exact
-    // Jaccard >= 0.5 edges over distinct 3-shingles of the survivors,
-    // connected components via recursive transitive closure (min
-    // reachable id == Spark's min-label propagation fixpoint), keep
-    // docs that are their own component minimum
+    // Jaccard >= 0.8 edges over distinct 3-shingles of the survivors
+    // (Spark generates candidates by banding + exact verify; edge
+    // sets agree up to a <= 1e-9 per-pair banding miss), connected
+    // components via recursive transitive closure (min reachable id
+    // == Spark's min-label propagation fixpoint), keep docs that are
+    // their own component minimum
     "q_pipeline_clean" ->
       """WITH RECURSIVE w AS (SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
@@ -252,7 +258,7 @@ object DedupQueries {
         |       GROUP BY 1, 2),
         |ed AS (SELECT doc1, doc2
         |       FROM pr JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
-        |       WHERE cast(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+        |       WHERE cast(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
         |e AS (SELECT doc1 AS a, doc2 AS b FROM ed UNION SELECT doc2, doc1 FROM ed),
         |reach AS (SELECT a, b FROM e
         |          UNION

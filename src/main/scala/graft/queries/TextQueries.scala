@@ -43,19 +43,23 @@ object TextQueries {
 
     // #64b leakage-safe split: near-dup families share a train/holdout
     // side — the md5 bucket is computed on the resolved cluster id,
-    // not the doc. Registered with the EXACT threshold-Jaccard pair
-    // source (t = 0.6, below the banding recall boundary ~0.69 so the
-    // router picks the exact join): recall-1 edges make the whole
-    // split relational, and the min-label cluster resolution is
-    // recomputed in the oracle as a recursive transitive closure — a
-    // full hash oracle for an operator that was rows-only while it
-    // rode MinHash candidates (engine-hash-specific edges). The
-    // MinHash-source variant stays spec-pinned (TextDedupSpec).
+    // not the doc. Registered with threshold-Jaccard pairs at t = 0.8
+    // through the auto router: above the banding recall boundary
+    // (~0.69) it takes the banded MinHash→EXACT-VERIFY route, so every
+    // emitted edge satisfies true J >= t and a qualifying edge is
+    // missed w.p. <= 1e-9 — the same justification under which
+    // q_dedup_ngram_banded hash-matches its exact SQL oracle. That
+    // makes the whole split oracle-checkable (min-label clusters
+    // recomputed as a recursive transitive closure) at the BANDED
+    // cost law, not the exact join's (the exact route measured 158 s
+    // vs MinHash candidates' 31 s at sf10 — same-session isolated).
+    // The raw-candidate MinHash variant stays spec-pinned
+    // (TextDedupSpec).
     "q_split_leakage_safe" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.pipeline.Curation.leakageSafeSplitFromPairs(docs,
           graft.dedup.Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text",
-            k = 3, threshold = 0.6),
+            k = 3, threshold = 0.8),
           "doc_id", holdoutPct = 20)
         .orderBy("doc_id")
     }),
@@ -199,10 +203,13 @@ object TextQueries {
         |SELECT DISTINCT doc_id, fp FROM w
         |WHERE i <= greatest(nsh - 4, 0) ORDER BY doc_id, fp""".stripMargin,
 
-    // exact Jaccard >= 0.6 edges (distinct 3-shingles), connected
-    // components via recursive transitive closure (min reachable id ==
-    // Spark's min-label propagation fixpoint), md5 bucket/split drawn
-    // on the SURVIVOR id — singletons reduce to q_split's per-doc draw
+    // exact Jaccard >= 0.8 edges (distinct 3-shingles; the Spark side
+    // generates candidates by banding and verifies exact Jaccard, so
+    // the edge sets agree up to a <= 1e-9 per-pair banding miss — the
+    // q_dedup_ngram_banded justification), connected components via
+    // recursive transitive closure (min reachable id == Spark's
+    // min-label propagation fixpoint), md5 bucket/split drawn on the
+    // SURVIVOR id — singletons reduce to q_split's per-doc draw
     "q_split_leakage_safe" ->
       """WITH RECURSIVE w AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
@@ -215,7 +222,7 @@ object TextQueries {
         |       GROUP BY 1, 2),
         |ed AS (SELECT doc1, doc2
         |       FROM pr JOIN sz sa ON sa.doc_id = doc1 JOIN sz sb ON sb.doc_id = doc2
-        |       WHERE cast(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+        |       WHERE cast(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
         |e AS (SELECT doc1 AS a, doc2 AS b FROM ed UNION SELECT doc2, doc1 FROM ed),
         |reach AS (SELECT a, b FROM e
         |          UNION
