@@ -144,6 +144,19 @@ object GraftFunctions {
         })
     }
 
+    val csId = FunctionIdentifier("char_count_sig")
+    if (!reg.functionExists(csId)) {
+      reg.registerFunction(csId,
+        new ExpressionInfo(classOf[CharCountSig].getName, "char_count_sig"),
+        (exprs: Seq[Expression]) => CharCountSig(exprs.head))
+    }
+    val nlId = FunctionIdentifier("nibble_l1")
+    if (!reg.functionExists(nlId)) {
+      reg.registerFunction(nlId,
+        new ExpressionInfo(classOf[NibbleL1].getName, "nibble_l1"),
+        (exprs: Seq[Expression]) => NibbleL1(exprs.head, exprs(1)))
+    }
+
     val mpId = FunctionIdentifier("minhash_perm_hashes")
     if (!reg.functionExists(mpId)) {
       reg.registerFunction(mpId,
@@ -187,4 +200,11 @@ object GraftFunctions {
 
   /** Codegen'd 64-bit SimHash over array<bigint> word hashes. */
   def simhash64(wordHashes: Column): Column = call_function("simhash64", wordHashes)
+
+  /** 16-class × 4-bit saturating character-count signature — a sound
+    * edit-distance lower bound via [[nibbleL1]] (see [[CharCountSig]]). */
+  def charCountSig(s: Column): Column = call_function("char_count_sig", s)
+
+  /** Σ of per-nibble |aᵢ − bᵢ| over two [[charCountSig]] longs. */
+  def nibbleL1(a: Column, b: Column): Column = call_function("nibble_l1", a, b)
 }

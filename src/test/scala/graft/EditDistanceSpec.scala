@@ -193,4 +193,69 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === bruteForce(docs, 0.1, 80))
   }
+
+  test("char-count prefilter bound: nibbleL1 <= 2 * code-point levenshtein") {
+    // The fused verify refutes candidates with nibbleL1(sigA, sigB) >
+    // 2 * bound BEFORE the banded DP — sound only if nibbleL1 <= 2*ed
+    // for EVERY string pair. Pin that inequality through the SQL
+    // (codegen) path on random pairs mixing 1/2/3/4-byte code points,
+    // with edit distance computed over CODE POINTS (the unit both
+    // CharCountSig and Spark's levenshtein count; a Java-char DP would
+    // overcount surrogate-pair edits and weaken the assertion).
+    def cpLev(a: Array[Int], b: Array[Int]): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = dp(i); dp(i) = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rng = new scala.util.Random(23)
+    // single-code-point building blocks across UTF-8 widths
+    val alph: IndexedSeq[String] =
+      ("abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString) ++
+        "κλμνξοπρστ".map(_.toString) ++ Seq("中", "日", "本", "語") ++
+        Seq(new String(Character.toChars(0x1F642)), new String(Character.toChars(0x1F680))))
+    def gen(n: Int): Vector[String] = Vector.fill(n)(alph(rng.nextInt(alph.length)))
+    def mutate(v: Vector[String], k: Int): Vector[String] =
+      (1 to k).foldLeft(v) { (cur, _) =>
+        if (cur.isEmpty) Vector(alph(rng.nextInt(alph.length)))
+        else {
+          val i = rng.nextInt(cur.length)
+          rng.nextInt(3) match {
+            case 0 => cur.updated(i, alph(rng.nextInt(alph.length)))
+            case 1 => (cur.take(i) :+ alph(rng.nextInt(alph.length))) ++ cur.drop(i)
+            case 2 => cur.take(i) ++ cur.drop(i + 1)
+          }
+        }
+      }
+    val pairs = (0 until 90).map { i =>
+      val a = gen(1 + rng.nextInt(80))
+      val b = i % 3 match {
+        case 0 => a                      // identical
+        case 1 => mutate(a, 1 + rng.nextInt(12))  // nearby
+        case _ => gen(1 + rng.nextInt(80))        // unrelated
+      }
+      (a.mkString, b.mkString)
+    } :+ (("", "abc")) :+ (("", ""))
+    graft.functions.GraftFunctions.register(spark)
+    val rows = pairs.toDF("a", "b")
+      .selectExpr("a", "b", "nibble_l1(char_count_sig(a), char_count_sig(b)) AS l1")
+      .collect()
+    var refuting = 0
+    rows.foreach { r =>
+      val (a, b, l1) = (r.getString(0), r.getString(1), r.getInt(2))
+      val d = cpLev(a.codePoints().toArray, b.codePoints().toArray)
+      assert(l1 <= 2 * d, s"bound violated: l1=$l1 ed=$d a='$a' b='$b'")
+      if (l1 > 2 * math.floor(math.max(a.length, b.length) * 0.1)) refuting += 1
+    }
+    // the filter must also be LIVE: unrelated pairs should mostly
+    // exceed the operator's 2*floor(len*0.1) refutation threshold
+    assert(refuting > rows.length / 4,
+      s"prefilter refuted only $refuting of ${rows.length} — dead filter?")
+  }
 }
