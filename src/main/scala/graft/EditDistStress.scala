@@ -107,9 +107,25 @@ object EditDistStress {
       v
     }
 
-    run("high_entropy", highEntropy(spark, n), n / 50, extraSegs = 2)
+    /** The shipped auto chooser's rung decision for this corpus —
+      * the predictor above, productized (editDistancePairsAuto). */
+    def choose(name: String, docs: DataFrame): Int = {
+      val rung = graft.dedup.EditDistance.chooseExtraSegs(docs, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, hotDf = 64, skewSampleFrac = 0.1,
+        hotFrac = 0.05, hotDfCap = 256, candPerDoc = 50000,
+        ladder = Seq(2, 5, 8, 11))
+      graft.dedup.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      println(s"[stress] auto chooser on $name: extraSegs=$rung")
+      rung
+    }
+
+    val he = highEntropy(spark, n)
+    choose("high_entropy", he)
+    run("high_entropy", he, n / 50, extraSegs = 2)
 
     val adv = adversarial(spark, n)
+    choose("adversarial", adv)
     for (es <- Seq(2, extraSegsAdv)) {
       val v = predict(adv, es)
       println(f"[stress] adversarial candidate volume at extraSegs=$es: $v%,d")

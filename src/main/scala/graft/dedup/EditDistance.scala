@@ -123,11 +123,79 @@ object EditDistance {
     stages(df, idCol, textCol, maxFrac, headChars, hotDf, skewSampleFrac,
       extraSegs, hotFrac, hotDfCap)("result")
 
+  /** [[editDistancePairs]] with `extraSegs` CHOSEN BY MEASUREMENT:
+    * walks `ladder` and takes the first rung whose predicted
+    * candidate-join volume fits `n · candPerDoc` (falling back to the
+    * last rung). The prediction is Σ over join keys of
+    * segsDf · probeDf — the exact row count the candidate join will
+    * emit — estimated from the operator's own stage frames: the full
+    * segment index joined against the `skewSampleFrac` head-sampled
+    * probe enumeration, scaled by 1/p (per key the sampled probe df
+    * is Binomial(df, p), so the scaled sum is unbiased; keys whose
+    * sample is empty are small by construction and only make the
+    * estimate conservative). Every rung emits IDENTICAL output (the
+    * knob-grid artifact: `extraSegs` affects cost only — exactness is
+    * pigeonhole-guaranteed at any rung), so the choice needs no
+    * recall reasoning, just cost.
+    *
+    * Motivation (the round-11 stress corpora): a corpus whose shared
+    * boilerplate spans more segments than `spare = c − (d+1)` can
+    * drop keeps corpus-hot keys in the candidate join, and a kept hot
+    * key joins df² rows — the default rung predicted 751 B candidate
+    * rows on the adversarial all-near-identical corpus (a disk fill),
+    * while `extraSegs = 11` predicted 275 M and ran exactly in
+    * minutes. This wrapper makes that measurement the operator's own
+    * first step instead of a post-mortem.
+    *
+    * UNLIKE the base operator, construction RUNS Spark jobs (one
+    * sampled aggregation per probed rung — most corpora stop at the
+    * first); callers that need plan-only laziness use
+    * [[editDistancePairs]] directly. */
+  def editDistancePairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            maxFrac: Double = 0.1, headChars: Int = 80,
+                            hotDf: Int = 64, skewSampleFrac: Double = 0.1,
+                            hotFrac: Double = 0.05, hotDfCap: Int = 256,
+                            candPerDoc: Long = 50000,
+                            ladder: Seq[Int] = Seq(2, 5, 8, 11)): DataFrame =
+    editDistancePairs(df, idCol, textCol, maxFrac, headChars, hotDf,
+      skewSampleFrac,
+      chooseExtraSegs(df, idCol, textCol, maxFrac, headChars, hotDf,
+        skewSampleFrac, hotFrac, hotDfCap, candPerDoc, ladder),
+      hotFrac, hotDfCap)
+
+  /** The rung decision behind [[editDistancePairsAuto]], exposed so
+    * specs and measurement tools can observe WHICH rung a corpus
+    * routes to. Runs one sampled-aggregation job per probed rung. */
+  private[graft] def chooseExtraSegs(df: DataFrame, idCol: String, textCol: String,
+                                     maxFrac: Double, headChars: Int,
+                                     hotDf: Int, skewSampleFrac: Double,
+                                     hotFrac: Double, hotDfCap: Int,
+                                     candPerDoc: Long, ladder: Seq[Int]): Int = {
+    require(ladder.nonEmpty, "extraSegs ladder must be non-empty")
+    val p = math.min(1.0, math.max(1e-6, skewSampleFrac))
+    val budget = (df.count().max(1L)).toDouble * candPerDoc.toDouble
+    ladder.take(ladder.length - 1).find { es =>
+      val st = stages(df, idCol, textCol, maxFrac, headChars, hotDf,
+        skewSampleFrac, es, hotFrac, hotDfCap)
+      val a = st("segsIndexed").groupBy("__k").agg(count(lit(1)).as("__a"))
+      val b = st("probeSample").groupBy("__k").agg(count(lit(1)).as("__b"))
+      val est = a.join(b, Seq("__k"))
+        .agg(sum(col("__a") * col("__b")).cast("double").as("__v"))
+        .first() match {
+          case r if r.isNullAt(0) => 0.0
+          case r => r.getDouble(0) / p
+        }
+      est <= budget
+    }.getOrElse(ladder.last)
+  }
+
   /** Every intermediate frame by name ("heads", "segs", "probe",
-    * "hotKeys", "dropSet", "segsIndexed", "verified", "result") — the
-    * operator's own construction, exposed so measurement tools profile
-    * THE SHIPPED PIPELINE instead of a hand-synced copy (the retired
-    * DebugEditDist drifted from the operator twice in one round). */
+    * "probeSample", "hotKeys", "dropSet", "segsIndexed", "verified",
+    * "result") — the operator's own construction, exposed so
+    * measurement tools (and [[editDistancePairsAuto]]'s volume
+    * predictor) profile THE SHIPPED PIPELINE instead of a hand-synced
+    * copy (the retired DebugEditDist drifted from the operator twice
+    * in one round). */
   private[graft] def stages(df: DataFrame, idCol: String, textCol: String,
                         maxFrac: Double = 0.1, headChars: Int = 80,
                         hotDf: Int = 64, skewSampleFrac: Double = 0.1,
@@ -440,7 +508,8 @@ object EditDistance {
 
     val result = verified.unionByName(emptyPairs).distinct()
     Map("heads" -> heads, "segs" -> segs, "probe" -> probe,
-      "hotKeys" -> hotKeys, "dropSet" -> dropSet, "segsIndexed" -> segsIndexed,
+      "probeSample" -> probeSample, "hotKeys" -> hotKeys,
+      "dropSet" -> dropSet, "segsIndexed" -> segsIndexed,
       "verified" -> verified, "result" -> result)
   }
 }

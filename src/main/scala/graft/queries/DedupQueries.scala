@@ -70,6 +70,19 @@ object DedupQueries {
           "doc_id", "text", maxFrac = 0.1, headChars = 80)
         .orderBy("doc1", "doc2")),
 
+    // #82b the same join with `extraSegs` CHOSEN BY MEASUREMENT: the
+    // operator predicts each ladder rung's candidate-join volume from
+    // its own sampled probe frame and takes the first rung inside the
+    // per-doc budget — the round-11 stress corpora showed the default
+    // rung is a 751 B-row disk fill on an adversarial all-near-
+    // identical corpus while rung 11 runs it exactly in minutes.
+    // Every rung emits identical output (knob-grid artifact), so the
+    // exact-levenshtein DuckDB oracle applies unchanged.
+    "q_dedup_editdist_auto" -> ((s, dir) =>
+      graft.dedup.EditDistance.editDistancePairsAuto(Tables.documents(s, dir),
+          "doc_id", "text", maxFrac = 0.1, headChars = 80)
+        .orderBy("doc1", "doc2")),
+
     // #43c exact duplicate-substring spans (Lee et al. shape): token
     // ranges covered by any 8-gram occurring ≥2 times corpus-wide,
     // merged per doc via a gaps-and-islands window — fully relational,
@@ -269,6 +282,18 @@ object DedupQueries {
         |SELECT doc_id FROM surv WHERE doc_id = survivor ORDER BY doc_id""".stripMargin,
 
     "q_dedup_editdist" ->
+      """WITH h AS (SELECT doc_id, substr(text, 1, 80) AS hd,
+        |             length(substr(text, 1, 80)) AS l FROM documents),
+        |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.hd AS ha, b.hd AS hb,
+        |        greatest(a.l, b.l) AS m
+        |      FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |        AND abs(a.l - b.l) <= floor(greatest(a.l, b.l) * 0.1))
+        |SELECT doc1, doc2, cast(levenshtein(ha, hb) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(ha, hb) <= floor(m * 0.1)
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    // identical semantics at any chosen rung — same oracle
+    "q_dedup_editdist_auto" ->
       """WITH h AS (SELECT doc_id, substr(text, 1, 80) AS hd,
         |             length(substr(text, 1, 80)) AS l FROM documents),
         |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.hd AS ha, b.hd AS hb,

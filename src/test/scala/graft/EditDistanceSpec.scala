@@ -194,6 +194,33 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
     assert(got === bruteForce(docs, 0.1, 80))
   }
 
+  test("auto chooser: escalates extraSegs on a hot-boilerplate corpus, stays exact") {
+    // every head shares a 48-char boilerplate prefix — at the default
+    // rung most segments are corpus-hot, so the predicted candidate
+    // volume per doc is ~the corpus size. With a tiny candPerDoc
+    // budget the chooser must leave the first rung; with an unbounded
+    // budget it must take the first rung (cheapest geometry). Either
+    // way the output is the brute-force pair set (every rung exact).
+    val rng = new scala.util.Random(29)
+    def s(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val boiler = "thequickbrownfoxjumpsoverthelazydogagainandagain" // 48 chars
+    val docs: Seq[(Long, String)] =
+      (1L to 60L).map(i => i -> (boiler + s(32))) :+
+        (61L -> (boiler + s(32)))
+    val df = docs.toDF("doc_id", "text")
+    def rung(budget: Long) = EditDistance.chooseExtraSegs(df, "doc_id", "text",
+      maxFrac = 0.1, headChars = 80, hotDf = 64, skewSampleFrac = 1.0,
+      hotFrac = 0.05, hotDfCap = 256, candPerDoc = budget,
+      ladder = Seq(2, 5, 8, 11))
+    assert(rung(Long.MaxValue / 1000) === 2, "unbounded budget must take the first rung")
+    val tight = rung(4)
+    assert(tight > 2, s"tight budget must escalate past the default rung, got $tight")
+    val got = EditDistance.editDistancePairsAuto(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0, candPerDoc = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteForce(docs, 0.1, 80))
+  }
+
   test("char-count prefilter bound: nibbleL1 <= 2 * code-point levenshtein") {
     // The fused verify refutes candidates with nibbleL1(sigA, sigB) >
     // 2 * bound BEFORE the banded DP — sound only if nibbleL1 <= 2*ed
