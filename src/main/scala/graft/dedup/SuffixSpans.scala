@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   *     the still-ambiguous classes join their pos+2^h partner and
   *     re-sort — rows carry (id, pos, rank, rank2), ~32 bytes, never
   *     token text — while singleton classes accrete into frozen
-  *     checkpointed pieces. Natural text individuates almost all
+  *     checkpointed pieces (the singleton flag and the class-head
+  *     rank ride the ranking sort itself, so a round is one parallel
+  *     sort plus slim split materializations — zero groupBy shuffles,
+  *     zero split joins). Natural text
+  *     individuates almost all
   *     suffixes within a few rounds, so late rounds cost a corpus
   *     scan + a small broadcast join, not a corpus sort. Suffixes
   *     never compare across documents (a position within 2^h of its
@@ -132,16 +136,24 @@ object SuffixSpans {
     // re-sorted ALL n positions every round).
     val toks = docsArr.select(col(idCol), col("n_tokens"),
       posexplode(col("__ws")).as(Seq("pos", "__t")))
-    val (r0, _) = GlobalOrder.withHeadRank(toks, Seq(col("__t")), "__r")
+    // the singleton/ambiguous split and the class-head rank both ride
+    // the ranking sort itself (GlobalOrder.withHeadRankFlagged): one
+    // parallel sort per round, no groupBy shuffles, no split joins
+    val r0 = GlobalOrder.withHeadRankFlagged(toks, Nil, Seq(col("__t")), "__r", "__amb")
     val all0 = r0.drop("__t").localCheckpoint()
     val cols = Seq(col(idCol), col("n_tokens"), col("pos"), col("__r"))
-    var ambClasses = all0.groupBy("__r").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).select("__r")
     // frozen pieces (classes proven singleton) + the active remainder;
     // their union is the full rank table at any round
+    // Both splits are MATERIALIZED slim: frozen pieces are rescanned by
+    // every later round's rankedView, so leaving them as lazy filters
+    // over the full per-round checkpoints would re-read each round's
+    // whole refined set (≈ the duplicate mass, which on low-entropy
+    // corpora stays ≈ n for all ⌈log2 maxLen⌉ rounds) once per LATER
+    // round — a quadratic-in-rounds scan. Materialized, the pieces are
+    // disjoint and total ≤ n rows at any round.
     val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    frozenParts += all0.join(ambClasses, Seq("__r"), "left_anti").localCheckpoint()
-    var pend = all0.join(ambClasses, Seq("__r")).select(cols: _*).localCheckpoint()
+    frozenParts += all0.filter(!col("__amb")).select(cols: _*).localCheckpoint()
+    var pend = all0.filter(col("__amb")).select(cols: _*).localCheckpoint()
     var span = 1L
     while (span < maxLen && !pend.isEmpty) {
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
@@ -158,19 +170,19 @@ object SuffixSpans {
       val far = pend.filter(col("pos") < col("n_tokens") - lit(span))
         .join(lookup, Seq(idCol, "pos"))
       val paired = far.unionByName(nearEnd)
-      val (sub, _) = GlobalOrder.withHeadRank(paired, Seq(col("__r"), col("__r2")), "__sh")
-      // within class [r, r+s): new rank = r + (subset rows strictly
-      // before this row's (r, r2) run) — every member of an ambiguous
-      // class is in the subset, so the offsets are exact
-      val classHead = sub.groupBy("__r").agg(min("__sh").as("__ch"))
-      val refined = sub.join(classHead, Seq("__r"))
-        .select(col(idCol), col("n_tokens"), col("pos"),
-          (col("__r") + col("__sh") - col("__ch")).as("__r"))
+      // within class [r, r+s): new rank = r + (rows strictly before
+      // this row's (r, r2) run) = r + __sh − __ch, where __ch (the
+      // block head = min(__sh) over the class, contiguous under the
+      // sort) and the new class's size>1 flag are computed inside the
+      // ranking pass itself — every member of an ambiguous class is in
+      // the subset, so the offsets are exact
+      val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
+        Seq(col("__r2")), "__sh", "__amb", Some("__ch"))
+      val refined = sub.select(col(idCol), col("n_tokens"), col("pos"),
+          (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb"))
         .localCheckpoint()
-      ambClasses = refined.groupBy("__r").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).select("__r")
-      frozenParts += refined.join(ambClasses, Seq("__r"), "left_anti").localCheckpoint()
-      pend = refined.join(ambClasses, Seq("__r")).select(cols: _*).localCheckpoint()
+      frozenParts += refined.filter(!col("__amb")).select(cols: _*).localCheckpoint()
+      pend = refined.filter(col("__amb")).select(cols: _*).localCheckpoint()
       span *= 2
     }
     // classes still ambiguous at span ≥ maxLen are genuinely identical
