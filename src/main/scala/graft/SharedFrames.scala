@@ -70,7 +70,28 @@ object SharedFrames {
     * the key via plan equality, so a different source dir or upstream
     * transform is a different entry. */
   def getOrCompute(tag: String, inputs: Seq[DataFrame], params: Seq[Any])
-                  (compute: => DataFrame): DataFrame = {
+                  (compute: => DataFrame): DataFrame =
+    getOrCheckpoint(tag, inputs, params, eager = true)(compute)
+
+  /** [[getOrCompute]] with a LAZY localCheckpoint: registering runs NO
+    * Spark jobs — the checkpoint materializes at the frame's first
+    * action, inside whichever consumer runs first (so a bench times
+    * the construction against the query that actually triggers it),
+    * and every later consumer of the entry reads the materialized
+    * blocks. For registrations that must stay jobless at plan-build
+    * time (the edit-distance queries: the plan audit builds the whole
+    * registry and asserts zero construction jobs for the lazy
+    * operators). Trade-off: until first action the entry's frame
+    * re-plans from lineage, and a consumer that only ever calls
+    * `.explain` sees an opaque `Scan ExistingRDD` — the operator-level
+    * plan shape is audited separately (PlanAuditSpec's editdist
+    * pipeline test). */
+  def getOrComputeLazy(tag: String, inputs: Seq[DataFrame], params: Seq[Any])
+                      (compute: => DataFrame): DataFrame =
+    getOrCheckpoint(tag, inputs, params, eager = false)(compute)
+
+  private def getOrCheckpoint(tag: String, inputs: Seq[DataFrame], params: Seq[Any],
+                              eager: Boolean)(compute: => DataFrame): DataFrame = {
     val keys = inputs.map(keyOf)
     def find(): Option[Entry] = entries.synchronized {
       entries.find(e => e.tag == tag && e.params == params && sameInputs(e, keys))
@@ -78,11 +99,11 @@ object SharedFrames {
     find() match {
       case Some(e) => e.df
       case None =>
-        // compute OUTSIDE the lock (it runs Spark jobs). Two threads
+        // compute OUTSIDE the lock (it may run Spark jobs). Two threads
         // may race here; the loser's re-check below discards its
         // redundant checkpoint (blocks unpersisted, never pinned) and
         // every caller sees ONE canonical entry.
-        val df = compute.localCheckpoint(eager = true)
+        val df = compute.localCheckpoint(eager = eager)
         entries.synchronized {
           entries.find(e => e.tag == tag && e.params == params && sameInputs(e, keys))
         } match {

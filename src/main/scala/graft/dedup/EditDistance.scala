@@ -167,10 +167,11 @@ object EditDistance {
     * specs and measurement tools can observe WHICH rung a corpus
     * routes to. Runs one sampled-aggregation job per probed rung. */
   private[graft] def chooseExtraSegs(df: DataFrame, idCol: String, textCol: String,
-                                     maxFrac: Double, headChars: Int,
-                                     hotDf: Int, skewSampleFrac: Double,
-                                     hotFrac: Double, hotDfCap: Int,
-                                     candPerDoc: Long, ladder: Seq[Int]): Int = {
+                                     maxFrac: Double = 0.1, headChars: Int = 80,
+                                     hotDf: Int = 64, skewSampleFrac: Double = 0.1,
+                                     hotFrac: Double = 0.05, hotDfCap: Int = 256,
+                                     candPerDoc: Long = 50000,
+                                     ladder: Seq[Int] = Seq(2, 5, 8, 11)): Int = {
     require(ladder.nonEmpty, "extraSegs ladder must be non-empty")
     val p = math.min(1.0, math.max(1e-6, skewSampleFrac))
     val budget = (df.count().max(1L)).toDouble * candPerDoc.toDouble

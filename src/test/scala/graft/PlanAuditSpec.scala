@@ -237,6 +237,24 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("BroadcastHashJoin"), p.take(1200)) // block-pair relations broadcast
   }
 
+  test("editdist candidate join: SHJ with the nibbleL1 prefilter + banded " +
+      "levenshtein fused in-stage") {
+    // the registered editdist queries explain as an opaque checkpoint
+    // scan (their results ride one SharedFrames family entry), so the
+    // pipeline's scale shape is pinned on the operator's OWN stages —
+    // which is also what the registered queries execute on first
+    // materialization
+    val docs = Tables.documents(spark, sf)
+    val p = graft.dedup.EditDistance.stages(docs, "doc_id", "text",
+      0.1, 80, 64, 0.1, 2, 0.05, 256)("verified")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(1200))
+    // prefilter and DP verify both live in the join condition / its
+    // immediate projection — candidates are never re-shuffled
+    assert(p.contains("nibble_l1") && p.contains("levenshtein"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("FULL REGISTRY: no cartesian, no unsanctioned BNLJ, no unpartitioned Window") {
     // the absence list asserted over EVERY registered query, not a
     // hand-picked subset — the round-7 editdist BNLJ hid in a query no

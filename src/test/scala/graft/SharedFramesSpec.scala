@@ -85,4 +85,19 @@ class SharedFramesSpec extends AnyFunSuite with SharedSpark {
       "sample must reuse the weights entry importanceLogWeights built")
     SharedFrames.releaseAll()
   }
+
+  test("editdist family: base + auto share one pairs entry when the " +
+      "chooser routes to the default rung") {
+    SharedFrames.releaseAll()
+    val dir = sf // spec-scale corpus: chooser lands on the first rung
+    val base = SparkEntry.queries("q_dedup_editdist")(spark, dir)
+    assert(SharedFrames.liveTags.count(_ == "editdist_pairs") == 1)
+    val auto = SparkEntry.queries("q_dedup_editdist_auto")(spark, dir)
+    assert(SharedFrames.liveTags.count(_ == "editdist_pairs") == 1,
+      "auto at the default rung must hit the base entry, not rebuild")
+    val a = base.collect().map(_.toSeq).toSet
+    val b = auto.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "shared entry must serve identical pairs")
+    SharedFrames.releaseAll()
+  }
 }
