@@ -101,6 +101,46 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     assert(spans3(3L) == (6L, 1L)) // the whole run is duplicated coverage
   }
 
+  test("exact-duplicate collapse: copies get closed-form full-suffix " +
+      "extents; a repeat realized only against copies is still found") {
+    val rng = new scala.util.Random(41)
+    def w() = s"d${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    def run(n: Int) = Seq.fill(n)(w())
+    val p9 = run(9)
+    // 16 tokens, planted phrase at offset 4; duplicated EIGHTY times —
+    // enough that the 10% sampled router deterministically routes this
+    // corpus to the collapse path (the point of the test; the direct
+    // path is exact too and covered by every other suite test)
+    val dupText = (run(4) ++ p9 ++ run(3)).mkString(" ")
+    val copyIds = (10L until 90L).toSeq
+    // unique doc sharing ONLY p9 — its repeat partner is a duplicated
+    // text, so the match must survive the representative collapse
+    val uniq = (run(5) ++ p9 ++ run(6)).mkString(" ")
+    val lone = run(20).mkString(" ")
+    val df = (copyIds.map(_ -> dupText) ++ Seq(200L -> uniq, 300L -> lone))
+      .toDF("doc_id", "text")
+    val ext = SuffixSpans.repeatExtents(df, "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    graft.SharedFrames.releaseAll()
+    // every copy (INCLUDING the representative): dup_len(pos) = 16 - pos
+    // for pos 0..8 — the full remaining suffix repeats in a twin
+    for (id <- copyIds; pos <- 0 to 8)
+      assert(ext((id, pos)) == 16L - pos, s"copy $id pos $pos")
+    assert(!ext.keys.exists { case (id, pos) => copyIds.contains(id) && pos > 8 })
+    // unique doc: exactly the p9 window (pos 5 len 9, pos 6 len 8)
+    assert(ext.filter(_._1._1 == 200L) == Map((200L, 5) -> 9L, (200L, 6) -> 8L))
+    // lone doc: nothing
+    assert(!ext.keys.exists(_._1 == 300L))
+    // and the derived spans still agree with the independent k-gram
+    // construction on a corpus with exact copies
+    val sa = spans(SuffixSpans.duplicateSpansExact(df, "doc_id", "text", minLen = 8)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction"))
+    graft.SharedFrames.releaseAll()
+    val kg = spans(Dedup.duplicateSpans(df, "doc_id", "text", k = 8, minCount = 2)
+      .select("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_fraction"))
+    assert(sa == kg && sa.nonEmpty)
+  }
+
   test("longestPassages: the planted phrases surface verbatim, longest first") {
     val df = planted(8)
     val top = SuffixSpans.longestPassages(df, "doc_id", "text", minLen = 5, topN = 10)
