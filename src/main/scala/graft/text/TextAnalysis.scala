@@ -187,35 +187,40 @@ object TextAnalysis {
     * only needs max(count), no argmax. Documents with < 3 words
     * produce no row. */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // ONE corpus scan: the generator emits tagged 2- and 3-grams
-    // together, one (doc, n, gram) aggregation counts both orders, and
-    // a conditional final aggregation splits them back into columns —
-    // half the scan/explode passes of the per-order formulation, same
-    // shuffle volume (the (doc, gram) group count is what it is).
-    val tagged = graft.Parallelism.spread(df)
+    // ZERO-shuffle formulation: every signal is a function of ONE
+    // document's own grams, so nothing belongs in a corpus-wide
+    // groupBy — the earlier version shuffled every gram string twice
+    // (the (doc, gram) count and the per-doc rollup) for what an
+    // in-row fold computes on the scan. Per row: sort the gram array,
+    // then one codegen'd `aggregate` pass counts distinct runs and the
+    // longest run. The operator becomes a pure projection — legal in a
+    // streaming gate and free at 100 TB (it rides the scan), the
+    // spanStatsPerRow pattern.
+    def gramFold(k: Int) = expr(
+      s"""aggregate(
+            array_sort(transform(sequence(1, size(__ws) - ${k - 1}),
+              i -> concat_ws(' ', slice(__ws, i, $k)))),
+            struct(cast(null as string) as prev, 0L as d, 0L as cur, 0L as mx),
+            (a, x) -> struct(
+              x as prev,
+              a.d + if(a.prev is null or x != a.prev, 1L, 0L) as d,
+              if(x = a.prev, a.cur + 1L, 1L) as cur,
+              greatest(a.mx, if(x = a.prev, a.cur + 1L, 1L)) as mx),
+            a -> struct(a.d as d, a.mx as mx))""")
+    graft.Parallelism.spread(df)
       .withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= 3)
-      .select(col(idCol), explode(expr(
-        "concat(" +
-          "transform(sequence(1, size(__ws) - 1), " +
-          "  i -> struct(2 as n, concat_ws(' ', slice(__ws, i, 2)) as g)), " +
-          "transform(sequence(1, size(__ws) - 2), " +
-          "  i -> struct(3 as n, concat_ws(' ', slice(__ws, i, 3)) as g)))")).as("t"))
-      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
-    def n2(c: org.apache.spark.sql.Column) = when(col("n") === 2, c)
-    def n3(c: org.apache.spark.sql.Column) = when(col("n") === 3, c)
-    tagged
-      .groupBy(col(idCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(n2(col("c"))).as("n_bigrams"),
-        round(lit(1.0) - count(n2(lit(1))).cast("double") / sum(n2(col("c"))), 4)
-          .as("dup_bigram_frac"),
-        round(max(n2(col("c"))).cast("double") / sum(n2(col("c"))), 4)
-          .as("top_bigram_frac"),
-        sum(n3(col("c"))).as("n_trigrams"),
-        round(lit(1.0) - count(n3(lit(1))).cast("double") / sum(n3(col("c"))), 4)
-          .as("dup_trigram_frac"))
+      .withColumn("__g2", gramFold(2))
+      .withColumn("__g3", gramFold(3))
+      .select(col(idCol),
+        (size(col("__ws")) - 1).cast("long").as("n_bigrams"),
+        round(lit(1.0) - col("__g2.d").cast("double") /
+          (size(col("__ws")) - 1).cast("long"), 4).as("dup_bigram_frac"),
+        round(col("__g2.mx").cast("double") /
+          (size(col("__ws")) - 1).cast("long"), 4).as("top_bigram_frac"),
+        (size(col("__ws")) - 2).cast("long").as("n_trigrams"),
+        round(lit(1.0) - col("__g3.d").cast("double") /
+          (size(col("__ws")) - 2).cast("long"), 4).as("dup_trigram_frac"))
   }
 
   /** Corpus vocabulary statistics: token and type counts plus
