@@ -281,24 +281,25 @@ object TextAnalysis {
     * per-element `slice` lambdas were ~20× slower interpreted. */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // ZERO-shuffle winnowing: the window minima and the per-doc
+    // distinct are both functions of one document's own shingle
+    // hashes, so they run in the row (sliding `array_min` over each
+    // full window + `array_distinct`) instead of a corpus-wide
+    // Window-partitionBy + distinct — two exchanges of every shingle
+    // hash replaced by a projection that rides the scan
+    // (BENCH_fingerprint_ab_r11.json). Winnowing takes minima of FULL
+    // windows only (partial tail windows would unconditionally
+    // fingerprint every doc's last shingles); short docs keep
+    // position 0, whose slice clips to the whole doc.
     val d = graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
     // k shifted copies zipped → one shingle string per position
     val zipped = (0 until k).map(i => expr(s"slice(__ws, ${i + 1}, size(__ws) - ${k - 1})"))
     val shingles = zipped.reduceLeft((acc, nxt) => zip_with(acc, nxt, (a, b) => concat_ws(" ", a, b)))
     val shingleHashes = transform(shingles, s => graft.pipeline.Curation.md5Long60(s))
-    val hashed = d
-      .withColumn("__nsh", size(shingles))
-      .select(col(idCol), col("__nsh"), posexplode(shingleHashes).as(Seq("__i", "__h")))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("__i")).rowsBetween(0, w - 1)
-    hashed
-      .withColumn("fp", min(col("__h")).over(win))
-      // winnowing takes minima of FULL windows only (partial tail
-      // windows would unconditionally fingerprint every doc's last
-      // shingles); short docs keep position 0 (window = whole doc)
-      .filter(col("__i") <= greatest(col("__nsh") - w, lit(0)))
-      .select(col(idCol), col("fp"))
-      .distinct()
+    d.withColumn("__h", shingleHashes)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(sequence(0, greatest(size(__h) - $w, 0)), " +
+          s"i -> array_min(slice(__h, i + 1, $w)))"))).as("fp"))
   }
 }
