@@ -161,7 +161,13 @@ object Bench {
     // iters/nerr ride the streaming line above so THIS line (the
     // parsed artifact) stays under the window as the registry grows
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    // "t" = host epoch seconds: identical-code runs on this host swing
+    // up to 2.6x/query between host-days, so a reader comparing two
+    // artifacts needs to know whether they share a host-hour before
+    // reading a gap as code movement (short key — the line must stay
+    // under the driver's ~2 KB stdout tail window)
+    val epoch = System.currentTimeMillis() / 1000
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfShort","t":$epoch}"""
     println(line)
     // belt-and-braces: the full-name line also lands in the working
     // dir, so a clipped stdout capture never loses the per-query data —

@@ -101,7 +101,10 @@ object EditDistStress {
         maxFrac = 0.1, headChars = 80, extraSegs = extraSegs)
       val a = st("segsIndexed").groupBy("__k").agg(count(lit(1)).as("a"))
       val b = st("probe").groupBy("__k").agg(count(lit(1)).as("b"))
-      val v = a.join(b, Seq("__k")).agg(sum(col("a") * col("b"))).first().getLong(0)
+      // null guard: an empty key join sums to NULL — report volume 0
+      // instead of aborting the stress run with an NPE
+      val row = a.join(b, Seq("__k")).agg(sum(col("a") * col("b"))).first()
+      val v = if (row.isNullAt(0)) 0L else row.getLong(0)
       graft.dedup.Dedup.releaseCaches()
       spark.catalog.clearCache()
       v

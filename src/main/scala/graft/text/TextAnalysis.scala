@@ -185,8 +185,19 @@ object TextAnalysis {
     * (doc, gram) hash aggregation per order, then a per-doc aggregation
     * — map-side-partial all the way, no windows; the top-bigram share
     * only needs max(count), no argmax. Documents with < 3 words
-    * produce no row. */
-  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * produce no row.
+    *
+    * Memory shape: the in-row fold holds ONE document's sorted gram
+    * array in its task (~3× the doc's text bytes for trigram concats)
+    * — fine for web-scale docs (KBs–MBs), but a pathological 100 MB+
+    * document concentrates O(doc) strings in one task where the old
+    * shuffle formulation spread them. `maxTokens > 0` bounds that:
+    * signals are computed over each doc's first `maxTokens` tokens (a
+    * DOCUMENTED approximation — repetition ratios over a long prefix
+    * track the full-doc ratios for the boilerplate/spam this operator
+    * screens; the registered oracle query runs uncapped). */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+                        maxTokens: Int = 0): DataFrame = {
     // ZERO-shuffle formulation: every signal is a function of ONE
     // document's own grams, so nothing belongs in a corpus-wide
     // groupBy — the earlier version shuffled every gram string twice
@@ -207,8 +218,10 @@ object TextAnalysis {
               if(x = a.prev, a.cur + 1L, 1L) as cur,
               greatest(a.mx, if(x = a.prev, a.cur + 1L, 1L)) as mx),
             a -> struct(a.d as d, a.mx as mx))""")
+    val wsCol = if (maxTokens > 0) slice(words(col(textCol)), 1, maxTokens)
+                else words(col(textCol))
     graft.Parallelism.spread(df)
-      .withColumn("__ws", words(col(textCol)))
+      .withColumn("__ws", wsCol)
       .filter(size(col("__ws")) >= 3)
       .withColumn("__g2", gramFold(2))
       .withColumn("__g3", gramFold(3))
@@ -275,12 +288,25 @@ object TextAnalysis {
     * sliding-window (w) minima, distinct. Returns (idCol, fp bigint)
     * rows.
     *
+    * PRECONDITION: `idCol` is unique per input row. The per-doc
+    * distinct is an in-row `array_distinct`, so duplicate doc_id ROWS
+    * emit duplicate (id, fp) pairs where a corpus-level distinct would
+    * collapse them — by design: re-adding a corpus-wide
+    * `dropDuplicates` would reintroduce exactly the shuffle this
+    * zero-shuffle formulation removed, to defend against an input
+    * shape (duplicated primary keys) the rest of the pipeline already
+    * rejects. Callers with non-unique ids dedup upstream.
+    * `maxTokens > 0` bounds per-task memory on pathological multi-MB
+    * docs by fingerprinting only each doc's first `maxTokens` tokens
+    * (documented approximation; registered oracle query runs
+    * uncapped).
+    *
     * Shape notes: shingles come from whole-array shifts (`slice` once
     * per offset, O(k·n) total, not O(k) per element), and the sliding
     * minimum runs in the codegen'd window exec over exploded hashes —
     * per-element `slice` lambdas were ~20× slower interpreted. */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 3, w: Int = 4): DataFrame = {
+                   k: Int = 3, w: Int = 4, maxTokens: Int = 0): DataFrame = {
     // ZERO-shuffle winnowing: the window minima and the per-doc
     // distinct are both functions of one document's own shingle
     // hashes, so they run in the row (sliding `array_min` over each
@@ -291,7 +317,9 @@ object TextAnalysis {
     // windows only (partial tail windows would unconditionally
     // fingerprint every doc's last shingles); short docs keep
     // position 0, whose slice clips to the whole doc.
-    val d = graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
+    val wsCol = if (maxTokens > 0) slice(words(col(textCol)), 1, maxTokens)
+                else words(col(textCol))
+    val d = graft.Parallelism.spread(df).withColumn("__ws", wsCol)
       .filter(size(col("__ws")) >= k)
     // k shifted copies zipped → one shingle string per position
     val zipped = (0 until k).map(i => expr(s"slice(__ws, ${i + 1}, size(__ws) - ${k - 1})"))

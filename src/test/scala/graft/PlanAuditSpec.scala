@@ -287,6 +287,58 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       s"SharedFrames tags without a declared Bench family: $undeclared")
   }
 
+  test("editdist base construction is jobless; the auto chooser is the one documented exemption") {
+    // LAZINESS CONTRACT: constructing a registered query's DataFrame
+    // must run no Spark jobs (the registry-wide audit above and
+    // docs/PLANS.md regen build every query; a construction-time job
+    // makes both pay corpus scans). DOCUMENTED EXEMPTION:
+    // q_dedup_editdist_auto's chooseExtraSegs runs one sampled
+    // aggregation per probed ladder rung AT CONSTRUCTION by design —
+    // the measured rung decision IS the operator's first step
+    // (EditDistance.editDistancePairsAuto Scaladoc). Plan-only
+    // consumers use editDistancePairs (the base, lazy) directly.
+    val docs = Tables.documents(spark, sf)
+    // count jobs BY JOB GROUP (thread-local, so only this test's work
+    // counts): a bare total would miscount the async sentinel's own
+    // AQE jobs (range(1).count() runs 2 jobs under AQE)
+    val groupJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val anyJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        anyJobs.incrementAndGet()
+        if (js.properties != null &&
+            "editdist-lazy-probe" == js.properties.getProperty("spark.jobGroup.id"))
+          groupJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("editdist-lazy-probe", "construction laziness probe")
+      graft.dedup.EditDistance.editDistancePairs(docs, "doc_id", "text")
+      spark.sparkContext.clearJobGroup()
+      // listener events are async: run a sentinel job (outside the
+      // group) and poll until its JobStart lands — only then is
+      // "zero group jobs so far" meaningful
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis() + 20000
+      while (anyJobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(anyJobs.get() >= 1, "sentinel job never observed")
+      assert(groupJobs.get() == 0,
+        s"base editDistancePairs construction ran ${groupJobs.get()} Spark job(s); must be jobless")
+      spark.sparkContext.setJobGroup("editdist-lazy-probe", "chooser measurement probe")
+      val rung = graft.dedup.EditDistance.chooseExtraSegs(docs, "doc_id", "text")
+      spark.sparkContext.clearJobGroup()
+      assert(rung >= 0)
+      while (groupJobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(groupJobs.get() >= 1, // count + >= 1 per-rung probe agg
+        "chooseExtraSegs is EXPECTED to measure (construction jobs); saw none")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.dedup.Dedup.releaseCaches()
+    }
+  }
+
   test("whole-stage codegen covers the scan+filter+project stages") {
     // AQE shows the final (codegen'd) plan only after execution
     val df = SparkEntry.queries("q_derived")(spark, sf)

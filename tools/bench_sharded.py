@@ -12,7 +12,7 @@ amortization is measured, not destroyed.
 
 Usage: tools/bench_sharded.py SF_DIR OUT_JSON [ITERS]
 """
-import json, subprocess, sys, os, collections
+import json, subprocess, sys, os, collections, time
 
 sf_dir = sys.argv[1]
 out_json = sys.argv[2]
@@ -73,7 +73,7 @@ for shard, qs in shards.items():
 
 # streaming rates in their own fresh JVM (a query-subset shard skips
 # the streaming section entirely — the r10 sf10 artifact had none)
-streaming = None
+streaming, streaming_error = None, None
 _s = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
                      "--streaming"],
                     env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
@@ -82,15 +82,26 @@ _s = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
 for l in _s.stdout.splitlines():
     if l.startswith("{") and '"metric":"streaming"' in l:
         streaming = json.loads(l)["events_per_sec"]
-print(f"[streaming] {streaming}")
+if streaming is None:
+    # a missing metric line is a FAILURE, not "not measured": record the
+    # subprocess exit code + stderr tail so the artifact distinguishes
+    # events_per_sec: null (broken) from an intentionally skipped section
+    streaming_error = {"rc": _s.returncode, "stderr_tail": _s.stderr[-500:]}
+print(f"[streaming] {streaming or streaming_error}")
 
 artifact = {
     "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
     "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
+    # host epoch: same-code runs on this host swing up to 2.6x/query
+    # between host-days — a reader comparing artifacts needs to know
+    # whether two totals share a host-hour before reading them as code
+    "host_epoch": int(time.time()),
     "queries": dict(sorted(merged.items())),
     "errors": errors, "shards": shard_info, "n_queries": len(merged),
     "events_per_sec": streaming,
 }
+if streaming_error is not None:
+    artifact["streaming_error"] = streaming_error
 with open(out_json, "w") as f:
     json.dump(artifact, f, indent=1)
 print(f"wrote {out_json}: {artifact['n_queries']} queries, "
