@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev main: suffix-array knob A-B.
+  *   tools/runjvm.sh graft.SaAb parity SF_DIR      — baseWidth 1 vs 4 extents equality
+  *   tools/runjvm.sh graft.SaAb bench SF_DIR W     — time q_dup_spans_sa+q_dup_passages family at baseWidth W
+  */
+object SaAb {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local("graft-sa-ab", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, dir)
+    mode match {
+      case "parity" =>
+        val a = graft.dedup.SuffixSpans.repeatExtents(docs, "doc_id", "text",
+          minLen = 5, baseWidth = 1)
+        // separate entry impossible (width excluded from key) — release between
+        val ca = a.orderBy("doc_id", "pos").collect()
+        SharedFrames.release()
+        graft.dedup.Dedup.releaseCaches()
+        val b = graft.dedup.SuffixSpans.repeatExtents(docs, "doc_id", "text",
+          minLen = 5, baseWidth = 4)
+        val cb = b.orderBy("doc_id", "pos").collect()
+        println(s"[saab] width1 rows=${ca.length} width4 rows=${cb.length} equal=${ca.sameElements(cb)}")
+      case "bench" =>
+        val w = args(2).toInt
+        val t0 = System.nanoTime()
+        val n1 = graft.dedup.SuffixSpans.duplicateSpansExact(docs, "doc_id", "text",
+          minLen = 5, buildMinLen = 5, baseWidth = w).count()
+        val t1 = System.nanoTime()
+        val n2 = graft.dedup.SuffixSpans.longestPassages(docs, "doc_id", "text",
+          minLen = 8, topN = 20, buildMinLen = 5, baseWidth = w).count()
+        val t2 = System.nanoTime()
+        println(f"[saab] baseWidth=$w spans_sa=${(t1 - t0) / 1e9}%.1f s (rows=$n1) passages=${(t2 - t1) / 1e9}%.1f s (rows=$n2) family=${(t2 - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

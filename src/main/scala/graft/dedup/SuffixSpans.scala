@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Construction (all relational, no driver-side corpus state):
   *  1. Prefix doubling (Manber–Myers): rank each suffix by its first
-  *     2^h tokens, doubling h until ranks are fully distinct or 2^h ≥
-  *     the longest document. Ranks are HEAD ranks (class head's global
+  *     baseWidth·2^h tokens (round 0 keys on the raw baseWidth-token
+  *     slice, compared as array — shorter-prefix-first array order IS
+  *     finite-suffix order), doubling h until ranks are fully
+  *     distinct or the span covers every still-ambiguous suffix's
+  *     remaining length (the round gate — not the longest document's
+  *     length). Ranks are HEAD ranks (class head's global
   *     row index, [[GlobalOrder.withHeadRank]]) so a class of size s
   *     owns rank range [r, r+s) and refines in place: each round only
   *     the still-ambiguous classes join their pos+2^h partner and
@@ -90,8 +94,15 @@ object SuffixSpans {
     * `SharedFrames.release` after the last consumer. */
   def repeatExtents(df: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 8, maxRounds: Int = 48,
-                    buildMinLen: Int = 0): DataFrame = {
+                    buildMinLen: Int = 0,
+                    baseWidth: Int = DefaultBaseWidth): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(baseWidth >= 1, s"baseWidth must be >= 1, got $baseWidth")
+    // baseWidth is a COST knob only (identical output at any width —
+    // the base ranking orders suffixes by their first `baseWidth`
+    // tokens instead of 1, so the doubling loop starts at span
+    // baseWidth and skips log2(baseWidth) full-corpus rounds); it is
+    // deliberately NOT part of the SharedFrames key.
     val covering = graft.SharedFrames.lookup("sa_extents", Seq(df)) {
       case Seq(i, t, b: Int, m) => i == idCol && t == textCol &&
         m == maxRounds && b <= minLen
@@ -104,11 +115,17 @@ object SuffixSpans {
         val build = if (buildMinLen >= 2 && buildMinLen <= minLen) buildMinLen else minLen
         val ext = graft.SharedFrames.getOrCompute("sa_extents", Seq(df),
           Seq(idCol, textCol, build, maxRounds)) {
-          computeExtents(df, idCol, textCol, build, maxRounds)
+          computeExtents(df, idCol, textCol, build, maxRounds, baseWidth)
         }
         if (minLen > build) ext.filter(col("dup_len") >= minLen) else ext
     }
   }
+
+  /** Round-12 A-B'd default (BENCH_sa_base_ab_r12.json): ranking on
+    * 4-token tuples at round 0 removes the two full-corpus sort
+    * rounds (span 1 and 2) that can never individuate natural text,
+    * at the price of ~4× wider round-0 sort rows. */
+  private[graft] val DefaultBaseWidth = 4
 
   /** [[computeExtentsDistinct]] behind a measured-routed
     * EXACT-DUPLICATE COLLAPSE. A suffix's content depends only on its
@@ -133,7 +150,8 @@ object SuffixSpans {
     * would silently merge distinct texts, and exactness here is
     * oracle-checked. */
   private def computeExtents(df: DataFrame, idCol: String, textCol: String,
-                             minLen: Int, maxRounds: Int): DataFrame = {
+                             minLen: Int, maxRounds: Int,
+                             baseWidth: Int): DataFrame = {
     val base = graft.Parallelism.spread(df).select(col(idCol), col(textCol))
     // MEASURED routing (the editdist-chooser pattern): the collapse
     // pays one full text-keyed aggregation up front — on mostly-unique
@@ -151,12 +169,12 @@ object SuffixSpans {
       .agg(count(lit(1)).as("__n"), countDistinct(col(textCol)).as("__d")).first()
     val (pn, pd) = (probe.getLong(0), probe.getLong(1))
     if (pn == 0L || (pn - pd).toDouble / pn < 0.1)
-      return computeExtentsDistinct(df, idCol, textCol, minLen, maxRounds)
+      return computeExtentsDistinct(df, idCol, textCol, minLen, maxRounds, baseWidth)
     val groups = base.groupBy(col(textCol))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cnt"))
     val extD = computeExtentsDistinct(
       groups.select(col("__rep").as(idCol), col(textCol)),
-      idCol, textCol, minLen, maxRounds)
+      idCol, textCol, minLen, maxRounds, baseWidth)
     val dupTexts = groups.filter(col("__cnt") >= 2)
     // duplicated reps' SA rows are superseded by the closed form below
     val uniqExt = extD.join(dupTexts.select(col("__rep").as(idCol)),
@@ -174,17 +192,17 @@ object SuffixSpans {
   }
 
   private def computeExtentsDistinct(df: DataFrame, idCol: String, textCol: String,
-                                     minLen: Int, maxRounds: Int): DataFrame = {
+                                     minLen: Int, maxRounds: Int,
+                                     baseWidth: Int): DataFrame = {
     val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= minLen)
       .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))
 
-    val aggRow = docsArr.agg(max("n_tokens")).first()
-    if (aggRow.isNullAt(0)) // no doc long enough: empty result, right schema
+    if (docsArr.agg(max("n_tokens")).first().isNullAt(0))
+      // no doc long enough: empty result, right schema
       return docsArr.select(col(idCol), col("n_tokens"),
         lit(0).as("pos"), lit(0L).as("dup_len")).limit(0)
-    val maxLen = aggRow.getLong(0)
 
     // --- 1. prefix doubling ------------------------------------------
     // Head ranks (rank = global index of the class head) let a round
@@ -197,8 +215,27 @@ object SuffixSpans {
     // and each remaining round is a scan + small broadcast join
     // instead of a full corpus sort (the withDenseRank formulation
     // re-sorted ALL n positions every round).
-    val toks = docsArr.select(col(idCol), col("n_tokens"),
-      posexplode(col("__ws")).as(Seq("pos", "__t")))
+    //
+    // WIDE BASE RANK (round 12): round 0 ranks each suffix by its
+    // first `baseWidth` tokens — the key is the raw token slice,
+    // compared as array<string> (Spark array ordering is
+    // lexicographic with shorter-prefix-first, which is EXACTLY
+    // finite-suffix order: a suffix within baseWidth of its doc end
+    // keys on its full remaining tokens, so equal keys of unequal
+    // remaining length are impossible). The loop then starts at span
+    // baseWidth, skipping the log2(baseWidth) earliest rounds — the
+    // ones whose 1–2-token prefixes can never individuate natural
+    // text, so they full-corpus-sort ~n rows each. The key is
+    // CONTENT, never a hash: a hash collision would silently merge
+    // distinct suffix classes, and this construction is oracle-exact.
+    val toks =
+      if (baseWidth <= 1)
+        docsArr.select(col(idCol), col("n_tokens"),
+          posexplode(col("__ws")).as(Seq("pos", "__t")))
+      else
+        docsArr.select(col(idCol), col("n_tokens"),
+          posexplode(expr(s"transform(__ws, (x, i) -> slice(__ws, i + 1, $baseWidth))"))
+            .as(Seq("pos", "__t")))
     // the singleton/ambiguous split and the class-head rank both ride
     // the ranking sort itself (GlobalOrder.withHeadRankFlagged): one
     // parallel sort per round, no groupBy shuffles, no split joins
@@ -217,8 +254,24 @@ object SuffixSpans {
     val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     frozenParts += all0.filter(!col("__amb")).select(cols: _*).localCheckpoint()
     var pend = all0.filter(col("__amb")).select(cols: _*).localCheckpoint()
-    var span = 1L
-    while (span < maxLen && !pend.isEmpty) {
+    var span = baseWidth.toLong
+    // ROUND GATE (round 12): stop when span covers every pending
+    // row's remaining suffix, not when it covers the longest DOC.
+    // Once span ≥ max(n_tokens − pos) over the pending set, every
+    // pending class's shared rank already encodes its members' full
+    // remaining suffixes (the −1 end-marker chain orders doc-final
+    // suffixes like finite strings), so equal rank = identical
+    // suffixes — exactly the loop's exit invariant — and further
+    // rounds provably refine nothing while still paying a sort each.
+    // A corpus whose longest doc is 4096 tokens but whose ambiguous
+    // classes are all short repeats would otherwise pay ~9 dead
+    // rounds. One aggregate replaces the isEmpty probe (same job
+    // count per round, strictly more information).
+    def pendGate(): Long = { // max remaining length, 0 when empty
+      val r = pend.agg(max(col("n_tokens") - col("pos"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    while (span < pendGate()) {
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
       // suffix at pos p extends with the rank of the suffix at p+span:
       // shift the lookup side by -span so the probe is a plain
@@ -248,8 +301,9 @@ object SuffixSpans {
       pend = refined.filter(col("__amb")).select(cols: _*).localCheckpoint()
       span *= 2
     }
-    // classes still ambiguous at span ≥ maxLen are genuinely identical
-    // suffixes (to their doc ends) — their shared rank is final
+    // classes still ambiguous when the gate closes are genuinely
+    // identical suffixes (to their doc ends) — their shared rank is
+    // final
     val ranked = (frozenParts :+ pend).reduce(_ unionByName _)
 
     // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
@@ -334,8 +388,10 @@ object SuffixSpans {
     * BELOW a k-gram pipeline's shuffle width and reports exact repeat
     * extents on the way. */
   def duplicateSpansExact(df: DataFrame, idCol: String, textCol: String,
-                          minLen: Int = 8, buildMinLen: Int = 0): DataFrame = {
-    val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen)
+                          minLen: Int = 8, buildMinLen: Int = 0,
+                          baseWidth: Int = DefaultBaseWidth): DataFrame = {
+    val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen,
+        baseWidth = baseWidth)
       .withColumn("__end", col("pos") + col("dup_len") - 1)
     val w = Window.partitionBy(idCol).orderBy("pos")
     val prevMax = max(col("__end")).over(
@@ -360,9 +416,11 @@ object SuffixSpans {
     * (idCol, pos) tie-break — deterministic. */
   def longestPassages(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 8, topN: Int = 20,
-                      buildMinLen: Int = 0): DataFrame = {
+                      buildMinLen: Int = 0,
+                      baseWidth: Int = DefaultBaseWidth): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
-    val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen)
+    val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen,
+      baseWidth = baseWidth)
     val w = Window.partitionBy(idCol).orderBy("pos")
     val runStarts = ext
       .withColumn("__ppos", lag("pos", 1).over(w))
