@@ -75,6 +75,34 @@ object EditDistStress {
            END""").as("text"))
   }
 
+  /** The round-12 backstop corpus: a 60-char shared boilerplate
+    * prefix spans MORE segments than even rung 11's spare can drop
+    * (at extraSegs=11: c=20 width-4 segments, boilerplate hot in ~15,
+    * spare=11 → ~4 corpus-hot keys survive suppression), so the
+    * candidate join carries ~4·n² rows on keys hot on BOTH sides —
+    * the single-giant-key shape the giant-key block split exists for.
+    * 20-char cluster-unique hex tails; member m of each 10-doc
+    * cluster carries m % 2 substitutions at member-disjoint
+    * positions, so all 45 intra-cluster pairs are within budget.
+    * Cross-cluster tails sit at edit distance ~17 (measured min 12
+    * over 20k samples) vs budget 8 — intra pairs dominate; the run
+    * reports the intra floor and the block-on/off COUNT EQUALITY
+    * (the real invariant) rather than a closed-form total. */
+  def adversarial60(spark: SparkSession, n: Long): DataFrame = {
+    val boiler = "sphinx of black quartz judge my vow while zebras fly kites aa".take(60)
+    require(boiler.length == 60)
+    spark.range(n)
+      .withColumn("__h", expr(
+        s"""concat('$boiler', substring(concat(md5(concat('c:', id div 10)),
+            md5(concat('d:', id div 10))), 1, 20))"""))
+      .withColumn("__bp", expr("cast(61 + pmod(id, 10) * 2 AS INT)"))
+      .select(col("id").as("doc_id"), expr(
+        """CASE cast(pmod(id, 10) % 2 AS INT)
+           WHEN 0 THEN __h
+           ELSE overlay(__h PLACING 'Z' FROM __bp FOR 1)
+           END""").as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
     val extraSegsAdv = args.lift(1).map(_.toInt).getOrElse(9)
@@ -136,6 +164,32 @@ object EditDistStress {
       else println(s"[stress] adversarial SKIPPED at extraSegs=$es: predicted " +
         f"$v%,d candidates (${v / 100000000L} x 1e8) would repeat the round-10 disk fill")
     }
+
+    // 60-char boilerplate: beyond EVERY rung's suppression reach —
+    // the giant-key block split is what keeps the irreducible ~4·n²
+    // candidate stream parallel instead of 4 straggler tasks. Block
+    // on/off must agree exactly on the pair count.
+    val n60 = args.lift(2).map(_.toLong).getOrElse(math.min(n, 30000L))
+    val adv60 = adversarial60(spark, n60)
+    val rung60 = choose("adversarial60", adv60)
+    val v60 = predict(adv60, rung60)
+    println(f"[stress] adversarial60 candidate volume at extraSegs=$rung60: $v60%,d")
+    def run60(label: String, blockTarget: Long): Long = {
+      val t0 = System.nanoTime()
+      val got = graft.dedup.EditDistance.editDistancePairs(
+        adv60, "doc_id", "text", maxFrac = 0.1, headChars = 80,
+        extraSegs = rung60, blockTarget = blockTarget).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] adversarial60 $label%-10s n=$n60 pairs=$got%10d (intra floor=${n60 / 10 * 45}) $s%8.1f s")
+      graft.dedup.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      got
+    }
+    if (v60 <= 60000000000L) {
+      val on = run60("block-on", 16000000L)
+      val off = run60("block-off", Long.MaxValue)
+      println(s"[stress] adversarial60 block on/off counts ${if (on == off) "MATCH" else s"MISMATCH $on vs $off"}")
+    } else println(f"[stress] adversarial60 SKIPPED: predicted $v60%,d candidates")
     spark.stop()
   }
 }

@@ -75,6 +75,18 @@ import org.apache.spark.sql.functions._
   *    sampling decision costs time, never correctness. Zero-length
   *    heads (no segments) pair only with each other (lev("",y) =
   *    len(y)) via a tiny keyed self-join.
+  *  - GIANT-KEY BLOCK SPLIT backstop: a key hot on BOTH sides (a
+  *    boilerplate region wider than `spare` segments can drop — the
+  *    round-11 stress artifact's honest limit) would land its whole
+  *    a·b candidate stream in one hash partition, and AQE cannot
+  *    split inside a key. Keys whose sampled candidate product
+  *    exceeds the block budget get a block-pair id fused into the
+  *    join key (each side hashes its doc id into B blocks and
+  *    enumerates the partner's B), spreading the stream over B²
+  *    sub-keys at an unchanged candidate multiset — the escalation
+  *    ladder (`editDistancePairsAuto`) now never needs to refuse:
+  *    the last rung's volume is irreducible real work, but it is at
+  *    least PARALLEL.
   *
   * Verification is FUSED into the candidate join stage: both join
   * sides carry their head string plus a one-long char-count signature
@@ -119,9 +131,10 @@ object EditDistance {
                         maxFrac: Double = 0.1, headChars: Int = 80,
                         hotDf: Int = 64, skewSampleFrac: Double = 0.1,
                         extraSegs: Int = 2, hotFrac: Double = 0.05,
-                        hotDfCap: Int = 256): DataFrame =
+                        hotDfCap: Int = 256,
+                        blockTarget: Long = 16000000L): DataFrame =
     stages(df, idCol, textCol, maxFrac, headChars, hotDf, skewSampleFrac,
-      extraSegs, hotFrac, hotDfCap)("result")
+      extraSegs, hotFrac, hotDfCap, blockTarget)("result")
 
   /** [[editDistancePairs]] with `extraSegs` CHOSEN BY MEASUREMENT:
     * walks `ladder` and takes the first rung whose predicted
@@ -156,12 +169,13 @@ object EditDistance {
                             hotDf: Int = 64, skewSampleFrac: Double = 0.1,
                             hotFrac: Double = 0.05, hotDfCap: Int = 256,
                             candPerDoc: Long = 50000,
-                            ladder: Seq[Int] = Seq(2, 5, 8, 11)): DataFrame =
+                            ladder: Seq[Int] = Seq(2, 5, 8, 11),
+                            blockTarget: Long = 16000000L): DataFrame =
     editDistancePairs(df, idCol, textCol, maxFrac, headChars, hotDf,
       skewSampleFrac,
       chooseExtraSegs(df, idCol, textCol, maxFrac, headChars, hotDf,
         skewSampleFrac, hotFrac, hotDfCap, candPerDoc, ladder),
-      hotFrac, hotDfCap)
+      hotFrac, hotDfCap, blockTarget)
 
   /** The rung decision behind [[editDistancePairsAuto]], exposed so
     * specs and measurement tools can observe WHICH rung a corpus
@@ -201,7 +215,8 @@ object EditDistance {
                         maxFrac: Double = 0.1, headChars: Int = 80,
                         hotDf: Int = 64, skewSampleFrac: Double = 0.1,
                         extraSegs: Int = 2, hotFrac: Double = 0.05,
-                        hotDfCap: Int = 256): Map[String, DataFrame] = {
+                        hotDfCap: Int = 256,
+                        blockTarget: Long = 16000000L): Map[String, DataFrame] = {
     require(headChars >= 1, s"headChars must be >= 1, got $headChars")
     require(maxFrac >= 0 && maxFrac < 0.5, s"maxFrac must be in [0, 0.5), got $maxFrac")
     require(extraSegs >= 0, s"extraSegs must be >= 0, got $extraSegs")
@@ -266,7 +281,7 @@ object EditDistance {
     // instead of strings. A hash collision only ADDS a candidate row,
     // which the in-join banded levenshtein refutes — exactness never
     // rests on the key.
-    val segs = nonEmpty.select(col("id"), col("__h"), col("__sig"),
+    def segsOf(h: DataFrame): DataFrame = h.select(col("id"), col("__h"), col("__sig"),
       col("__len").as("__lp"),
       explode(expr(
         s"""transform(sequence(1, ${cOf("__len")}),
@@ -277,6 +292,7 @@ object EditDistance {
       .select(col("id"), col("__h"), col("__sig"), col("__lp"),
         col("__seg.__i").as("__i"), col("__seg.__s").as("__s"),
         xxhash64(col("__lp"), col("__seg.__i"), col("__seg.__s")).as("__k"))
+    val segs = segsOf(nonEmpty)
 
     // probe side: for every admissible shorter length lp, segment i of
     // the lp-partition, and exact-window shift s (|s| + |delta - s| <=
@@ -381,9 +397,10 @@ object EditDistance {
     // per key the surviving count is Binomial(df, p) either way, but
     // the explode then runs over p·n heads instead of all of them.
     val p = math.min(1.0, math.max(1e-6, skewSampleFrac))
-    val probeSample = probeOf(
+    val headSample =
       if (p >= 1.0) nonEmpty
-      else nonEmpty.sample(withReplacement = false, p, seed = 42L))
+      else nonEmpty.sample(withReplacement = false, p, seed = 42L)
+    val probeSample = probeOf(headSample)
     // hot threshold clamp(hotFrac·n, hotDf, hotDfCap), with the corpus
     // size riding IN-PLAN as a broadcast one-row totals frame
     // (ScalarAttach, the TF-IDF discipline): a driver-side
@@ -480,11 +497,54 @@ object EditDistance {
     // could be reordered by the optimizer). Sound, never lossy: every
     // within-bound pair satisfies the L1 bound, so emitted pairs and
     // distances are identical with or without the prefilter.
+    // GIANT-KEY BLOCK SPLIT (round 12) — the backstop for the one
+    // honest limit the round-11 stress artifact recorded: a key hot
+    // on BOTH sides lands its entire a·b candidate stream in ONE hash
+    // partition, and AQE cannot split inside a key (its skew splitter
+    // works at partition granularity over map outputs, but a
+    // replicated-build SHJ stage for one key is not what it plans
+    // here). The fix fuses a BLOCK-PAIR ID into the join key (the
+    // SemDedup blocked-triangular trick, similarity/SemDedup.scala):
+    // for keys whose SAMPLED candidate product (a/p)·(b/p) exceeds
+    // 4·blockTarget, each side hashes its doc id into one of
+    // B = ceil(sqrt(prod/blockTarget)) blocks and enumerates the
+    // partner side's B blocks, joining on (__k, segBlock,
+    // probeBlock) — a pair meets at exactly (its own, its own), so
+    // the candidate MULTISET is unchanged (exactness untouched) while
+    // the giant key's stream spreads over B² sub-keys of ~blockTarget
+    // candidates each. Replication cost: B× the giant keys' rows only
+    // — slim vs the a·b candidates those keys emit regardless. Cold
+    // keys pay one broadcast-join probe and a singleton explode
+    // (B = 1). The sampled product over-estimates under correlation
+    // (a head contributes both sides) and misses only keys too small
+    // to matter — both errors point the safe way.
+    val segsSample = segsOf(headSample)
+    val giantKeys = broadcast(
+      segsSample.groupBy("__k").agg(count(lit(1)).as("__a"))
+        .join(probeSample.groupBy("__k").agg(count(lit(1)).as("__b")), Seq("__k"))
+        .withColumn("__prod", col("__a").cast("double") * col("__b") / lit(p * p))
+        .filter(col("__prod") > lit(4.0 * blockTarget))
+        .select(col("__k"),
+          least(ceil(sqrt(col("__prod") / lit(blockTarget.toDouble))), lit(256L))
+            .cast("int").as("__B")))
+    val segsSide = segsIndexed.select("id", "__h", "__sig", "__k")
+      .join(giantKeys, Seq("__k"), "left")
+      .withColumn("__B", coalesce(col("__B"), lit(1)))
+      .withColumn("__sa", pmod(xxhash64(col("id")), col("__B")).cast("int"))
+      .withColumn("__pb", explode(expr("sequence(0, __B - 1)")))
+      .select(col("id"), col("__h"), col("__sig"), col("__k"), col("__sa"), col("__pb"))
+    val probeSide = probe
+      .join(giantKeys, Seq("__k"), "left")
+      .withColumn("__B", coalesce(col("__B"), lit(1)))
+      .withColumn("__pb", pmod(xxhash64(col("id")), col("__B")).cast("int"))
+      .withColumn("__sa", explode(expr("sequence(0, __B - 1)")))
+      .select(col("id").as("id2"), col("__h").as("__hB"),
+        col("__sig").as("__sigB"), col("__len").as("__lenB"),
+        col("__k"), col("__sa"), col("__pb"))
+
     val dMax = math.floor(headChars * maxFrac).toInt
-    val verified = segsIndexed.select("id", "__h", "__sig", "__k").hint("shuffle_hash")
-      .join(probe.select(col("id").as("id2"), col("__h").as("__hB"),
-          col("__sig").as("__sigB"), col("__len").as("__lenB"), col("__k")),
-        Seq("__k"))
+    val verified = segsSide.hint("shuffle_hash")
+      .join(probeSide, Seq("__k", "__sa", "__pb"))
       .filter(col("id") =!= col("id2"))
       .withColumn("dist",
         when(graft.functions.GraftFunctions.nibbleL1(col("__sig"), col("__sigB")) >
@@ -511,6 +571,7 @@ object EditDistance {
     Map("heads" -> heads, "segs" -> segs, "probe" -> probe,
       "probeSample" -> probeSample, "hotKeys" -> hotKeys,
       "dropSet" -> dropSet, "segsIndexed" -> segsIndexed,
+      "giantKeys" -> giantKeys,
       "verified" -> verified, "result" -> result)
   }
 }

@@ -120,6 +120,31 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
     assert(want.size >= 4, s"fixture too weak: $want")
   }
 
+  test("giant-key block split fires and preserves the exact pair set") {
+    // force the block path at spec scale: blockTarget=1 marks every
+    // sampled key giant (B >= 2), so the (k, segBlock, probeBlock)
+    // join replaces the plain keyed join corpus-wide. Output must be
+    // IDENTICAL to both the default (dormant) path and brute force —
+    // the block-pair id only spreads a key's candidate stream, never
+    // changes the multiset. skewSampleFrac=1 makes the giant-key
+    // decision deterministic.
+    val docs = corpus()
+    val df = docs.toDF("doc_id", "text")
+    val blocked = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0, blockTarget = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // the forced path really did split: some sampled key must carry B >= 2
+    val giants = EditDistance.stages(df, "doc_id", "text",
+      maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0,
+      blockTarget = 1L)("giantKeys")
+    assert(giants.filter(col("__B") >= 2).count() > 0, "block path never fired")
+    val plain = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked === plain)
+    assert(blocked === bruteForce(docs, 0.1, 80))
+  }
+
   test("short-text corpus (every head under the fingerprint width) stays exact") {
     // the round-7 short path broadcast-nested-looped this shape; the
     // per-length pigeonhole must handle an all-short corpus exactly
