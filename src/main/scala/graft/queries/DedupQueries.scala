@@ -160,8 +160,12 @@ object DedupQueries {
         .orderBy("doc_id")),
 
     // #43f maximal repeated passages: the 20 longest exact repeats with
-    // their text — rows-only (extent+content inventory; spec-pinned on
-    // planted corpora). buildMinLen=5 points this query at the SAME
+    // their text — hash-oracled since round 12: DuckDB recomputes
+    // dup_len from first principles (sort the rem>=8 suffixes as token
+    // LISTS — shorter-prefix-first list order IS finite-suffix order —
+    // then max LCP with either sort neighbor via an indexed-lambda
+    // first-mismatch scan), then replays the run-start suppression +
+    // top-N slice. buildMinLen=5 points this query at the SAME
     // shared suffix-array extents q_dup_spans_sa consumes (exact: the
     // wider construction filtered to dup_len >= 8). The round-8
     // in-suite numbers (76.3 s family) suggested this build was a
@@ -409,6 +413,45 @@ object DedupQueries {
         | cast(count(*) AS BIGINT) AS n_spans,
         | round(cast(sum(toks) AS DOUBLE) / n_tokens, 4) AS dup_fraction
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // dup_len recomputed from first principles: sort the rem>=8
+    // suffixes as token LISTS (DuckDB list order is lexicographic
+    // with shorter-prefix-first = finite-suffix order; max LCP over
+    // the corpus is realized at a sort neighbor), LCP via an
+    // indexed-lambda first-mismatch scan (out-of-range b[i] is NULL,
+    // coalesced to a mismatch, so a full-prefix match falls through
+    // to len(suf)), then the identical run-start suppression + top-20
+    // slice. Restricting suffixes to rem>=8 is exact for dup_len>=8
+    // rows: any >=8 repeat partner also has rem>=8, and dropped
+    // shorter suffixes could only contribute LCPs <= 7.
+    "q_dup_passages" ->
+      """WITH mk AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id, i AS pos1, ws[i:] AS suf
+        |      FROM mk, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t
+        |      WHERE len(ws) >= 8),
+        |ord AS (SELECT doc_id, pos1, suf,
+        |         lag(suf)  OVER (ORDER BY suf, doc_id, pos1) AS ps,
+        |         lead(suf) OVER (ORDER BY suf, doc_id, pos1) AS ns
+        |        FROM p),
+        |ext AS (SELECT doc_id, pos1,
+        |         greatest(
+        |           coalesce(nullif(list_position(
+        |             list_transform(suf, (x, i) -> coalesce(x = ps[i], false)), false), 0) - 1, len(suf)),
+        |           coalesce(nullif(list_position(
+        |             list_transform(suf, (x, i) -> coalesce(x = ns[i], false)), false), 0) - 1, len(suf))
+        |         ) AS dup_len
+        |        FROM ord),
+        |runs AS (SELECT doc_id, pos1, dup_len,
+        |          lag(pos1)    OVER (PARTITION BY doc_id ORDER BY pos1) AS ppos,
+        |          lag(dup_len) OVER (PARTITION BY doc_id ORDER BY pos1) AS plen
+        |         FROM ext WHERE dup_len >= 8),
+        |rs AS (SELECT doc_id, pos1, dup_len FROM runs
+        |       WHERE ppos IS NULL OR ppos <> pos1 - 1 OR plen < dup_len + 1)
+        |SELECT r.doc_id, cast(r.pos1 - 1 AS INT) AS pos, cast(r.dup_len AS BIGINT) AS dup_len,
+        |  array_to_string(m.ws[r.pos1 : r.pos1 + cast(r.dup_len AS INT) - 1], ' ') AS passage
+        |FROM rs r JOIN mk m USING (doc_id)
+        |ORDER BY dup_len DESC, r.doc_id, pos LIMIT 20""".stripMargin,
 
     // same span pipeline as q_dup_spans (1-based positions), then the
     // cut: tokens not covered by any [st, en] island survive, kept
