@@ -80,13 +80,15 @@ import org.apache.spark.sql.functions._
   *    round-11 stress artifact's honest limit) would land its whole
   *    a·b candidate stream in one hash partition, and AQE cannot
   *    split inside a key. Keys whose sampled candidate product
-  *    exceeds the block budget get a block-pair id fused into the
-  *    join key (each side hashes its doc id into B blocks and
-  *    enumerates the partner's B), spreading the stream over B²
-  *    sub-keys at an unchanged candidate multiset — the escalation
-  *    ladder (`editDistancePairsAuto`) now never needs to refuse:
-  *    the last rung's volume is irreducible real work, but it is at
-  *    least PARALLEL.
+  *    exceeds the block budget get a block id fused into the join
+  *    key: the PROBE side (the volume) tags each row with its own
+  *    doc-hash block — a projection, no generate — and only the
+  *    SEGS side (c rows/doc) replicates giant-key rows once per
+  *    probe block, spreading the stream over B sub-keys of
+  *    ~blockTarget candidates each at an unchanged candidate
+  *    multiset. The escalation ladder (`editDistancePairsAuto`)
+  *    never needs to refuse: the last rung's volume is irreducible
+  *    real work, but it is at least PARALLEL.
   *
   * Verification is FUSED into the candidate join stage: both join
   * sides carry their head string plus a one-long char-count signature
@@ -503,48 +505,55 @@ object EditDistance {
     // partition, and AQE cannot split inside a key (its skew splitter
     // works at partition granularity over map outputs, but a
     // replicated-build SHJ stage for one key is not what it plans
-    // here). The fix fuses a BLOCK-PAIR ID into the join key (the
-    // SemDedup blocked-triangular trick, similarity/SemDedup.scala):
-    // for keys whose SAMPLED candidate product (a/p)·(b/p) exceeds
-    // 4·blockTarget, each side hashes its doc id into one of
-    // B = ceil(sqrt(prod/blockTarget)) blocks and enumerates the
-    // partner side's B blocks, joining on (__k, segBlock,
-    // probeBlock) — a pair meets at exactly (its own, its own), so
-    // the candidate MULTISET is unchanged (exactness untouched) while
-    // the giant key's stream spreads over B² sub-keys of ~blockTarget
-    // candidates each. Replication cost: B× the giant keys' rows only
-    // — slim vs the a·b candidates those keys emit regardless. Cold
-    // keys pay one broadcast-join probe and a singleton explode
-    // (B = 1). The sampled product over-estimates under correlation
-    // (a head contributes both sides) and misses only keys too small
-    // to matter — both errors point the safe way.
+    // here). The fix fuses a BLOCK ID into the join key (the SemDedup
+    // blocked trick, similarity/SemDedup.scala, made ONE-SIDED): for
+    // keys whose SAMPLED candidate product a·b/p² exceeds
+    // 4·blockTarget, the PROBE side — the volume, ~(τ+1)·shifts·c
+    // rows per head — tags each row with its OWN doc-hash block
+    // (a pure projection: when(B isNull, 0) else pmod(hash, B) — no
+    // generate, no array allocation on the hot path), and only the
+    // SEGS side (c rows per doc, ~10× smaller) replicates giant-key
+    // rows once per probe block. A pair meets at exactly
+    // (__k, block(probe doc)), so the candidate MULTISET is unchanged
+    // (exactness untouched) while the giant key's stream spreads over
+    // B = ceil(prod/blockTarget) sub-keys of ~blockTarget candidates
+    // each; build rows per sub-key stay exactly a (one replica each).
+    // Candidacy is restricted to keys already in the broadcast
+    // hotKeys frame, whose sampled probe-df rides along as __df: a
+    // giant key (a·b > 4·blockTarget with a ≤ n) always has probe-df
+    // far above the clamped hot threshold — identical heads probe
+    // each other at shift 0, so b ≥ a — and the restriction lets the
+    // detector reuse the ONE existing sampled aggregation instead of
+    // re-aggregating the full sampled probe, with the segs-sample
+    // count reduced to a broadcast-filtered tiny groupBy. The sampled
+    // product over-estimates under correlation (a head contributes
+    // both sides) and misses only keys too small to matter — both
+    // errors point the safe way: a missed giant key falls back to
+    // exactly the pre-split behavior.
     val segsSample = segsOf(headSample)
     val giantKeys = broadcast(
-      segsSample.groupBy("__k").agg(count(lit(1)).as("__a"))
-        .join(probeSample.groupBy("__k").agg(count(lit(1)).as("__b")), Seq("__k"))
+      segsSample.join(hotKeys, Seq("__k"))
+        .groupBy("__k").agg(count(lit(1)).as("__a"), max(col("__df")).as("__b"))
         .withColumn("__prod", col("__a").cast("double") * col("__b") / lit(p * p))
         .filter(col("__prod") > lit(4.0 * blockTarget))
         .select(col("__k"),
-          least(ceil(sqrt(col("__prod") / lit(blockTarget.toDouble))), lit(256L))
+          least(ceil(col("__prod") / lit(blockTarget.toDouble)), lit(256L))
             .cast("int").as("__B")))
     val segsSide = segsIndexed.select("id", "__h", "__sig", "__k")
       .join(giantKeys, Seq("__k"), "left")
-      .withColumn("__B", coalesce(col("__B"), lit(1)))
-      .withColumn("__sa", pmod(xxhash64(col("id")), col("__B")).cast("int"))
-      .withColumn("__pb", explode(expr("sequence(0, __B - 1)")))
-      .select(col("id"), col("__h"), col("__sig"), col("__k"), col("__sa"), col("__pb"))
+      .withColumn("__pb", explode(expr("sequence(0, coalesce(__B, 1) - 1)")))
+      .select(col("id"), col("__h"), col("__sig"), col("__k"), col("__pb"))
     val probeSide = probe
       .join(giantKeys, Seq("__k"), "left")
-      .withColumn("__B", coalesce(col("__B"), lit(1)))
-      .withColumn("__pb", pmod(xxhash64(col("id")), col("__B")).cast("int"))
-      .withColumn("__sa", explode(expr("sequence(0, __B - 1)")))
+      .withColumn("__pb", when(col("__B").isNull, lit(0))
+        .otherwise(pmod(xxhash64(col("id")), col("__B")).cast("int")))
       .select(col("id").as("id2"), col("__h").as("__hB"),
         col("__sig").as("__sigB"), col("__len").as("__lenB"),
-        col("__k"), col("__sa"), col("__pb"))
+        col("__k"), col("__pb"))
 
     val dMax = math.floor(headChars * maxFrac).toInt
     val verified = segsSide.hint("shuffle_hash")
-      .join(probeSide, Seq("__k", "__sa", "__pb"))
+      .join(probeSide, Seq("__k", "__pb"))
       .filter(col("id") =!= col("id2"))
       .withColumn("dist",
         when(graft.functions.GraftFunctions.nibbleL1(col("__sig"), col("__sigB")) >

@@ -121,21 +121,25 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("giant-key block split fires and preserves the exact pair set") {
-    // force the block path at spec scale: blockTarget=1 marks every
-    // sampled key giant (B >= 2), so the (k, segBlock, probeBlock)
-    // join replaces the plain keyed join corpus-wide. Output must be
-    // IDENTICAL to both the default (dormant) path and brute force —
-    // the block-pair id only spreads a key's candidate stream, never
-    // changes the multiset. skewSampleFrac=1 makes the giant-key
-    // decision deterministic.
+    // force the block path at spec scale: blockTarget=1 + hotDf=1
+    // (giant candidacy is restricted to hot keys, and the spec corpus
+    // is far below the default absolute threshold) marks every
+    // multi-doc key giant (B >= 2), so the (k, probeBlock) join with
+    // seg-side replication replaces the plain keyed join wherever
+    // keys repeat. Output must be IDENTICAL to both the default
+    // (dormant) path and brute force — the block id only spreads a
+    // key's candidate stream, never changes the multiset (a pair
+    // meets at exactly (k, block(probe doc))). skewSampleFrac=1 makes
+    // the giant-key decision deterministic.
     val docs = corpus()
     val df = docs.toDF("doc_id", "text")
     val blocked = EditDistance.editDistancePairs(df, "doc_id", "text",
-        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0, blockTarget = 1L)
+        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0, hotDf = 1,
+        blockTarget = 1L)
       .as[(Long, Long, Long)].collect().toSet
     // the forced path really did split: some sampled key must carry B >= 2
     val giants = EditDistance.stages(df, "doc_id", "text",
-      maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0,
+      maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0, hotDf = 1,
       blockTarget = 1L)("giantKeys")
     assert(giants.filter(col("__B") >= 2).count() > 0, "block path never fired")
     val plain = EditDistance.editDistancePairs(df, "doc_id", "text",
