@@ -186,7 +186,7 @@ object EditDistStress {
       got
     }
     if (v60 <= 60000000000L) {
-      val on = run60("block-on", 16000000L)
+      val on = run60("block-on", 2000000L)
       val off = run60("block-off", Long.MaxValue)
       println(s"[stress] adversarial60 block on/off counts ${if (on == off) "MATCH" else s"MISMATCH $on vs $off"}")
     } else println(f"[stress] adversarial60 SKIPPED: predicted $v60%,d candidates")

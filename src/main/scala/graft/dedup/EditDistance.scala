@@ -134,7 +134,7 @@ object EditDistance {
                         hotDf: Int = 64, skewSampleFrac: Double = 0.1,
                         extraSegs: Int = 2, hotFrac: Double = 0.05,
                         hotDfCap: Int = 256,
-                        blockTarget: Long = 16000000L): DataFrame =
+                        blockTarget: Long = 2000000L): DataFrame =
     stages(df, idCol, textCol, maxFrac, headChars, hotDf, skewSampleFrac,
       extraSegs, hotFrac, hotDfCap, blockTarget)("result")
 
@@ -172,7 +172,7 @@ object EditDistance {
                             hotFrac: Double = 0.05, hotDfCap: Int = 256,
                             candPerDoc: Long = 50000,
                             ladder: Seq[Int] = Seq(2, 5, 8, 11),
-                            blockTarget: Long = 16000000L): DataFrame =
+                            blockTarget: Long = 2000000L): DataFrame =
     editDistancePairs(df, idCol, textCol, maxFrac, headChars, hotDf,
       skewSampleFrac,
       chooseExtraSegs(df, idCol, textCol, maxFrac, headChars, hotDf,
@@ -218,7 +218,7 @@ object EditDistance {
                         hotDf: Int = 64, skewSampleFrac: Double = 0.1,
                         extraSegs: Int = 2, hotFrac: Double = 0.05,
                         hotDfCap: Int = 256,
-                        blockTarget: Long = 16000000L): Map[String, DataFrame] = {
+                        blockTarget: Long = 2000000L): Map[String, DataFrame] = {
     require(headChars >= 1, s"headChars must be >= 1, got $headChars")
     require(maxFrac >= 0 && maxFrac < 0.5, s"maxFrac must be in [0, 0.5), got $maxFrac")
     require(extraSegs >= 0, s"extraSegs must be >= 0, got $extraSegs")
@@ -552,8 +552,28 @@ object EditDistance {
         col("__k"), col("__pb"))
 
     val dMax = math.floor(headChars * maxFrac).toInt
-    val verified = segsSide.hint("shuffle_hash")
-      .join(probeSide, Seq("__k", "__pb"))
+    // USER-SPECIFIED repartition on the join keys, both sides — NOT
+    // left to EnsureRequirements. AQE's partition coalescing sizes
+    // post-shuffle partitions by MAP-OUTPUT BYTES, and this join's
+    // inputs are tiny precisely when the candidate stream is huge:
+    // low-entropy boilerplate compresses 10-20× under lz4, so on the
+    // giant-key stress corpus AQE read ~the whole shuffle as "one
+    // advisory partition" and merged the block split's B sub-keys
+    // back into a couple of tasks — re-creating, one layer up, the
+    // exact single-task skew the split exists to remove (measured:
+    // the blocked join ran as a straggler tail, load 31 → 6, >55 min
+    // where the spread shape needs ~minutes). The candidate explosion
+    // happens INSIDE the join, invisible to byte-based coalescing, so
+    // byte-based coalescing must not own this exchange: an explicit
+    // numPartitions repartition is the one plan-level scoping Spark
+    // offers (AQE never coalesces user-specified repartitions), and
+    // the SHJ reuses the co-partitioning, so the exchange count is
+    // unchanged on every corpus.
+    val shufP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val verified = segsSide.repartition(shufP, col("__k"), col("__pb"))
+      .hint("shuffle_hash")
+      .join(probeSide.repartition(shufP, col("__k"), col("__pb")),
+        Seq("__k", "__pb"))
       .filter(col("id") =!= col("id2"))
       .withColumn("dist",
         when(graft.functions.GraftFunctions.nibbleL1(col("__sig"), col("__sigB")) >
