@@ -101,6 +101,43 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     assert(spans3(3L) == (6L, 1L)) // the whole run is duplicated coverage
   }
 
+  test("base rank width is a pure cost knob: extents identical at baseWidth 1 vs 4") {
+    // the r12 wide base rank keys round 0 on the raw first-baseWidth
+    // token slice; array<string> order is shorter-prefix-first, which
+    // IS finite-suffix order, so suffixes within baseWidth of their
+    // doc end (keys shorter than the width) still sort exactly. The
+    // corpus mixes a LONG document with no qualifying repeat (the
+    // round gate must stop on the pending set's remaining length, not
+    // this doc's) with short docs carrying the repeats, including one
+    // whose planted phrase runs to the doc's final token.
+    val rng = new scala.util.Random(53)
+    def w() = s"b${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    def run(n: Int) = Seq.fill(n)(w())
+    val p6 = run(6)
+    val df = Seq(
+      (1L, run(300).mkString(" ")),                 // long, repeat-free
+      (2L, (run(4) ++ p6).mkString(" ")),           // phrase ends the doc
+      (3L, (p6 ++ run(3)).mkString(" ")),
+      (4L, "e1 e2 e3")                              // shorter than minLen
+    ).toDF("doc_id", "text")
+    def extents(width: Int) = {
+      val got = SuffixSpans.repeatExtents(df, "doc_id", "text",
+          minLen = 4, baseWidth = width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      SharedFrames.release() // width is excluded from the shared key by design
+      Dedup.releaseCaches()
+      got
+    }
+    val w1 = extents(1)
+    val w4 = extents(4)
+    assert(w1 === w4)
+    // and the extents are the planted truth: the full 6-token phrase
+    assert(w1.exists { case (id, _, pos, len) => id == 2L && pos == 4 && len == 6L })
+    assert(w1.exists { case (id, _, pos, len) => id == 3L && pos == 0 && len == 6L })
+    assert(!w1.exists { case (id, _, _, _) => id == 1L || id == 4L })
+  }
+
   test("exact-duplicate collapse: copies get closed-form full-suffix " +
       "extents; a repeat realized only against copies is still found") {
     val rng = new scala.util.Random(41)
