@@ -122,10 +122,16 @@ object SuffixSpans {
   }
 
   /** Round-12 A-B'd default (BENCH_sa_base_ab_r12.json): ranking on
-    * 4-token tuples at round 0 removes the two full-corpus sort
-    * rounds (span 1 and 2) that can never individuate natural text,
-    * at the price of ~4× wider round-0 sort rows. */
-  private[graft] val DefaultBaseWidth = 4
+    * 8-token slices at round 0 removes the three full-corpus sort
+    * rounds (spans 1, 2 and 4) that rarely individuate natural text,
+    * at the price of ~8× wider round-0 sort rows. Measured ladder at
+    * sf10, identical extents at every width: 1 → 4 was 0.81× on the
+    * family medians; 4 → 8 a further 0.77–0.83× (2 interleaved
+    * fresh-JVM pairs, 277.6/227.2 → 212.5/188.8 s), with sf0.1 at
+    * parity — the wider sort rows stay cheaper than a full-corpus
+    * sort round until the slice width approaches typical repeat
+    * lengths. */
+  private[graft] val DefaultBaseWidth = 8
 
   /** [[computeExtentsDistinct]] behind a measured-routed
     * EXACT-DUPLICATE COLLAPSE. A suffix's content depends only on its
