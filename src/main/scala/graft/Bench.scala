@@ -176,7 +176,7 @@ object Bench {
     // stay lean, but the FILE has no window)
     val streamingJson = streamingOpt
       .map(s => s""","events_per_sec":$s""").getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$streamingJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$streamingJson,"sf":"$sfDir","t":$epoch}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -223,6 +223,7 @@ object EditDistance {
     require(maxFrac >= 0 && maxFrac < 0.5, s"maxFrac must be in [0, 0.5), got $maxFrac")
     require(extraSegs >= 0, s"extraSegs must be >= 0, got $extraSegs")
     require(hotFrac > 0 && hotFrac <= 1, s"hotFrac must be in (0, 1], got $hotFrac")
+    require(blockTarget >= 1, s"blockTarget must be >= 1, got $blockTarget")
     val keep = 1 - maxFrac
 
     // per-length partition parameters as SQL over a length expression.
@@ -519,12 +520,19 @@ object EditDistance {
     // B = ceil(prod/blockTarget) sub-keys of ~blockTarget candidates
     // each; build rows per sub-key stay exactly a (one replica each).
     // Candidacy is restricted to keys already in the broadcast
-    // hotKeys frame, whose sampled probe-df rides along as __df: a
-    // giant key (a·b > 4·blockTarget with a ≤ n) always has probe-df
-    // far above the clamped hot threshold — identical heads probe
-    // each other at shift 0, so b ≥ a — and the restriction lets the
-    // detector reuse the ONE existing sampled aggregation instead of
-    // re-aggregating the full sampled probe, with the segs-sample
+    // hotKeys frame, whose sampled probe-df rides along as __df: on a
+    // fixed-length corpus a giant key (a·b > 4·blockTarget with
+    // a ≤ n) has probe-df far above the clamped hot threshold —
+    // identical heads probe each other at shift 0, so b ≥ a. On
+    // MIXED-length corpora (per-head τ < the corpus-max d) the probe
+    // enumeration truncates segment indices at τ+1+extraSegs while
+    // the segs side emits all c, so a high-index segment key hot only
+    // via long heads can in principle evade hotKeys and skip the
+    // split — safe (it falls back to exactly the pre-split
+    // single-partition behavior), just not covered by the shift-0
+    // argument. The restriction lets the detector reuse the ONE
+    // existing sampled aggregation instead of re-aggregating the full
+    // sampled probe, with the segs-sample
     // count reduced to a broadcast-filtered tiny groupBy. The sampled
     // product over-estimates under correlation (a head contributes
     // both sides) and misses only keys too small to matter — both

@@ -91,7 +91,13 @@ object SuffixSpans {
     * minLen-8 cost, a bad trade when the narrow consumer may never
     * run). `buildMinLen` (when in [2, minLen]) forces the wider build
     * for callers that KNOW a narrower consumer follows. Release with
-    * `SharedFrames.release` after the last consumer. */
+    * `SharedFrames.release` after the last consumer.
+    *
+    * `maxRounds` bounds ONLY the chunked-LCP resolution loop (step 3);
+    * the prefix-doubling loop needs no bound — it terminates by
+    * construction via the pending-set round gate (span doubles every
+    * round, the gate closes once span ≥ the pending set's max
+    * remaining suffix length). */
   def repeatExtents(df: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 8, maxRounds: Int = 48,
                     buildMinLen: Int = 0,

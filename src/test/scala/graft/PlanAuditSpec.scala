@@ -330,7 +330,11 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
       val rung = graft.dedup.EditDistance.chooseExtraSegs(docs, "doc_id", "text")
       spark.sparkContext.clearJobGroup()
       assert(rung >= 0)
-      while (groupJobs.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      // fresh deadline: chooseExtraSegs itself may consume most of the
+      // first poll's budget on a slow host, and this poll only waits
+      // for the (already-run) chooser's async JobStart events to land
+      val deadline2 = System.currentTimeMillis() + 20000
+      while (groupJobs.get() < 1 && System.currentTimeMillis() < deadline2) Thread.sleep(20)
       assert(groupJobs.get() >= 1, // count + >= 1 per-rung probe agg
         "chooseExtraSegs is EXPECTED to measure (construction jobs); saw none")
     } finally {
