@@ -14,6 +14,22 @@ Usage: tools/bench_sharded.py SF_DIR OUT_JSON [ITERS]
 """
 import json, subprocess, sys, os, collections, time
 
+
+def host_speed_probe(n=40_000_000):
+    """Calibrated host-speed probe: a pinned-iteration single-thread
+    CPU loop (~4 s nominal), run immediately before each shard. Epoch
+    adjudication was previously inference from canary shards of
+    untouched queries; this makes it arithmetic — two artifacts'
+    wall-times are comparable after dividing by their host_speed
+    ratios. Returns (seconds, checksum); the checksum is fixed for a
+    given n, so a mismatch means the probe itself is broken."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return round(time.perf_counter() - t0, 3), acc
+
+
 sf_dir = sys.argv[1]
 out_json = sys.argv[2]
 iters = sys.argv[3] if len(sys.argv) > 3 else "1"
@@ -50,7 +66,8 @@ for shard, qs in shards.items():
         continue
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_ITERS=iters)
-    print(f"[shard {shard}] {len(qs)} queries", flush=True)
+    speed, _ck = host_speed_probe()
+    print(f"[shard {shard}] {len(qs)} queries (host_speed {speed}s)", flush=True)
     r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
                         ",".join(qs)], env=env, capture_output=True, text=True)
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
@@ -68,7 +85,8 @@ for shard, qs in shards.items():
     if err_line:
         errors.update(err_line["errors"])
     shard_info[shard] = {"rc": r.returncode, "n": len(qs),
-                         "wall": total_line["value"] if total_line else None}
+                         "wall": total_line["value"] if total_line else None,
+                         "host_speed": speed}
     print(f"[shard {shard}] done: {shard_info[shard]}", flush=True)
 
 # streaming rates in their own fresh JVM (a query-subset shard skips
@@ -89,6 +107,7 @@ if streaming is None:
     streaming_error = {"rc": _s.returncode, "stderr_tail": _s.stderr[-500:]}
 print(f"[streaming] {streaming or streaming_error}")
 
+speeds = sorted(v["host_speed"] for v in shard_info.values() if "host_speed" in v)
 artifact = {
     "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
     "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
@@ -96,6 +115,10 @@ artifact = {
     # between host-days — a reader comparing artifacts needs to know
     # whether two totals share a host-hour before reading them as code
     "host_epoch": int(time.time()),
+    # calibrated host-speed: median of the per-shard pinned-loop seconds
+    # (see host_speed_probe) — divide two artifacts' walls by their
+    # host_speed ratio before reading a gap as code movement
+    "host_speed": speeds[len(speeds) // 2] if speeds else None,
     "queries": dict(sorted(merged.items())),
     "errors": errors, "shards": shard_info, "n_queries": len(merged),
     "events_per_sec": streaming,
