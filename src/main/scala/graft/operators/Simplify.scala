@@ -59,7 +59,10 @@ object Simplify {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))
     rows.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroups { (key, it) =>
-        val pts = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        // secondary sort on y: ties in x otherwise order by partition
+        // iteration order, making the kept set run-dependent (and
+        // oracle-incomparable) on corpora with duplicate x values
+        val pts = it.map(t => (t._2, t._3)).toArray.sortBy(p => (p._1, p._2))
         val kept = rdpKeepIndices(pts.map(_._1), pts.map(_._2), epsilon)
         kept.iterator.map(i => (key, pts(i)._1, pts(i)._2))
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble))

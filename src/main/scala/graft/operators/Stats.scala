@@ -118,6 +118,48 @@ object Stats {
       .select(expr(s"$arr[__i]").as("q"), col("value"))
   }
 
+  /** [[quantilesApprox]] with a PER-RUN bound check: for each q it
+    * emits the exact admissible value window
+    * [percentile_disc(q − 2ε), percentile_disc(q + 2ε)] (ε =
+    * 1/accuracy) and `within` = the sketch's cut point lies inside it.
+    * The sketch guarantees rank(cut) ∈ [⌊(q−ε)n⌋, ⌈(q+ε)n⌉]; the
+    * window's discrete ranks ⌈(q∓2ε)n⌉ bracket that interval whenever
+    * ε·n ≥ 2 (n ≥ 2·accuracy rows — the discretization slack), so a
+    * correct sketch always lands within. The window endpoints are
+    * EXACT data elements (SQL-standard percentile_disc = value at rank
+    * ⌈p·n⌉), independently computable by another engine — which turns
+    * the sketch's spec-only guarantee into a cross-engine per-run data
+    * check: the oracle recomputes (q, lo, hi) and asserts within=true.
+    * Probabilities are rendered as exact DECIMAL literals (BigDecimal,
+    * never double arithmetic) so both engines parse identical
+    * constants. Exact percentile_disc is a sort-based aggregate — this
+    * is a VERIFICATION query; the production path at scale is
+    * [[quantilesApprox]] alone. */
+  def quantilesApproxChecked(df: DataFrame, valueCol: String, qs: Seq[Double],
+                             accuracy: Int = 10000): DataFrame = {
+    val margin = BigDecimal(2) / BigDecimal(accuracy)
+    val probes = qs.map { q =>
+      val bq = BigDecimal(q.toString)
+      (bq.toString, (bq - margin).toString, (bq + margin).toString)
+    }
+    probes.foreach { case (_, lo, hi) =>
+      require(BigDecimal(lo) > 0 && BigDecimal(hi) < 1,
+        s"q ± 2/accuracy must stay inside (0,1), got ($lo, $hi)") }
+    val arr = s"array(${qs.map(q => s"${q}D").mkString(",")})"
+    val aggs =
+      expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("__av") +:
+      probes.zipWithIndex.flatMap { case ((_, lo, hi), i) => Seq(
+        expr(s"percentile_disc(${lo}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__lo$i"),
+        expr(s"percentile_disc(${hi}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__hi$i")) }
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val rows = probes.zipWithIndex.map { case ((q, _, _), i) =>
+      struct(expr(s"${q}D").as("q"), col(s"__lo$i").as("lo"), col(s"__hi$i").as("hi"),
+        (element_at(col("__av"), i + 1) >= col(s"__lo$i") &&
+         element_at(col("__av"), i + 1) <= col(s"__hi$i")).as("within"))
+    }
+    agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Weighted quantile: first value whose cumulative weight (in value
     * order) reaches q·total — the reference's lower weighted quantile.
     *

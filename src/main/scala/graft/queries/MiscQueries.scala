@@ -143,7 +143,8 @@ object MiscQueries {
         .orderBy("user_id", "px")
     }),
 
-    // #33 RDP polyline simplification per user (rows-only).
+    // #33 RDP polyline simplification per user — oracled by a
+    // first-principles recursive-CTE RDP in DuckDB (below).
     "q_rdp" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .withColumn("eps", col("eps_us").cast("double") / 1000000.0)
@@ -212,5 +213,70 @@ object MiscQueries {
         | count(*) AS cnt, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY win_start_us, event_type""".stripMargin,
+
+    // first-principles RDP as a recursive CTE: segments carry their
+    // own argmax (farthest interior point from the chord, earliest
+    // index on ties — exactly the Scala scan's `d > maxD` keep-first);
+    // a segment with md > ε keeps its argmax and spawns both child
+    // halves, whose argmaxes the recursive term computes via LATERAL.
+    // Kept set = endpoints ∪ argmaxes of splitting segments ∪ all
+    // points of series too short to simplify (n ≤ 2 keeps both, and a
+    // 2-point series has no interior so the root never forms). The
+    // distance expression mirrors the Scala operand order
+    // left-associatively, so both engines run the identical IEEE
+    // double sequence.
+    "q_rdp" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT user_id, epoch_us(ts)/1000000.0 AS x, value AS y,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), value) AS i,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events
+        |),
+        |roots AS (SELECT user_id, max(n) AS n FROM pts GROUP BY user_id),
+        |seg(user_id, ai, ax, ay, bi, bx, by, mi, mx, my, md) AS (
+        |  SELECT r.user_id, 1, pa.x, pa.y, r.n, pb.x, pb.y, m.i, m.x, m.y, m.d
+        |  FROM roots r
+        |  JOIN pts pa ON pa.user_id = r.user_id AND pa.i = 1
+        |  JOIN pts pb ON pb.user_id = r.user_id AND pb.i = r.n
+        |  CROSS JOIN LATERAL (
+        |    SELECT p.i, p.x, p.y,
+        |      abs((pb.y-pa.y)*p.x - (pb.x-pa.x)*p.y + pb.x*pa.y - pb.y*pa.x)
+        |        / sqrt((pb.x-pa.x)*(pb.x-pa.x) + (pb.y-pa.y)*(pb.y-pa.y)) AS d
+        |    FROM pts p
+        |    WHERE p.user_id = r.user_id AND p.i > 1 AND p.i < r.n
+        |    ORDER BY d DESC, p.i LIMIT 1
+        |  ) m
+        |  WHERE r.n > 2
+        |  UNION ALL
+        |  SELECT c.user_id, c.ai, c.ax, c.ay, c.bi, c.bx, c.by, m.i, m.x, m.y, m.d
+        |  FROM (
+        |    SELECT s.user_id,
+        |           CASE side.s WHEN 0 THEN s.ai ELSE s.mi END AS ai,
+        |           CASE side.s WHEN 0 THEN s.ax ELSE s.mx END AS ax,
+        |           CASE side.s WHEN 0 THEN s.ay ELSE s.my END AS ay,
+        |           CASE side.s WHEN 0 THEN s.mi ELSE s.bi END AS bi,
+        |           CASE side.s WHEN 0 THEN s.mx ELSE s.bx END AS bx,
+        |           CASE side.s WHEN 0 THEN s.my ELSE s.by END AS by
+        |    FROM seg s CROSS JOIN (VALUES (0), (1)) side(s)
+        |    WHERE s.md > 50.0
+        |  ) c
+        |  CROSS JOIN LATERAL (
+        |    SELECT p.i, p.x, p.y,
+        |      abs((c.by-c.ay)*p.x - (c.bx-c.ax)*p.y + c.bx*c.ay - c.by*c.ax)
+        |        / sqrt((c.bx-c.ax)*(c.bx-c.ax) + (c.by-c.ay)*(c.by-c.ay)) AS d
+        |    FROM pts p
+        |    WHERE p.user_id = c.user_id AND p.i > c.ai AND p.i < c.bi
+        |    ORDER BY d DESC, p.i LIMIT 1
+        |  ) m
+        |  WHERE c.bi - c.ai > 1
+        |),
+        |kept AS (
+        |  SELECT user_id, i FROM pts WHERE i = 1 OR i = n
+        |  UNION
+        |  SELECT user_id, mi AS i FROM seg WHERE md > 50.0
+        |)
+        |SELECT p.user_id, round(p.x, 6) AS eps, p.y AS value
+        |FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.i = k.i
+        |ORDER BY p.user_id, eps""".stripMargin,
   )
 }

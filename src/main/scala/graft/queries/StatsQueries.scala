@@ -28,10 +28,14 @@ object StatsQueries {
         .orderBy("q")),
 
     // #17b approximate quantiles — the single-pass mergeable-sketch
-    // path a 100 TB series needs (rows-only: sketch cut points are
-    // engine-specific; the rank-error bound is pinned by OperatorSpec).
+    // path a 100 TB series needs. Sketch cut points are
+    // engine-specific, so the oracle checks the BOUND, not the value:
+    // the query emits each cut point's exact admissible value window
+    // (percentile_disc at q ± 2/accuracy — exact data elements) plus
+    // within=true, and DuckDB recomputes the window independently.
+    // Precondition ε·n ≥ 2 ⇒ n ≥ 20000 rows (holds from sf0.01 up).
     "q_quantile_approx" -> ((s, dir) =>
-      Stats.quantilesApprox(Tables.lineitem(s, dir), "l_extendedprice",
+      Stats.quantilesApproxChecked(Tables.lineitem(s, dir), "l_extendedprice",
           Seq(0.01, 0.25, 0.5, 0.75, 0.99), accuracy = 10000)
         .orderBy("q")),
 
@@ -72,6 +76,26 @@ object StatsQueries {
         | round(sqrt(sum(wx*wx*ww)/sum(ww) - pow(sum(wx*ww)/sum(ww),2)),4) AS wstddev,
         | round(sum(ww),4) AS total_weight
         |FROM q""".stripMargin,
+
+    // bound oracle: recompute each sketch cut point's exact admissible
+    // window (value at rank ⌈p·n⌉, SQL-standard percentile_disc =
+    // DuckDB quantile_disc — probed identical to Spark's
+    // percentile_disc at all 10 probabilities) and assert the Spark
+    // side's within flag. lo/hi are exact data elements, so the hash
+    // compares raw doubles; `within` must come back true.
+    "q_quantile_approx" ->
+      """SELECT q, lo, hi, true AS within FROM (
+        | SELECT cast(0.01 as double) AS q, quantile_disc(l_extendedprice, 0.0098) AS lo,
+        |        quantile_disc(l_extendedprice, 0.0102) AS hi FROM lineitem
+        | UNION ALL SELECT 0.25, quantile_disc(l_extendedprice, 0.2498),
+        |        quantile_disc(l_extendedprice, 0.2502) FROM lineitem
+        | UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.4998),
+        |        quantile_disc(l_extendedprice, 0.5002) FROM lineitem
+        | UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.7498),
+        |        quantile_disc(l_extendedprice, 0.7502) FROM lineitem
+        | UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.9898),
+        |        quantile_disc(l_extendedprice, 0.9902) FROM lineitem
+        |) ORDER BY q""".stripMargin,
 
     "q_quantile" ->
       """SELECT q, value FROM (

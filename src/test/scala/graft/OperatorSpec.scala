@@ -79,6 +79,30 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("quantilesApproxChecked emits exact disc windows with within=true") {
+    // n = 40000 ≥ 2·accuracy — the discretization precondition; values
+    // ARE their own ranks, so the window endpoints are checkable in
+    // closed form: lo = ceil((q−2ε)n), hi = ceil((q+2ε)n)
+    val n = 40000
+    val df = (1 to n).map(_.toDouble).toDF("x").repartition(8)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val rows = Stats.quantilesApproxChecked(df, "x", qs, accuracy = 10000)
+      .orderBy("q").collect()
+    assert(rows.length == qs.length)
+    rows.zip(qs).foreach { case (r, q) =>
+      assert(r.getAs[Double]("q") == q)
+      assert(r.getAs[Boolean]("within"), s"q=$q sketch cut outside its disc window")
+      assert(r.getAs[Double]("lo") == math.ceil((q - 0.0002) * n),
+        s"q=$q lo=${r.getAs[Double]("lo")}")
+      assert(r.getAs[Double]("hi") == math.ceil((q + 0.0002) * n),
+        s"q=$q hi=${r.getAs[Double]("hi")}")
+    }
+    // out-of-range probes must fail fast, not emit a clamped window
+    intercept[IllegalArgumentException] {
+      Stats.quantilesApproxChecked(df, "x", Seq(0.0001), accuracy = 10000)
+    }
+  }
+
   test("weightedQuantile picks first value crossing cumulative weight") {
     val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 8.0)).toDF("v", "w")
     val r = Stats.weightedQuantile(df, "v", "w", Seq(0.5)).first()
