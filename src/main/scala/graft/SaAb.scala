@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Dev main: suffix-array knob A-B.
-  *   tools/runjvm.sh graft.SaAb parity SF_DIR      — baseWidth 1 vs 4 extents equality
-  *   tools/runjvm.sh graft.SaAb bench SF_DIR W     — time q_dup_spans_sa+q_dup_passages family at baseWidth W
+  *   tools/runjvm.sh graft.SaAb parity SF_DIR        — baseWidth 1 vs 4 extents equality
+  *   tools/runjvm.sh graft.SaAb bench SF_DIR W [K]   — time q_dup_spans_sa+q_dup_passages family at baseWidth W, arity K (default 2)
   */
 object SaAb {
   def main(args: Array[String]): Unit = {
@@ -28,14 +28,15 @@ object SaAb {
         println(s"[saab] width1 rows=${ca.length} width4 rows=${cb.length} equal=${ca.sameElements(cb)}")
       case "bench" =>
         val w = args(2).toInt
+        val k = if (args.length > 3) args(3).toInt else 2
         val t0 = System.nanoTime()
         val n1 = graft.dedup.SuffixSpans.duplicateSpansExact(docs, "doc_id", "text",
-          minLen = 5, buildMinLen = 5, baseWidth = w).count()
+          minLen = 5, buildMinLen = 5, baseWidth = w, arity = k).count()
         val t1 = System.nanoTime()
         val n2 = graft.dedup.SuffixSpans.longestPassages(docs, "doc_id", "text",
-          minLen = 8, topN = 20, buildMinLen = 5, baseWidth = w).count()
+          minLen = 8, topN = 20, buildMinLen = 5, baseWidth = w, arity = k).count()
         val t2 = System.nanoTime()
-        println(f"[saab] baseWidth=$w spans_sa=${(t1 - t0) / 1e9}%.1f s (rows=$n1) passages=${(t2 - t1) / 1e9}%.1f s (rows=$n2) family=${(t2 - t0) / 1e9}%.1f s")
+        println(f"[saab] baseWidth=$w arity=$k spans_sa=${(t1 - t0) / 1e9}%.1f s (rows=$n1) passages=${(t2 - t1) / 1e9}%.1f s (rows=$n2) family=${(t2 - t0) / 1e9}%.1f s")
     }
     spark.stop()
   }

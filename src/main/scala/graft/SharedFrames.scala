@@ -103,7 +103,7 @@ object SharedFrames {
         // may race here; the loser's re-check below discards its
         // redundant checkpoint (blocks unpersisted, never pinned) and
         // every caller sees ONE canonical entry.
-        val df = compute.localCheckpoint(eager = eager)
+        val df = Checkpoints.checkpoint(compute, eager = eager)
         entries.synchronized {
           entries.find(e => e.tag == tag && e.params == params && sameInputs(e, keys))
         } match {

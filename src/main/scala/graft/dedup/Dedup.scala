@@ -562,12 +562,12 @@ object Dedup {
     * Returns (id, survivor) for every id in `ids`. */
   def survivors(pairs: DataFrame, ids: DataFrame, idCol: String,
                 maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("survivor"))
-      .localCheckpoint()
+    val edges = graft.Checkpoints.checkpoint(
+      pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+        .union(pairs.select(col("doc2").as("a"), col("doc1").as("b"))))
+    var labels = graft.Checkpoints.checkpoint(
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("survivor")))
     var iter = 0
     var changed = !labels.isEmpty
     while (changed && iter < maxIters) {
@@ -577,9 +577,9 @@ object Dedup {
         .groupBy("id").agg(min("survivor").as("survivor"))
       // pointer doubling: survivor := survivor's survivor
       val parents = hopped.select(col("id").as("__pid"), col("survivor").as("__psurv"))
-      val next = hopped.join(parents, hopped("survivor") === col("__pid"), "left")
-        .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor"))
-        .localCheckpoint() // truncates lineage; labels stay one hop deep
+      val next = graft.Checkpoints.checkpoint( // truncates lineage; labels stay one hop deep
+        hopped.join(parents, hopped("survivor") === col("__pid"), "left")
+          .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor")))
       changed = next
         .join(labels.withColumnRenamed("survivor", "__old"), Seq("id"))
         .filter(col("survivor") =!= col("__old"))

@@ -101,9 +101,11 @@ object SuffixSpans {
   def repeatExtents(df: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 8, maxRounds: Int = 48,
                     buildMinLen: Int = 0,
-                    baseWidth: Int = DefaultBaseWidth): DataFrame = {
+                    baseWidth: Int = DefaultBaseWidth,
+                    arity: Int = DefaultArity): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(baseWidth >= 1, s"baseWidth must be >= 1, got $baseWidth")
+    require(arity >= 2 && arity <= 8, s"arity must be in [2, 8], got $arity")
     // baseWidth is a COST knob only (identical output at any width —
     // the base ranking orders suffixes by their first `baseWidth`
     // tokens instead of 1, so the doubling loop starts at span
@@ -121,11 +123,20 @@ object SuffixSpans {
         val build = if (buildMinLen >= 2 && buildMinLen <= minLen) buildMinLen else minLen
         val ext = graft.SharedFrames.getOrCompute("sa_extents", Seq(df),
           Seq(idCol, textCol, build, maxRounds)) {
-          computeExtents(df, idCol, textCol, build, maxRounds, baseWidth)
+          computeExtents(df, idCol, textCol, build, maxRounds, baseWidth, arity)
         }
         if (minLen > build) ext.filter(col("dup_len") >= minLen) else ext
     }
   }
+
+  /** Refinement-round fan-out (like [[DefaultBaseWidth]], a pure cost
+    * knob — identical output at any arity, spec-pinned): each round
+    * combines the ranks at pos + j·span for j = 1..arity−1 into one
+    * refinement sort, multiplying span by `arity` — the Larsson–Sadakane
+    * doubling generalized to k-ary. Arity 4 runs half the range-sorts
+    * of arity 2 at ~2 extra longs per sort row, but pays (arity−1)
+    * partner lookup joins per round instead of 1. */
+  private[graft] val DefaultArity = 2
 
   /** Round-12 A-B'd default (BENCH_sa_base_ab_r12.json): ranking on
     * 8-token slices at round 0 removes the three full-corpus sort
@@ -163,7 +174,7 @@ object SuffixSpans {
     * oracle-checked. */
   private def computeExtents(df: DataFrame, idCol: String, textCol: String,
                              minLen: Int, maxRounds: Int,
-                             baseWidth: Int): DataFrame = {
+                             baseWidth: Int, arity: Int = DefaultArity): DataFrame = {
     val base = graft.Parallelism.spread(df).select(col(idCol), col(textCol))
     // MEASURED routing (the editdist-chooser pattern): the collapse
     // pays one full text-keyed aggregation up front — on mostly-unique
@@ -181,12 +192,12 @@ object SuffixSpans {
       .agg(count(lit(1)).as("__n"), countDistinct(col(textCol)).as("__d")).first()
     val (pn, pd) = (probe.getLong(0), probe.getLong(1))
     if (pn == 0L || (pn - pd).toDouble / pn < 0.1)
-      return computeExtentsDistinct(df, idCol, textCol, minLen, maxRounds, baseWidth)
+      return computeExtentsDistinct(df, idCol, textCol, minLen, maxRounds, baseWidth, arity)
     val groups = base.groupBy(col(textCol))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cnt"))
     val extD = computeExtentsDistinct(
       groups.select(col("__rep").as(idCol), col(textCol)),
-      idCol, textCol, minLen, maxRounds, baseWidth)
+      idCol, textCol, minLen, maxRounds, baseWidth, arity)
     val dupTexts = groups.filter(col("__cnt") >= 2)
     // duplicated reps' SA rows are superseded by the closed form below
     val uniqExt = extD.join(dupTexts.select(col("__rep").as(idCol)),
@@ -205,7 +216,7 @@ object SuffixSpans {
 
   private def computeExtentsDistinct(df: DataFrame, idCol: String, textCol: String,
                                      minLen: Int, maxRounds: Int,
-                                     baseWidth: Int): DataFrame = {
+                                     baseWidth: Int, arity: Int): DataFrame = {
     val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= minLen)
@@ -252,7 +263,7 @@ object SuffixSpans {
     // the ranking sort itself (GlobalOrder.withHeadRankFlagged): one
     // parallel sort per round, no groupBy shuffles, no split joins
     val r0 = GlobalOrder.withHeadRankFlagged(toks, Nil, Seq(col("__t")), "__r", "__amb")
-    val all0 = r0.drop("__t").localCheckpoint()
+    val all0 = graft.Checkpoints.checkpoint(r0.drop("__t"))
     val cols = Seq(col(idCol), col("n_tokens"), col("pos"), col("__r"))
     // frozen pieces (classes proven singleton) + the active remainder;
     // their union is the full rank table at any round
@@ -264,8 +275,10 @@ object SuffixSpans {
     // round — a quadratic-in-rounds scan. Materialized, the pieces are
     // disjoint and total ≤ n rows at any round.
     val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    frozenParts += all0.filter(!col("__amb")).select(cols: _*).localCheckpoint()
-    var pend = all0.filter(col("__amb")).select(cols: _*).localCheckpoint()
+    frozenParts += graft.Checkpoints.checkpoint(
+      all0.filter(!col("__amb")).select(cols: _*))
+    var pend = graft.Checkpoints.checkpoint(
+      all0.filter(col("__amb")).select(cols: _*))
     var span = baseWidth.toLong
     // ROUND GATE (round 12): stop when span covers every pending
     // row's remaining suffix, not when it covers the longest DOC.
@@ -285,33 +298,47 @@ object SuffixSpans {
     }
     while (span < pendGate()) {
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
-      // suffix at pos p extends with the rank of the suffix at p+span:
-      // shift the lookup side by -span so the probe is a plain
-      // equi-join. Positions with pos ≥ n_tokens − span have no
-      // partner — knowable arithmetically, so the join stays INNER
-      // (broadcastable on the shrinking active side; a left join
-      // would force the full corpus-sized lookup through a shuffle).
-      val nearEnd = pend.filter(col("pos") >= col("n_tokens") - lit(span))
-        .withColumn("__r2", lit(-1L))
-      val lookup = rankedView.select(col(idCol), (col("pos") - lit(span)).as("pos"),
-        col("__r").as("__r2"))
-      val far = pend.filter(col("pos") < col("n_tokens") - lit(span))
-        .join(lookup, Seq(idCol, "pos"))
-      val paired = far.unionByName(nearEnd)
+      // suffix at pos p extends with the ranks of the suffixes at
+      // p + j·span for j = 1..arity−1 (binary doubling is arity 2 —
+      // one partner; k-ary combines k−1 partners per round and
+      // multiplies span by k, exactness per the lexicographic
+      // composition argument: components j < k agree whenever the
+      // first difference lies beyond (j+1)·span, and a −1 end marker
+      // orders a proper-prefix suffix strictly first at its first
+      // absent partner). Each partner lookup shifts the rank view by
+      // −j·span so the probe is a plain equi-join. Positions with
+      // pos ≥ n_tokens − j·span have no partner — knowable
+      // arithmetically, so the join stays INNER (broadcastable on the
+      // shrinking active side; a left join would force the full
+      // corpus-sized lookup through a shuffle).
+      var paired = pend
+      val partnerCols = (1 until arity).map(j => s"__p$j")
+      for (j <- 1 until arity) {
+        val shift = span * j
+        val nearEnd = paired.filter(col("pos") >= col("n_tokens") - lit(shift))
+          .withColumn(s"__p$j", lit(-1L))
+        val lookup = rankedView.select(col(idCol), (col("pos") - lit(shift)).as("pos"),
+          col("__r").as(s"__p$j"))
+        val far = paired.filter(col("pos") < col("n_tokens") - lit(shift))
+          .join(lookup, Seq(idCol, "pos"))
+        paired = far.unionByName(nearEnd)
+      }
       // within class [r, r+s): new rank = r + (rows strictly before
-      // this row's (r, r2) run) = r + __sh − __ch, where __ch (the
-      // block head = min(__sh) over the class, contiguous under the
-      // sort) and the new class's size>1 flag are computed inside the
-      // ranking pass itself — every member of an ambiguous class is in
-      // the subset, so the offsets are exact
+      // this row's (r, partners…) run) = r + __sh − __ch, where __ch
+      // (the block head = min(__sh) over the class, contiguous under
+      // the sort) and the new class's size>1 flag are computed inside
+      // the ranking pass itself — every member of an ambiguous class
+      // is in the subset, so the offsets are exact
       val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
-        Seq(col("__r2")), "__sh", "__amb", Some("__ch"))
-      val refined = sub.select(col(idCol), col("n_tokens"), col("pos"),
-          (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb"))
-        .localCheckpoint()
-      frozenParts += refined.filter(!col("__amb")).select(cols: _*).localCheckpoint()
-      pend = refined.filter(col("__amb")).select(cols: _*).localCheckpoint()
-      span *= 2
+        partnerCols.map(col), "__sh", "__amb", Some("__ch"))
+      val refined = graft.Checkpoints.checkpoint(
+        sub.select(col(idCol), col("n_tokens"), col("pos"),
+          (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
+      frozenParts += graft.Checkpoints.checkpoint(
+        refined.filter(!col("__amb")).select(cols: _*))
+      pend = graft.Checkpoints.checkpoint(
+        refined.filter(col("__amb")).select(cols: _*))
+      span *= arity
     }
     // classes still ambiguous when the gate closes are genuinely
     // identical suffixes (to their doc ends) — their shared rank is
@@ -344,12 +371,12 @@ object SuffixSpans {
       col("gh1").as("a1"), col("gh2").as("a2"))
     val gB = grams.select(col(idCol).as("idB"), col("pos").as("posB"),
       col("gh1").as("b1"), col("gh2").as("b2"))
-    var active = pairs.filter(col("rA") =!= col("rB"))
-      .join(gA, Seq("idA", "posA")).join(gB, Seq("idB", "posB"))
-      .filter(col("a1") === col("b1") && col("a2") === col("b2"))
-      .select(col("idA"), col("posA"), col("idB"), col("posB"),
-        lit(minLen.toLong).as("__off"), least(col("remA"), col("remB")).as("__lim"))
-      .localCheckpoint()
+    var active = graft.Checkpoints.checkpoint(
+      pairs.filter(col("rA") =!= col("rB"))
+        .join(gA, Seq("idA", "posA")).join(gB, Seq("idB", "posB"))
+        .filter(col("a1") === col("b1") && col("a2") === col("b2"))
+        .select(col("idA"), col("posA"), col("idB"), col("posB"),
+          lit(minLen.toLong).as("__off"), least(col("remA"), col("remB")).as("__lim")))
     val wsA = docsArr.select(col(idCol).as("idA"), col("__ws").as("__wsA"))
     val wsB = docsArr.select(col(idCol).as("idB"), col("__ws").as("__wsB"))
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -357,7 +384,8 @@ object SuffixSpans {
     var chunk = minLen.toLong
     var rounds = 0
     while (rounds < maxRounds && !active.isEmpty) {
-      val step = active.join(wsA, Seq("idA")).join(wsB, Seq("idB"))
+      val step = graft.Checkpoints.checkpoint(
+        active.join(wsA, Seq("idA")).join(wsB, Seq("idB"))
         .withColumn("__z", zip_with(
           expr(s"slice(__wsA, cast(posA + __off + 1 as int), ${chunk.toInt})"),
           expr(s"slice(__wsB, cast(posB + __off + 1 as int), ${chunk.toInt})"),
@@ -368,8 +396,7 @@ object SuffixSpans {
         .select(col("idA"), col("posA"), col("idB"), col("posB"),
           (col("__off") + col("__adv")).as("__off"), col("__lim"),
           (col("__fp") > 0 || col("__adv") < chunk).as("__mismatch"))
-        .withColumn("__done", col("__mismatch") || col("__off") >= col("__lim"))
-        .localCheckpoint()
+        .withColumn("__done", col("__mismatch") || col("__off") >= col("__lim")))
       done += step.filter(col("__done"))
         .select(col("idA"), col("posA"), col("idB"), col("posB"),
           least(col("__off"), col("__lim")).as("lcp"))
@@ -401,9 +428,10 @@ object SuffixSpans {
     * extents on the way. */
   def duplicateSpansExact(df: DataFrame, idCol: String, textCol: String,
                           minLen: Int = 8, buildMinLen: Int = 0,
-                          baseWidth: Int = DefaultBaseWidth): DataFrame = {
+                          baseWidth: Int = DefaultBaseWidth,
+                          arity: Int = DefaultArity): DataFrame = {
     val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen,
-        baseWidth = baseWidth)
+        baseWidth = baseWidth, arity = arity)
       .withColumn("__end", col("pos") + col("dup_len") - 1)
     val w = Window.partitionBy(idCol).orderBy("pos")
     val prevMax = max(col("__end")).over(
@@ -429,10 +457,11 @@ object SuffixSpans {
   def longestPassages(df: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 8, topN: Int = 20,
                       buildMinLen: Int = 0,
-                      baseWidth: Int = DefaultBaseWidth): DataFrame = {
+                      baseWidth: Int = DefaultBaseWidth,
+                      arity: Int = DefaultArity): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
     val ext = repeatExtents(df, idCol, textCol, minLen, buildMinLen = buildMinLen,
-      baseWidth = baseWidth)
+      baseWidth = baseWidth, arity = arity)
     val w = Window.partitionBy(idCol).orderBy("pos")
     val runStarts = ext
       .withColumn("__ppos", lag("pos", 1).over(w))

@@ -95,9 +95,8 @@ object CorpusPipeline {
     // Checkpointed: three downstream consumers (candidates, survivor
     // ids, final join) each reuse the materialized rows instead of
     // re-running the quality+exact join chain.
-    val exactKept = quality.join(
-      Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol))
-      .localCheckpoint()
+    val exactKept = graft.Checkpoints.checkpoint(quality.join(
+      Dedup.exact(quality, idCol, textCol).select(col("keep_id").as(idCol)), Seq(idCol)))
 
     // 3.–4. near-dup candidates → survivor per cluster. Scoped: the
     // signature cache behind `cands` is no longer referenced once

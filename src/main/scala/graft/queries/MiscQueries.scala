@@ -103,8 +103,8 @@ object MiscQueries {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
       // two consumers (features, frame sampling) — materialize the
       // per-row codec synthesis once instead of encoding everything twice
-      val assets = Multimodal.assetsFromText(
-        graft.Parallelism.spread(docs), "doc_id", "text").localCheckpoint()
+      val assets = graft.Checkpoints.checkpoint(Multimodal.assetsFromText(
+        graft.Parallelism.spread(docs), "doc_id", "text"))
       val feats = Multimodal.extractFeatures(assets, dim = 8)
       // one-row global frame count, attached to every modality row via
       // the constant-key broadcast hash join and nulled for non-video

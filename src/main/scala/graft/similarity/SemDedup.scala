@@ -155,7 +155,7 @@ object SemDedup {
     // repeated library calls no longer accumulate full-corpus caches
     // in executor storage.
     val base = Dedup.cachedCorpus(baseOf(df, idCol, vecCol, bc))
-    val assigned = coscOf(base, idCol, cents).localCheckpoint(eager = true)
+    val assigned = graft.Checkpoints.checkpoint(coscOf(base, idCol, cents))
     val pairs = pairsFromBase(base, idCol, k, threshold, blocks = 0)
     val labels = Dedup.survivors(pairs, assigned.select(col(idCol)), idCol)
     Dedup.untrack(base)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reliable-checkpoint opt-in (SURVEY.md §4): by default every
+  * load-bearing lineage truncation is a localCheckpoint; with
+  * `spark.graft.reliableCheckpoints=true` + a checkpoint dir the same
+  * sites write through Dataset.checkpoint and survive executor loss. */
+class CheckpointsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("flag without a checkpoint dir fails fast, never falls back to local") {
+    // must run BEFORE the dir is set on the shared context (a
+    // checkpoint dir, once set, cannot be unset)
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set(Checkpoints.ConfKey, "true")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        Checkpoints.checkpoint(Seq(1, 2, 3).toDF("x")).count()
+      }
+      assert(ex.getMessage.toLowerCase.contains("checkpoint"))
+    } finally spark.conf.set(Checkpoints.ConfKey, "false")
+  }
+
+  test("reliable mode writes checkpoint files and operators stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    // reference output on the default (local) path
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    def run() = graft.dedup.Dedup.survivors(pairs, ids, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    assert(local == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    spark.conf.set(Checkpoints.ConfKey, "true")
+    try {
+      assert(run() == local)
+      // the truncations really went through the reliable path
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.set(Checkpoints.ConfKey, "false")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+}

@@ -138,6 +138,46 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     assert(!w1.exists { case (id, _, _, _) => id == 1L || id == 4L })
   }
 
+  test("refinement arity is a pure cost knob: extents identical at arity 2 vs 4") {
+    // k-ary doubling combines the ranks at pos + j·span (j = 1..k−1)
+    // into one refinement sort. The corpus forces multiple refinement
+    // rounds at baseWidth 1 (a 37-token planted phrase needs span to
+    // reach 64 binary / 81 quaternary) and exercises every sentinel
+    // case: a phrase running to a doc's final token (absent partners
+    // at several j simultaneously), a proper-prefix pair (one doc's
+    // phrase a strict prefix of another's longer run), and a long
+    // repeat-free doc holding the gate honest.
+    val rng = new scala.util.Random(67)
+    def w() = s"a${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    def run(n: Int) = Seq.fill(n)(w())
+    val p37 = run(37)
+    val df = Seq(
+      (1L, (run(5) ++ p37 ++ run(4)).mkString(" ")),
+      (2L, (run(2) ++ p37).mkString(" ")),          // phrase ends the doc
+      (3L, (p37.take(13) ++ run(6)).mkString(" ")), // proper prefix of the repeat
+      (4L, run(200).mkString(" ")),                 // long, repeat-free
+      (5L, "z1 z2")                                 // shorter than minLen
+    ).toDF("doc_id", "text")
+    def extents(k: Int) = {
+      val got = SuffixSpans.repeatExtents(df, "doc_id", "text",
+          minLen = 4, baseWidth = 1, arity = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      SharedFrames.release() // arity is excluded from the shared key by design
+      Dedup.releaseCaches()
+      got
+    }
+    val a2 = extents(2)
+    val a4 = extents(4)
+    assert(a2 === a4)
+    // planted truth: doc1 pos 5 and doc2 pos 2 share the full 37 tokens
+    assert(a2.exists { case (id, _, pos, len) => id == 1L && pos == 5 && len == 37L })
+    assert(a2.exists { case (id, _, pos, len) => id == 2L && pos == 2 && len == 37L })
+    // doc3's 13-token prefix matches the phrase hosts exactly
+    assert(a2.exists { case (id, _, pos, len) => id == 3L && pos == 0 && len == 13L })
+    assert(!a2.exists { case (id, _, _, _) => id == 4L || id == 5L })
+  }
+
   test("exact-duplicate collapse: copies get closed-form full-suffix " +
       "extents; a repeat realized only against copies is still found") {
     val rng = new scala.util.Random(41)
