@@ -135,7 +135,15 @@ object SuffixSpans {
     * refinement sort, multiplying span by `arity` — the Larsson–Sadakane
     * doubling generalized to k-ary. Arity 4 runs half the range-sorts
     * of arity 2 at ~2 extra longs per sort row, but pays (arity−1)
-    * partner lookup joins per round instead of 1. */
+    * partner lookup joins per round instead of 1 — each rescanning the
+    * full rank view (frozen ∪ pending ≈ n rows). Measured-and-REJECTED
+    * as the sf10 default (BENCH_sa_ladder_ab_r13.json, 3 interleaved
+    * fresh-JVM reps: family medians 240.3 s at arity 4 vs 172.8 at
+    * arity 2, 1.2–1.7× slower in both clean reps — on that corpus the
+    * ambiguous set stays ≈ n for every round, so the extra lookup
+    * joins cost more than the saved sorts). The knob ships for corpora
+    * whose ambiguous set decays fast, where the lookup joins touch
+    * only the small pending side. */
   private[graft] val DefaultArity = 2
 
   /** Round-12 A-B'd default (BENCH_sa_base_ab_r12.json): ranking on
@@ -147,7 +155,12 @@ object SuffixSpans {
     * fresh-JVM pairs, 277.6/227.2 → 212.5/188.8 s), with sf0.1 at
     * parity — the wider sort rows stay cheaper than a full-corpus
     * sort round until the slice width approaches typical repeat
-    * lengths. */
+    * lengths. Round 13 located that knee AT 8: widths 16 and 32 were
+    * measured-and-REJECTED (BENCH_sa_ladder_ab_r13.json, 3 interleaved
+    * fresh-JVM reps — family medians 195.2/232.2 s vs 172.8 at width
+    * 8, no clean rep where wider wins: past width 8 the round-0 sort
+    * rows grow linearly while the saved full-corpus rounds are
+    * already gone). */
   private[graft] val DefaultBaseWidth = 8
 
   /** [[computeExtentsDistinct]] behind a measured-routed
