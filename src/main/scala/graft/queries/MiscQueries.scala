@@ -131,7 +131,8 @@ object MiscQueries {
         Seq(0.25, 0.5, 0.75)).orderBy("q")),
 
     // #32 natural cubic spline through per-user hourly averages,
-    // evaluated at half-hour offsets (rows-only).
+    // evaluated at half-hour offsets — oracled by a first-principles
+    // Thomas-algorithm recursive CTE in DuckDB (below).
     "q_spline" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .withColumn("hour", (col("eps_us") / 3.6e9).cast("double"))
@@ -213,6 +214,81 @@ object MiscQueries {
         | count(*) AS cnt, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY win_start_us, event_type""".stripMargin,
+
+    // first-principles natural cubic spline: knots = per-user hourly
+    // averages; the tridiagonal second-derivative system solves via
+    // TWO recursive CTEs (Thomas forward sweep ascending, back
+    // substitution descending — fwd is MATERIALIZED so bwd reads the
+    // sweep once instead of re-running the recursion per step); every
+    // arithmetic expression mirrors the Scala operand order
+    // left-associatively, so both engines run the identical IEEE
+    // double sequence (round-4 output matched exactly with zero
+    // tolerance at sf0.01). Hour-integer knots put each half-hour
+    // probe strictly inside its own interval, and the last knot's
+    // probe clamps to x_max where the cubic collapses to y_max
+    // exactly — so evaluation needs no interval search.
+    "q_spline" ->
+      """WITH RECURSIVE knots0 AS (
+        |  SELECT user_id, cast(floor(epoch_us(ts)/3.6e9) AS bigint) AS hx, avg(value) AS hy
+        |  FROM events GROUP BY 1, 2
+        |),
+        |knots AS (
+        |  SELECT user_id, cast(hx AS double) AS x, hy AS y,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY hx) - 1 AS i,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM knots0
+        |),
+        |interior AS (
+        |  SELECT k.user_id, k.i, k.n,
+        |         (kn.x - k.x) AS sup,
+        |         (k.x - kp.x) AS sub,
+        |         2*((k.x - kp.x) + (kn.x - k.x)) AS diag,
+        |         6*((kn.y - k.y)/(kn.x - k.x) - (k.y - kp.y)/(k.x - kp.x)) AS rhs
+        |  FROM knots k
+        |  JOIN knots kp ON kp.user_id = k.user_id AND kp.i = k.i - 1
+        |  JOIN knots kn ON kn.user_id = k.user_id AND kn.i = k.i + 1
+        |  WHERE k.i BETWEEN 1 AND k.n - 2
+        |),
+        |fwd(user_id, i, n, diagp, rhsp, sup) AS MATERIALIZED (
+        |  SELECT user_id, i, n, diag, rhs, sup FROM interior WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.user_id, t.i, t.n,
+        |         t.diag - (t.sub/f.diagp)*f.sup,
+        |         t.rhs - (t.sub/f.diagp)*f.rhsp,
+        |         t.sup
+        |  FROM fwd f JOIN interior t ON t.user_id = f.user_id AND t.i = f.i + 1
+        |),
+        |bwd(user_id, i, m) AS (
+        |  SELECT user_id, i, rhsp/diagp FROM fwd WHERE i = n - 2
+        |  UNION ALL
+        |  SELECT f.user_id, f.i, (f.rhsp - f.sup*b.m)/f.diagp
+        |  FROM bwd b JOIN fwd f ON f.user_id = b.user_id AND f.i = b.i - 1
+        |),
+        |m AS (
+        |  SELECT user_id, i, m FROM bwd
+        |  UNION ALL
+        |  SELECT user_id, i, 0.0 FROM knots WHERE i = 0 OR i = n - 1
+        |),
+        |evald AS (
+        |  -- probe from knot i: px = x_i + 0.5; hour-integer knots mean the
+        |  -- probe stays inside [x_i, x_{i+1}) except the last knot, which
+        |  -- clamps to x_{n-1} and evaluates exactly to y_{n-1}
+        |  SELECT k.user_id, k.x + 0.5 AS px, k.y AS y
+        |  FROM knots k WHERE k.i = k.n - 1
+        |  UNION ALL
+        |  SELECT k.user_id, k.x + 0.5 AS px,
+        |         ((kn.x - (k.x + 0.5))/(kn.x - k.x))*k.y
+        |         + (((k.x + 0.5) - k.x)/(kn.x - k.x))*kn.y
+        |         + ( (((kn.x - (k.x + 0.5))/(kn.x - k.x))*((kn.x - (k.x + 0.5))/(kn.x - k.x))*((kn.x - (k.x + 0.5))/(kn.x - k.x)) - ((kn.x - (k.x + 0.5))/(kn.x - k.x)))*ml.m
+        |           + (((((k.x + 0.5) - k.x)/(kn.x - k.x))*((((k.x + 0.5) - k.x))/(kn.x - k.x))*((((k.x + 0.5) - k.x))/(kn.x - k.x)) - (((k.x + 0.5) - k.x)/(kn.x - k.x))))*mh.m
+        |           )*(kn.x - k.x)*(kn.x - k.x)/6.0 AS y
+        |  FROM knots k
+        |  JOIN knots kn ON kn.user_id = k.user_id AND kn.i = k.i + 1
+        |  JOIN m ml ON ml.user_id = k.user_id AND ml.i = k.i
+        |  JOIN m mh ON mh.user_id = k.user_id AND mh.i = k.i + 1
+        |  WHERE k.i < k.n - 1
+        |)
+        |SELECT user_id, px, round(y, 4) AS y FROM evald ORDER BY user_id, px""".stripMargin,
 
     // first-principles RDP as a recursive CTE: segments carry their
     // own argmax (farthest interior point from the chord, earliest
