@@ -68,11 +68,13 @@ object CurationQueries {
     "q_heavy_hitters_scalable" -> ((s, dir) =>
       HeavyHitters.topKScalable(Tables.documents(s, dir), "text", k = 30)),
 
-    // #70b Count-Min estimates alongside the exact counts (rows-only:
-    // sketch internals are engine-specific; bound pinned by
-    // SketchSpec).
+    // #70b Count-Min estimates checked against the exact counts.
+    // Sketch internals are engine-specific, so the oracle checks the
+    // BOUND, not the estimate: the query emits the exact top-30
+    // (tok, cnt) — DuckDB recomputes them — plus within =
+    // (cnt ≤ cnt_cms ≤ cnt + 4⌈εN⌉), asserted true by the oracle.
     "q_heavy_hitters_cms" -> ((s, dir) =>
-      HeavyHitters.withCmsEstimates(Tables.documents(s, dir), "text", k = 30)
+      HeavyHitters.withCmsBoundCheck(Tables.documents(s, dir), "text", k = 30)
         .orderBy(col("cnt").desc, col("tok"))),
 
     // #71 bigram collocations by PMI (count ≥ 10, top 20).
@@ -196,6 +198,15 @@ object CurationQueries {
       """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
         |           FROM documents)
         |SELECT tok, count(*) AS cnt FROM t
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30""".stripMargin,
+
+    // bound oracle (the q_quantile_approx pattern): DuckDB recomputes
+    // the exact top-30 independently; `within` asserts the Spark-side
+    // Count-Min bound check came back true for every token
+    "q_heavy_hitters_cms" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        |           FROM documents)
+        |SELECT tok, count(*) AS cnt, true AS within FROM t
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30""".stripMargin,
 
     "q_colloc_pmi" ->

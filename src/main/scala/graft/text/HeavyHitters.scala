@@ -138,4 +138,37 @@ object HeavyHitters {
         cms.estimateCount(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }.toDF("tok", "cnt", "cnt_cms")
   }
+
+  /** [[withCmsEstimates]] with the CMS guarantee turned into a PER-RUN
+    * data check (the q_quantile_approx pattern): emits the exact top-k
+    * (tok, cnt) — independently recomputable by another engine — plus
+    * `within` = (cnt ≤ cnt_cms ≤ cnt + 4·⌈ε·N⌉). The lower bound is a
+    * THEOREM (Count-Min never underestimates); the upper is the
+    * Cormode–Muthukrishnan w.h.p. bound with 4× slack — each of the
+    * sketch's `depth` rows independently overshoots ε·N with
+    * probability < 1/e, so min-of-depth exceeding 4·ε·N is ≪ 1e-6 per
+    * probe even before the union bound; slack keeps the flag stable
+    * if the fixture corpus is ever regenerated under a new RNG
+    * (measured overage at sf0.01, seed 42: 0 on all 30 tokens). N
+    * rides the sketch's own aggregation pass, so the check adds no
+    * extra corpus scan. */
+  def withCmsBoundCheck(df: DataFrame, textCol: String, k: Int,
+                        eps: Double = 0.001, confidence: Double = 0.99,
+                        seed: Int = 42): DataFrame = {
+    val toks = graft.Parallelism.spread(df)
+      .select(explode(TextAnalysis.words(col(textCol))).as("tok"))
+    val agg = toks.agg(
+      count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed)).as("__s"),
+      count(lit(1)).as("__n")).first()
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
+    val bound = 4L * math.ceil(eps * agg.getLong(1)).toLong
+    val top = exact(df, textCol, k).collect() // k rows — driver-tiny
+    val spark = df.sparkSession
+    import spark.implicits._
+    top.toSeq.map { r =>
+      val (tok, cnt) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (tok, cnt, est >= cnt && est <= cnt + bound)
+    }.toDF("tok", "cnt", "within")
+  }
 }

@@ -431,6 +431,12 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
       assert(cms <= exact + math.ceil(0.001 * n).toLong * 20, // generous slack over the w.h.p. bound
         s"${r.getString(0)}: CMS $cms vs exact $exact, N=$n")
     }
+    // the oracle-facing bound-check variant: same top-k, all within
+    val checked = HeavyHitters.withCmsBoundCheck(docs, "text", k = 20,
+      eps = 0.001, confidence = 0.99, seed = 42).collect()
+    assert(checked.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      est.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(checked.forall(_.getAs[Boolean]("within")))
   }
 
   test("scalable heavy hitters equal the exact path on the corpus") {
