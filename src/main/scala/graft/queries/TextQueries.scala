@@ -35,7 +35,8 @@ object TextQueries {
           stopwords)
         .orderBy("doc_id")),
 
-    // #47 language ID (rows-only: heuristic, no SQL equivalent).
+    // #47 language ID — oracled: the marker-count heuristic is pure
+    // integer logic, recomputed exactly in DuckDB (below).
     "q_text_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
@@ -186,6 +187,33 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // language-ID recomputed from first principles: per-language
+    // marker-token occurrence counts (zh: marker-CHARACTER presence in
+    // the raw text — unsegmented Chinese has no token boundaries),
+    // argmax with alphabetical tie-break, "und" on zero hits — pure
+    // integer logic, so the two engines must agree exactly
+    "q_text_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, x -> x IN ('der','die','das','und','ist','ein','zu','nicht'))) AS de,
+        |    len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |    len(list_filter(ws, x -> x IN ('el','los','las','una','es','que','por','como'))) AS es,
+        |    len(list_filter(ws, x -> x IN ('le','les','des','une','est','et','dans','pour'))) AS fr,
+        |    (CASE WHEN contains(text,'的') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'是') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'了') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'在') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'我') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'有') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'和') THEN 1 ELSE 0 END) + (CASE WHEN contains(text,'不') THEN 1 ELSE 0 END) AS zh
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+        |       WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+        |       WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+        |       WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+        |       WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // winnowing recomputed bit-for-bit: 3-shingles, 60-bit md5-prefix
     // hash (= Spark's md5Long60), minima over FULL w=4 windows only
     // (short docs keep position 0, window = whole doc), distinct
