@@ -20,9 +20,10 @@ object CurationQueries {
           budget = 512, shards = 8)
         .orderBy("doc_id")),
 
-    // #68b best-fit-decreasing no-split packing (rows-only: the greedy
-    // scan is not SQL-expressible; validity/quality pinned by
-    // PackingSpec).
+    // #68b best-fit-decreasing no-split packing — oracled: the greedy
+    // scan replays as a recursive CTE whose struct ordering encodes
+    // the best-fit tie discipline (below); validity/quality also
+    // pinned by PackingSpec.
     "q_pack_binpack" -> ((s, dir) =>
       Packing.binPack(Tables.documents(s, dir), "doc_id", "text",
           budget = 512, shards = 8)
@@ -37,8 +38,9 @@ object CurationQueries {
           budget = 512, shards = 4, orderCol = Some("n_chars"))
         .orderBy("doc_id")),
 
-    // #68d per-group best-fit-decreasing packing (rows-only: greedy
-    // scan; purity/capacity/quality pinned by CurationOpsSpec).
+    // #68d per-group best-fit-decreasing packing — oracled like
+    // q_pack_binpack; purity/capacity/quality also pinned by
+    // CurationOpsSpec.
     "q_pack_binpack_grouped" -> ((s, dir) =>
       Packing.binPackByGroup(Tables.documents(s, dir), "doc_id", "text", "lang",
           budget = 512, shards = 4)
@@ -143,6 +145,103 @@ object CurationQueries {
     "cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // best-fit-decreasing replayed from first principles: the bin
+    // state is a LIST of (rem, seq, bin) structs whose POSITIONAL
+    // struct ordering IS the best-fit discipline (min remaining that
+    // fits, FIFO by arrival at that remaining = min insertion step) -
+    // one recursive-CTE step per item per shard, exactly the Scala
+    // packer's (n_tokens desc, id asc) scan. Pure integer logic, so
+    // the engines must agree bin-for-bin.
+    "q_pack_binpack" ->
+      """WITH RECURSIVE w AS (
+         |  SELECT doc_id,
+         |    cast(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    cast(cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard
+         |  FROM documents),
+         |items AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS i
+         |  FROM w WHERE n_tokens > 0),
+         |pack(shard, i, doc_id, n_tokens, bin, oversize, bins, nextbin, step) AS (
+         |  SELECT shard, i, doc_id, n_tokens,
+         |         cast(0 AS BIGINT), n_tokens > 512,
+         |         CASE WHEN n_tokens > 512 OR 512 - n_tokens = 0
+         |              THEN list_filter([{'rem': cast(1 AS BIGINT), 'seq': cast(0 AS BIGINT), 'bin': cast(0 AS BIGINT)}], b -> false)
+         |              ELSE [{'rem': 512 - n_tokens, 'seq': cast(0 AS BIGINT), 'bin': cast(0 AS BIGINT)}] END,
+         |         cast(1 AS BIGINT), cast(1 AS BIGINT)
+         |  FROM items WHERE i = 1
+         |  UNION ALL
+         |  SELECT shard, i, doc_id, n_tokens,
+         |         CASE WHEN oversize OR fit IS NULL THEN nextbin ELSE fit.bin END,
+         |         oversize,
+         |         CASE WHEN oversize THEN bins
+         |              WHEN fit IS NULL THEN
+         |                bins || CASE WHEN 512 - n_tokens > 0
+         |                             THEN [{'rem': 512 - n_tokens, 'seq': step, 'bin': nextbin}]
+         |                             ELSE list_filter(bins, b -> false) END
+         |              ELSE list_filter(bins, b -> NOT (b.rem = fit.rem AND b.seq = fit.seq))
+         |                   || CASE WHEN fit.rem - n_tokens > 0
+         |                           THEN [{'rem': fit.rem - n_tokens, 'seq': step, 'bin': fit.bin}]
+         |                           ELSE list_filter(bins, b -> false) END
+         |         END,
+         |         CASE WHEN oversize OR fit IS NULL THEN nextbin + 1 ELSE nextbin END,
+         |         step + 1
+         |  FROM (
+         |    SELECT t.shard, t.i, t.doc_id, t.n_tokens,
+         |           t.n_tokens > 512 AS oversize,
+         |           p.bins, p.nextbin, p.step + 1 AS step,
+         |           list_sort(list_filter(p.bins, b -> b.rem >= t.n_tokens))[1] AS fit
+         |    FROM pack p JOIN items t ON t.shard = p.shard AND t.i = p.i + 1
+         |  )
+         |)
+         |SELECT doc_id, shard, n_tokens, bin, oversize FROM pack ORDER BY doc_id""".stripMargin,
+
+    // the grouped variant: identical machinery with (lang, shard)
+    // bin sets and 4 shards.
+    "q_pack_binpack_grouped" ->
+      """WITH RECURSIVE w AS (
+         |  SELECT doc_id, cast(lang AS VARCHAR) AS "group",
+         |    cast(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    cast(cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS BIGINT) AS shard
+         |  FROM documents),
+         |items AS (
+         |  SELECT doc_id, "group", shard, n_tokens,
+         |    row_number() OVER (PARTITION BY "group", shard ORDER BY n_tokens DESC, doc_id) AS i
+         |  FROM w WHERE n_tokens > 0),
+         |pack("group", shard, i, doc_id, n_tokens, bin, oversize, bins, nextbin, step) AS (
+         |  SELECT "group", shard, i, doc_id, n_tokens,
+         |         cast(0 AS BIGINT), n_tokens > 512,
+         |         CASE WHEN n_tokens > 512 OR 512 - n_tokens = 0
+         |              THEN list_filter([{'rem': cast(1 AS BIGINT), 'seq': cast(0 AS BIGINT), 'bin': cast(0 AS BIGINT)}], b -> false)
+         |              ELSE [{'rem': 512 - n_tokens, 'seq': cast(0 AS BIGINT), 'bin': cast(0 AS BIGINT)}] END,
+         |         cast(1 AS BIGINT), cast(1 AS BIGINT)
+         |  FROM items WHERE i = 1
+         |  UNION ALL
+         |  SELECT "group", shard, i, doc_id, n_tokens,
+         |         CASE WHEN oversize OR fit IS NULL THEN nextbin ELSE fit.bin END,
+         |         oversize,
+         |         CASE WHEN oversize THEN bins
+         |              WHEN fit IS NULL THEN
+         |                bins || CASE WHEN 512 - n_tokens > 0
+         |                             THEN [{'rem': 512 - n_tokens, 'seq': step, 'bin': nextbin}]
+         |                             ELSE list_filter(bins, b -> false) END
+         |              ELSE list_filter(bins, b -> NOT (b.rem = fit.rem AND b.seq = fit.seq))
+         |                   || CASE WHEN fit.rem - n_tokens > 0
+         |                           THEN [{'rem': fit.rem - n_tokens, 'seq': step, 'bin': fit.bin}]
+         |                           ELSE list_filter(bins, b -> false) END
+         |         END,
+         |         CASE WHEN oversize OR fit IS NULL THEN nextbin + 1 ELSE nextbin END,
+         |         step + 1
+         |  FROM (
+         |    SELECT t."group", t.shard, t.i, t.doc_id, t.n_tokens,
+         |           t.n_tokens > 512 AS oversize,
+         |           p.bins, p.nextbin, p.step + 1 AS step,
+         |           list_sort(list_filter(p.bins, b -> b.rem >= t.n_tokens))[1] AS fit
+         |    FROM pack p JOIN items t ON t."group" = p."group" AND t.shard = p.shard AND t.i = p.i + 1
+         |  )
+         |)
+         |SELECT doc_id, "group", shard, n_tokens, bin, oversize FROM pack ORDER BY doc_id""".stripMargin,
+
     "q_pack" ->
       s"""WITH w AS (SELECT doc_id,
          |  cast(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
