@@ -187,7 +187,9 @@ object Fit {
       if (syyRow.isNullAt(0)) { // empty input: undefined fit, typed nulls
         import spark.implicits._
         return Seq((Option.empty[Double], Option.empty[Double],
-          Option.empty[Double], Option.empty[Double])).toDF("a", "b", "sse_seed", "sse")
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double]))
+          .toDF("a", "b", "sse_seed", "sse", "a_seed", "b_seed")
       }
       val syy = syyRow.getDouble(0)
       // (sse with its optimal a, that a) per candidate, one job total;
@@ -229,9 +231,14 @@ object Fit {
         if (candCost < bestCost) { best = cands(j); bestCost = candCost; bestA = candA }
       }
       import spark.implicits._
+      // a_seed/b_seed: the closed-form SLR seed params ride along so a
+      // cross-engine oracle can verify the deterministic part of the
+      // fit (the annealed walk is seeded-RNG engine-specific; its
+      // contract is sse <= sse_seed)
       Seq((math.rint(bestA * 10000) / 10000, math.rint(best * 10000) / 10000,
-        math.rint(sseSeed * 10000) / 10000, math.rint(bestCost * 10000) / 10000))
-        .toDF("a", "b", "sse_seed", "sse")
+        math.rint(sseSeed * 10000) / 10000, math.rint(bestCost * 10000) / 10000,
+        a0, b0))
+        .toDF("a", "b", "sse_seed", "sse", "a_seed", "b_seed")
     } finally d.unpersist() // returned frame is a local Seq — safe to drop now
   }
 }

@@ -30,18 +30,27 @@ object FitQueries {
     "q_fit_log" -> ((s, dir) =>
       Fit.logarithmic(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice")),
 
-    // #34 annealing-refined exponential fit (rows-only: seeded RNG walk
-    // is engine-specific; the SSE-improves-seed contract is spec'd in
-    // OperatorSpec)
+    // #34 annealing-refined exponential fit — bound-oracled (the
+    // q_quantile_approx pattern): the seeded RNG walk is
+    // engine-specific, so the query emits the closed-form SLR SEED
+    // params (DuckDB recomputes them exactly — same expressions as
+    // q_fit_exp's oracle) plus within = (sse <= sse_seed), the
+    // annealing improvement contract also spec'd in OperatorSpec.
     "q_fit_exp_annealed" -> ((s, dir) =>
       Fit.exponentialAnnealed(Tables.orders(s, dir), "o_custkey", "o_totalprice",
-        iterations = 40)),
+          iterations = 40)
+        .select(round(col("a_seed"), 4).as("a_seed"),
+          round(col("b_seed"), 4).as("b_seed"),
+          (col("sse") <= col("sse_seed")).as("within"))),
 
-    // #34b annealing-refined power-law fit (rows-only, same contract as
-    // q_fit_exp_annealed: reference find-better-power-law-coefficients)
+    // #34b annealing-refined power-law fit (same bound-oracle contract
+    // as q_fit_exp_annealed: reference find-better-power-law-coefficients)
     "q_fit_power_annealed" -> ((s, dir) =>
       Fit.powerAnnealed(Tables.lineitem(s, dir), "l_quantity", "l_extendedprice",
-        iterations = 40)),
+          iterations = 40)
+        .select(round(col("a_seed"), 4).as("a_seed"),
+          round(col("b_seed"), 4).as("b_seed"),
+          (col("sse") <= col("sse_seed")).as("within"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -87,5 +96,20 @@ object FitQueries {
       """SELECT round(regr_intercept(l_extendedprice, ln(l_quantity)),4) AS a,
         | round(regr_slope(l_extendedprice, ln(l_quantity)),4) AS b
         |FROM lineitem WHERE l_quantity > 0""".stripMargin,
+
+    // bound oracles: the deterministic SLR seed params cross-check
+    // (identical expressions to q_fit_exp / q_fit_power); `within`
+    // asserts the Spark-side annealing improvement flag
+    "q_fit_exp_annealed" ->
+      """SELECT round(exp(regr_intercept(ln(o_totalprice), o_custkey)),4) AS a_seed,
+        | round(regr_slope(ln(o_totalprice), o_custkey),4) AS b_seed,
+        | true AS within
+        |FROM orders WHERE o_totalprice > 0""".stripMargin,
+
+    "q_fit_power_annealed" ->
+      """SELECT round(exp(regr_intercept(ln(l_extendedprice), ln(l_quantity))),4) AS a_seed,
+        | round(regr_slope(ln(l_extendedprice), ln(l_quantity)),4) AS b_seed,
+        | true AS within
+        |FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0""".stripMargin,
   )
 }
