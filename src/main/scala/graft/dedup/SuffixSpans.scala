@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * Construction (all relational, no driver-side corpus state):
   *  1. Prefix doubling (Manber–Myers): rank each suffix by its first
   *     baseWidth·2^h tokens (round 0 keys on the raw baseWidth-token
-  *     slice, compared as array — shorter-prefix-first array order IS
+  *     slice — NUL-joined into one string on NUL-free corpora, else
+  *     compared as array; both orders ARE shorter-prefix-first
   *     finite-suffix order), doubling h until ranks are fully
   *     distinct or the span covers every still-ambiguous suffix's
   *     remaining length (the round gate — not the longest document's
@@ -235,10 +236,15 @@ object SuffixSpans {
       .filter(size(col("__ws")) >= minLen)
       .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))
 
-    if (docsArr.agg(max("n_tokens")).first().isNullAt(0))
+    // one head pass: max length (empty guard) + whether any token
+    // contains NUL (the binary base key's separator — see below)
+    val head = docsArr.agg(max("n_tokens"),
+      max(when(exists(col("__ws"), t => t.contains("\u0000")), 1).otherwise(0))).first()
+    if (head.isNullAt(0))
       // no doc long enough: empty result, right schema
       return docsArr.select(col(idCol), col("n_tokens"),
         lit(0).as("pos"), lit(0L).as("dup_len")).limit(0)
+    val nulFree = head.getInt(1) == 0
 
     // --- 1. prefix doubling ------------------------------------------
     // Head ranks (rank = global index of the class head) let a round
@@ -264,10 +270,31 @@ object SuffixSpans {
     // text, so they full-corpus-sort ~n rows each. The key is
     // CONTENT, never a hash: a hash collision would silently merge
     // distinct suffix classes, and this construction is oracle-exact.
+    // BINARY BASE KEY (round 13): when no token contains NUL (checked
+    // in the head pass above — NUL sorts below every other character),
+    // the slice keys join into ONE NUL-separated string instead of an
+    // array<string>. Order equivalence: within-token differences
+    // compare identically; at a token boundary the separator beats any
+    // token character (so token "ab" < token "abc" ⇒ "…ab\0…" <
+    // "…abc…"), and a shorter slice's joined form is a strict prefix
+    // of any extension (shorter-prefix-first = finite-suffix order,
+    // same as the array form). Why it pays: string sort keys ride
+    // Spark's 8-byte UnsafeRow sort-prefix fast path and skip the
+    // per-position 8-element array allocation; array<string> keys
+    // compare through the interpreted ordering on every comparison.
+    // A NUL-containing corpus (adversarial — words() never produces
+    // one from whitespace splitting of sane text, but parquet can hold
+    // anything) falls back to the array form: exactness never rests on
+    // the separator assumption.
     val toks =
       if (baseWidth <= 1)
         docsArr.select(col(idCol), col("n_tokens"),
           posexplode(col("__ws")).as(Seq("pos", "__t")))
+      else if (nulFree)
+        docsArr.select(col(idCol), col("n_tokens"),
+          posexplode(expr(
+            s"transform(__ws, (x, i) -> array_join(slice(__ws, i + 1, $baseWidth), chr(0)))"))
+            .as(Seq("pos", "__t")))
       else
         docsArr.select(col(idCol), col("n_tokens"),
           posexplode(expr(s"transform(__ws, (x, i) -> slice(__ws, i + 1, $baseWidth))"))

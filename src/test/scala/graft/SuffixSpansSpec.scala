@@ -178,6 +178,24 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     assert(!a2.exists { case (id, _, _, _) => id == 4L || id == 5L })
   }
 
+  test("NUL-containing tokens route to the array base key (no separator collisions)") {
+    // the r13 binary base key joins slice keys with chr(0); a corpus
+    // whose tokens can contain NUL must fall back to the array form.
+    // The fixture is the exact collision the separator argument would
+    // otherwise break on: the token "a\u0000b" vs the token PAIR
+    // "a","b" - their NUL-joined slice keys are byte-identical
+    // ("a\0b\0p1\0p2\0p3" both), so a broken binary route would merge
+    // the two distinct suffix classes and emit a false dup_len=4 for
+    // both positions. The true answer is EMPTY (no >=4-token repeat).
+    val df = Seq(
+      (1L, "x1 x2 a\u0000b p1 p2 p3"),
+      (3L, "w1 a b p1 p2 p3")
+    ).toDF("doc_id", "text")
+    val ext = SuffixSpans.repeatExtents(df, "doc_id", "text", minLen = 4).collect()
+    SharedFrames.releaseAll(); Dedup.releaseCaches()
+    assert(ext.isEmpty, ext.mkString(", "))
+  }
+
   test("exact-duplicate collapse: copies get closed-form full-suffix " +
       "extents; a repeat realized only against copies is still found") {
     val rng = new scala.util.Random(41)
