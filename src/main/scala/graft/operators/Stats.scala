@@ -134,7 +134,14 @@ object Stats {
     * never double arithmetic) so both engines parse identical
     * constants. Exact percentile_disc is a sort-based aggregate — this
     * is a VERIFICATION query; the production path at scale is
-    * [[quantilesApprox]] alone. */
+    * [[quantilesApprox]] alone.
+    *
+    * PRECONDITION GUARD: the bracket argument needs ε·n ≥ 2 (n ≥
+    * 2·accuracy non-null rows) — below that a CORRECT sketch can
+    * legitimately land outside the window. The row count piggybacks on
+    * the same aggregation; when the precondition is unmet `within`
+    * comes back NULL (never a spurious true/false), which an oracle
+    * expecting `true` flags loudly as a mismatch pointing here. */
   def quantilesApproxChecked(df: DataFrame, valueCol: String, qs: Seq[Double],
                              accuracy: Int = 10000): DataFrame = {
     val margin = BigDecimal(2) / BigDecimal(accuracy)
@@ -148,14 +155,17 @@ object Stats {
     val arr = s"array(${qs.map(q => s"${q}D").mkString(",")})"
     val aggs =
       expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("__av") +:
+      count(col(valueCol)).as("__n") +:
       probes.zipWithIndex.flatMap { case ((_, lo, hi), i) => Seq(
         expr(s"percentile_disc(${lo}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__lo$i"),
         expr(s"percentile_disc(${hi}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__hi$i")) }
     val agg = df.agg(aggs.head, aggs.tail: _*)
     val rows = probes.zipWithIndex.map { case ((q, _, _), i) =>
       struct(expr(s"${q}D").as("q"), col(s"__lo$i").as("lo"), col(s"__hi$i").as("hi"),
-        (element_at(col("__av"), i + 1) >= col(s"__lo$i") &&
-         element_at(col("__av"), i + 1) <= col(s"__hi$i")).as("within"))
+        when(col("__n") < 2L * accuracy, lit(null).cast("boolean"))
+          .otherwise(
+            element_at(col("__av"), i + 1) >= col(s"__lo$i") &&
+            element_at(col("__av"), i + 1) <= col(s"__hi$i")).as("within"))
     }
     agg.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }

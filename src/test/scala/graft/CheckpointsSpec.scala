@@ -12,8 +12,15 @@ class CheckpointsSpec extends AnyFunSuite with SharedSpark {
 
   test("flag without a checkpoint dir fails fast, never falls back to local") {
     // must run BEFORE the dir is set on the shared context (a
-    // checkpoint dir, once set, cannot be unset)
-    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    // checkpoint dir, once set, cannot be unset). FunSuite runs tests
+    // in registration order, so within this suite the ordering holds;
+    // a FAILURE here (not a skip — an `assume` would silently drop the
+    // no-silent-fallback coverage forever) means some other suite now
+    // sets a checkpoint dir on the shared context and this test needs
+    // its own context to stay meaningful.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "shared SparkContext already has a checkpoint dir — the fail-fast " +
+        "guarantee is untestable here; isolate this test or reorder suites")
     spark.conf.set(Checkpoints.ConfKey, "true")
     try {
       val ex = intercept[org.apache.spark.SparkException] {

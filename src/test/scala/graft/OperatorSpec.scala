@@ -101,6 +101,14 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       Stats.quantilesApproxChecked(df, "x", Seq(0.0001), accuracy = 10000)
     }
+    // precondition unmet (n < 2·accuracy): within must be NULL — a
+    // correct sketch can land outside the disc window there, so
+    // neither true (silently unchecked) nor false (spurious failure)
+    // is honest; an oracle expecting true flags the null loudly
+    val tiny = (1 to 100).map(_.toDouble).toDF("x")
+    val t = Stats.quantilesApproxChecked(tiny, "x", Seq(0.5), accuracy = 10000).first()
+    assert(t.isNullAt(t.fieldIndex("within")),
+      "within must be null when n < 2*accuracy")
   }
 
   test("weightedQuantile picks first value crossing cumulative weight") {

@@ -158,9 +158,9 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
       (4L, run(200).mkString(" ")),                 // long, repeat-free
       (5L, "z1 z2")                                 // shorter than minLen
     ).toDF("doc_id", "text")
-    def extents(k: Int) = {
+    def extents(k: Int, width: Int = 1) = {
       val got = SuffixSpans.repeatExtents(df, "doc_id", "text",
-          minLen = 4, baseWidth = 1, arity = k)
+          minLen = 4, baseWidth = width, arity = k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
         .toSet
       SharedFrames.release() // arity is excluded from the shared key by design
@@ -170,6 +170,13 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     val a2 = extents(2)
     val a4 = extents(4)
     assert(a2 === a4)
+    // k-ary loop ON TOP OF the NUL-joined binary round-0 key (the
+    // shipped width-8-style path): width >= 2 starts the loop at span
+    // = width, so quaternary rounds run 4 -> 16 -> 64 over a
+    // joined-string base ranking — the knob combination the width and
+    // arity tests above each pin only in isolation
+    val a4w4 = extents(4, width = 4)
+    assert(a2 === a4w4)
     // planted truth: doc1 pos 5 and doc2 pos 2 share the full 37 tokens
     assert(a2.exists { case (id, _, pos, len) => id == 1L && pos == 5 && len == 37L })
     assert(a2.exists { case (id, _, pos, len) => id == 2L && pos == 2 && len == 37L })

@@ -15,19 +15,25 @@ Usage: tools/bench_sharded.py SF_DIR OUT_JSON [ITERS]
 import json, subprocess, sys, os, collections, time
 
 
+PROBE_CHECKSUM = 2072695552  # the pinned loop's value at n=40_000_000
+
+
 def host_speed_probe(n=40_000_000):
     """Calibrated host-speed probe: a pinned-iteration single-thread
     CPU loop (~4 s nominal), run immediately before each shard. Epoch
     adjudication was previously inference from canary shards of
     untouched queries; this makes it arithmetic — two artifacts'
     wall-times are comparable after dividing by their host_speed
-    ratios. Returns (seconds, checksum); the checksum is fixed for a
-    given n, so a mismatch means the probe itself is broken."""
+    ratios. Returns (seconds, checksum_ok); a checksum mismatch against
+    PROBE_CHECKSUM means the probe itself is broken (interrupted or
+    miscompiled loop), so callers record host_speed as None instead of
+    adjudicating against a bogus number."""
     t0 = time.perf_counter()
     acc = 0
     for i in range(n):
         acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-    return round(time.perf_counter() - t0, 3), acc
+    elapsed = round(time.perf_counter() - t0, 3)
+    return (elapsed, True) if acc == PROBE_CHECKSUM else (None, False)
 
 
 sf_dir = sys.argv[1]
@@ -44,6 +50,12 @@ names = sorted(l.strip() for l in _r.stdout.splitlines() if l.strip().startswith
 assert names, "empty registry from graft.Bench --list"
 
 SHARD_RULES = [  # (shard, prefixes) — first match wins
+    # the SA-extents family (suffix-array build + its consumers) gets
+    # its OWN fresh JVM: the ~229 s extents build otherwise ages the
+    # JVM enough to inflate the unrelated spans queries 2-3x in-suite
+    # every round (r12/r13 A-Bs kept re-adjudicating the same two
+    # queries back to their isolated band — fix the harness instead)
+    ("sa_extents", ["q_dup_spans_sa", "q_dup_passages"]),
     ("sa",       ["q_dup_"]),
     ("dedup",    ["q_dedup_"]),
     ("dsir_cur", ["q_dsir", "q_contamination", "q_split", "q_pipeline",
@@ -66,7 +78,9 @@ for shard, qs in shards.items():
         continue
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_ITERS=iters)
-    speed, _ck = host_speed_probe()
+    speed, ck_ok = host_speed_probe()
+    if not ck_ok:
+        print(f"[shard {shard}] host_speed probe CHECKSUM MISMATCH — recording null")
     print(f"[shard {shard}] {len(qs)} queries (host_speed {speed}s)", flush=True)
     r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
                         ",".join(qs)], env=env, capture_output=True, text=True)
@@ -107,7 +121,8 @@ if streaming is None:
     streaming_error = {"rc": _s.returncode, "stderr_tail": _s.stderr[-500:]}
 print(f"[streaming] {streaming or streaming_error}")
 
-speeds = sorted(v["host_speed"] for v in shard_info.values() if "host_speed" in v)
+speeds = sorted(v["host_speed"] for v in shard_info.values()
+                if v.get("host_speed") is not None)
 artifact = {
     "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
     "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
