@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 /** Dev main: suffix-array knob A-B.
   *   tools/runjvm.sh graft.SaAb parity SF_DIR        — baseWidth 1 vs 4 extents equality
   *   tools/runjvm.sh graft.SaAb bench SF_DIR W [K]   — time q_dup_spans_sa+q_dup_passages family at baseWidth W, arity K (default 2)
+  *   tools/runjvm.sh graft.SaAb copart SF_DIR on|off [K] — time the family with the r14 co-partitioned doubling loop on/off (arity K, default 2)
   */
 object SaAb {
   def main(args: Array[String]): Unit = {
@@ -15,6 +16,18 @@ object SaAb {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, dir)
     mode match {
+      case "copart" =>
+        val on = args(2) == "on"
+        val k = if (args.length > 3) args(3).toInt else 2
+        spark.conf.set(graft.dedup.SuffixSpans.CoPartConfKey, on.toString)
+        val t0 = System.nanoTime()
+        val n1 = graft.dedup.SuffixSpans.duplicateSpansExact(docs, "doc_id", "text",
+          minLen = 5, buildMinLen = 5, arity = k).count()
+        val t1 = System.nanoTime()
+        val n2 = graft.dedup.SuffixSpans.longestPassages(docs, "doc_id", "text",
+          minLen = 8, topN = 20, buildMinLen = 5, arity = k).count()
+        val t2 = System.nanoTime()
+        println(f"[saab] copart=$on arity=$k spans_sa=${(t1 - t0) / 1e9}%.1f s (rows=$n1) passages=${(t2 - t1) / 1e9}%.1f s (rows=$n2) family=${(t2 - t0) / 1e9}%.1f s")
       case "parity" =>
         val a = graft.dedup.SuffixSpans.repeatExtents(docs, "doc_id", "text",
           minLen = 5, baseWidth = 1)

@@ -547,14 +547,99 @@ object EditDistance {
         .select(col("__k"),
           least(ceil(col("__prod") / lit(blockTarget.toDouble)), lit(256L))
             .cast("int").as("__B")))
+    // SEGS-SIDE GIANT DETECTION (round 14) — closes the mixed-length
+    // evasion the r12 comment could only describe: on corpora whose
+    // lengths straddle the probe truncation (per-head τ < d(lp)), a
+    // HIGH-INDEX segment key can be shared by ~every head of its
+    // length class (segs side emits all c segments) while being
+    // enumerated only by probes long enough to reach its index
+    // (i ≤ τ+1+extraSegs) — so its probe-df sits under the hot
+    // threshold, it evades hotKeys (and with it both the drop and the
+    // hot-based giant split above), and its a·b candidate stream —
+    // bounded only by n·hotThreshold — lands in ONE task
+    // (EvasionStress measures the serialization). Detection therefore
+    // must START from the segs-side sampled df: keys whose sampled
+    // segs count alone makes a giant product POSSIBLE
+    // (a/p > blockTarget/hotDfCap — an evader's probe-df is at most
+    // ~the clamp, else it would be hot) and that are NOT already
+    // handled via hotKeys get their probe-df recounted by a
+    // broadcast-filtered aggregation over the SAME sampled probe
+    // enumeration (candidates are boilerplate-segment keys — few — so
+    // the recount is an extra sampled-probe scan with a tiny
+    // broadcast-pruned aggregation, no new shuffle), and the usual
+    // product rule assigns B. Knob `spark.graft.editdistSegsGiant`
+    // (default on) exists for the dormant-path A-B; exactness is
+    // indifferent (the block split is exact at any B, forced-path
+    // spec), detection affects COST only.
+    val segsGiantOn = df.sparkSession.conf
+      .get("spark.graft.editdistSegsGiant", "true").toBoolean
+    // b is NOT recounted: an evader's probe-df is at most ~the clamp
+    // (above it the key would be hot and handled upstream), so
+    // b-hat = hotDfCap bounds it and the product rule runs on the
+    // segs side alone. Overestimating B is CHEAP under the flipped
+    // split below — the segs side is only TAGGED (never replicated)
+    // and the probe side replicates at most b·B <= hotDfCap·256 rows
+    // corpus-wide — while recounting b cost a second sampled probe
+    // ENUMERATION, measured at ~1.5x the serialized tail it was
+    // buying back (EvasionStress, nShort = 2M: on 253 s vs off 165 s
+    // with the recount; the enumeration, not the aggregation, is the
+    // probe side's dominant map cost).
+    val giantKeys2 = broadcast(
+      segsSample.groupBy("__k").agg(count(lit(1)).as("__a2"))
+        .filter(lit(segsGiantOn) &&
+          col("__a2").cast("double") / lit(p) * lit(hotDfCap.toDouble) >
+            lit(4.0 * blockTarget))
+        .join(hotKeys.select("__k"), Seq("__k"), "left_anti")
+        .select(col("__k"),
+          least(ceil(col("__a2").cast("double") / lit(p) * lit(hotDfCap.toDouble) /
+            lit(blockTarget.toDouble)), lit(256L)).cast("int").as("__B")))
+    // FLIPPED SPLIT for segs-heavy giants: the r12 probe-tagged split
+    // replicates the SEGS side once per block — correct when the probe
+    // side is the volume (hot-hot giants: b >= threshold, blocks thin
+    // the probe stream and the per-block SHJ build stays the key's
+    // a ~ thousands). An EVASION giant is the opposite shape: a ~ n,
+    // b under the hot threshold — probe-tagging would build B copies
+    // of an n-row hash map (measured: SparkOutOfMemoryError in the
+    // SHJ build at nShort = 2M, B = 200, while the UNSPLIT path
+    // survived with one big map and the serialized tail;
+    // EvasionStress). So giantKeys2 keys split the OTHER way round:
+    // the SEGS side tags its own doc-hash block (a pure projection
+    // inside the Generate it already pays — per-block build a/B rows)
+    // and the PROBE side replicates once per block. HOW the probe
+    // replicates matters as much as which side: a second probe scan
+    // to slice out the flip rows re-runs the probe ENUMERATION — the
+    // probe side's dominant map cost — and measured ~1.5-2x the
+    // serialized tail it bought back; a Generate over the full probe
+    // stream was the r12 two-sided variant, rejected at a 12-17%
+    // dormant tax. Instead the tiny giantKeys2 frame is pre-EXPLODED
+    // to (key, block) rows (<= keys·256, broadcast), and the probe's
+    // existing broadcast-join fan-out does the replication: non-flip
+    // rows miss (one row, null __pb2), flip rows match B times — one
+    // scan, no Generate, replication only where it is due. Pairs
+    // still meet exactly once (each segs row in one block, each probe
+    // row in all blocks). A key giant on BOTH sides at a, b >
+    // blockTarget would need a 2-D grid split neither one-sided
+    // scheme provides — its candidate volume (> blockTarget²) is
+    // disk-fill territory the chooser's volume predictor refuses
+    // long before memory does.
+    val giant2ex = broadcast(giantKeys2
+      .withColumn("__pb2", explode(expr("sequence(0, __B - 1)")))
+      .select(col("__k"), col("__pb2")))
     val segsSide = segsIndexed.select("id", "__h", "__sig", "__k")
+      .join(giantKeys2.withColumnRenamed("__B", "__B2"), Seq("__k"), "left")
       .join(giantKeys, Seq("__k"), "left")
-      .withColumn("__pb", explode(expr("sequence(0, coalesce(__B, 1) - 1)")))
+      .withColumn("__pb", explode(
+        when(col("__B2").isNotNull,
+          array(pmod(xxhash64(col("id")), col("__B2")).cast("int")))
+        .when(col("__B").isNotNull, expr("sequence(0, __B - 1)"))
+        .otherwise(array(lit(0)))))
       .select(col("id"), col("__h"), col("__sig"), col("__k"), col("__pb"))
     val probeSide = probe
+      .join(giant2ex, Seq("__k"), "left")
       .join(giantKeys, Seq("__k"), "left")
-      .withColumn("__pb", when(col("__B").isNull, lit(0))
-        .otherwise(pmod(xxhash64(col("id")), col("__B")).cast("int")))
+      .withColumn("__pb", coalesce(col("__pb2"),
+        when(col("__B").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("id")), col("__B")).cast("int"))))
       .select(col("id").as("id2"), col("__h").as("__hB"),
         col("__sig").as("__sigB"), col("__len").as("__lenB"),
         col("__k"), col("__pb"))
@@ -608,7 +693,7 @@ object EditDistance {
     Map("heads" -> heads, "segs" -> segs, "probe" -> probe,
       "probeSample" -> probeSample, "hotKeys" -> hotKeys,
       "dropSet" -> dropSet, "segsIndexed" -> segsIndexed,
-      "giantKeys" -> giantKeys,
+      "giantKeys" -> giantKeys, "giantKeys2" -> giantKeys2,
       "verified" -> verified, "result" -> result)
   }
 }

@@ -32,16 +32,21 @@ import org.apache.spark.sql.functions._
   *     length). Ranks are HEAD ranks (class head's global
   *     row index, [[GlobalOrder.withHeadRank]]) so a class of size s
   *     owns rank range [r, r+s) and refines in place: each round only
-  *     the still-ambiguous classes join their pos+2^h partner and
-  *     re-sort — rows carry (id, pos, rank, rank2), ~32 bytes, never
-  *     token text — while singleton classes accrete into frozen
-  *     checkpointed pieces (the singleton flag and the class-head
-  *     rank ride the ranking sort itself, so a round is one parallel
-  *     sort plus slim split materializations — zero groupBy shuffles,
-  *     zero split joins). Natural text
-  *     individuates almost all
-  *     suffixes within a few rounds, so late rounds cost a corpus
-  *     scan + a small broadcast join, not a corpus sort. Suffixes
+  *     the still-ambiguous classes fetch their pos+2^h partner's rank
+  *     and re-sort — rows carry (id, pos, rank, rank2), ~32 bytes,
+  *     never token text (the singleton flag and the class-head rank
+  *     ride the ranking sort itself — zero groupBy shuffles, zero
+  *     split joins). The rank STATE lives in one hash(doc)-partitioned
+  *     (doc, pos)-sorted table (round 14, [[doublingCoPartitioned]]):
+  *     positions are dense within each doc block, so a partner lookup
+  *     is an ARRAY OFFSET in the same partition and the per-round
+  *     refinement folds back in by a co-partitioned sorted merge —
+  *     the full corpus is never re-shuffled after the one layout
+  *     exchange, only scanned and rewritten through executor-local
+  *     checkpoints. (The pre-r14 join-formulated loop — frozen pieces
+  *     ∪ pending view probed by equi-join, one full-view exchange per
+  *     round — remains as [[doublingJoin]], the A-B comparator and
+  *     surrogate-collision fallback.) Suffixes
   *     never compare across documents (a position within 2^h of its
   *     doc end ranks its missing partner as −1 = "ends here", which
   *     orders doc-final suffixes exactly like finite strings).
@@ -236,15 +241,32 @@ object SuffixSpans {
       .filter(size(col("__ws")) >= minLen)
       .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))
 
-    // one head pass: max length (empty guard) + whether any token
-    // contains NUL (the binary base key's separator — see below)
+    // one head pass: max length (empty guard), whether any token
+    // contains NUL (the binary base key's separator — see below), and
+    // the surrogate-key bijection check for the co-partitioned loop (a
+    // 64-bit xxhash64 collision between two doc ids would silently
+    // merge their suffix sets; astronomically unlikely at any real doc
+    // count, but exactness never RESTS on it — a detected collision
+    // routes to the join-formulated loop keyed on the raw id)
     val head = docsArr.agg(max("n_tokens"),
-      max(when(exists(col("__ws"), t => t.contains("\u0000")), 1).otherwise(0))).first()
+      max(when(exists(col("__ws"), t => t.contains("\u0000")), 1).otherwise(0)),
+      countDistinct(col(idCol)),
+      countDistinct(xxhash64(col(idCol)))).first()
     if (head.isNullAt(0))
       // no doc long enough: empty result, right schema
       return docsArr.select(col(idCol), col("n_tokens"),
         lit(0).as("pos"), lit(0L).as("dup_len")).limit(0)
     val nulFree = head.getInt(1) == 0
+    // CO-PARTITIONED DOUBLING (round 14, default): the loop's rank
+    // state lives in ONE hash(doc)-partitioned, (doc, pos)-sorted
+    // table keyed by a LONG surrogate, so each round's partner lookup
+    // and rank merge are per-partition streaming passes with ZERO
+    // exchanges over the full corpus — see [[doublingCoPartitioned]].
+    // The join-formulated loop stays as the measured comparator and
+    // the fallback for a surrogate collision.
+    val coPart = df.sparkSession.conf.get(CoPartConfKey, "true").toBoolean &&
+      head.getLong(2) == head.getLong(3)
+    val keyExpr = if (coPart) xxhash64(col(idCol)) else col(idCol)
 
     // --- 1. prefix doubling ------------------------------------------
     // Head ranks (rank = global index of the class head) let a round
@@ -288,15 +310,15 @@ object SuffixSpans {
     // the separator assumption.
     val toks =
       if (baseWidth <= 1)
-        docsArr.select(col(idCol), col("n_tokens"),
+        docsArr.select(keyExpr.as("__kid"), col("n_tokens"),
           posexplode(col("__ws")).as(Seq("pos", "__t")))
       else if (nulFree)
-        docsArr.select(col(idCol), col("n_tokens"),
+        docsArr.select(keyExpr.as("__kid"), col("n_tokens"),
           posexplode(expr(
             s"transform(__ws, (x, i) -> array_join(slice(__ws, i + 1, $baseWidth), chr(0)))"))
             .as(Seq("pos", "__t")))
       else
-        docsArr.select(col(idCol), col("n_tokens"),
+        docsArr.select(keyExpr.as("__kid"), col("n_tokens"),
           posexplode(expr(s"transform(__ws, (x, i) -> slice(__ws, i + 1, $baseWidth))"))
             .as(Seq("pos", "__t")))
     // the singleton/ambiguous split and the class-head rank both ride
@@ -304,96 +326,22 @@ object SuffixSpans {
     // parallel sort per round, no groupBy shuffles, no split joins
     val r0 = GlobalOrder.withHeadRankFlagged(toks, Nil, Seq(col("__t")), "__r", "__amb")
     val all0 = graft.Checkpoints.checkpoint(r0.drop("__t"))
-    val cols = Seq(col(idCol), col("n_tokens"), col("pos"), col("__r"))
-    // frozen pieces (classes proven singleton) + the active remainder;
-    // their union is the full rank table at any round
-    // Both splits are MATERIALIZED slim: frozen pieces are rescanned by
-    // every later round's rankedView, so leaving them as lazy filters
-    // over the full per-round checkpoints would re-read each round's
-    // whole refined set (≈ the duplicate mass, which on low-entropy
-    // corpora stays ≈ n for all ⌈log2 maxLen⌉ rounds) once per LATER
-    // round — a quadratic-in-rounds scan. Materialized, the pieces are
-    // disjoint and total ≤ n rows at any round.
-    val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    frozenParts += graft.Checkpoints.checkpoint(
-      all0.filter(!col("__amb")).select(cols: _*))
-    var pend = graft.Checkpoints.checkpoint(
-      all0.filter(col("__amb")).select(cols: _*))
-    var span = baseWidth.toLong
-    // ROUND GATE (round 12): stop when span covers every pending
-    // row's remaining suffix, not when it covers the longest DOC.
-    // Once span ≥ max(n_tokens − pos) over the pending set, every
-    // pending class's shared rank already encodes its members' full
-    // remaining suffixes (the −1 end-marker chain orders doc-final
-    // suffixes like finite strings), so equal rank = identical
-    // suffixes — exactly the loop's exit invariant — and further
-    // rounds provably refine nothing while still paying a sort each.
-    // A corpus whose longest doc is 4096 tokens but whose ambiguous
-    // classes are all short repeats would otherwise pay ~9 dead
-    // rounds. One aggregate replaces the isEmpty probe (same job
-    // count per round, strictly more information).
-    def pendGate(): Long = { // max remaining length, 0 when empty
-      val r = pend.agg(max(col("n_tokens") - col("pos"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    while (span < pendGate()) {
-      val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
-      // suffix at pos p extends with the ranks of the suffixes at
-      // p + j·span for j = 1..arity−1 (binary doubling is arity 2 —
-      // one partner; k-ary combines k−1 partners per round and
-      // multiplies span by k, exactness per the lexicographic
-      // composition argument: components j < k agree whenever the
-      // first difference lies beyond (j+1)·span, and a −1 end marker
-      // orders a proper-prefix suffix strictly first at its first
-      // absent partner). Each partner lookup shifts the rank view by
-      // −j·span so the probe is a plain equi-join. Positions with
-      // pos ≥ n_tokens − j·span have no partner — knowable
-      // arithmetically, so the join stays INNER (broadcastable on the
-      // shrinking active side; a left join would force the full
-      // corpus-sized lookup through a shuffle).
-      var paired = pend
-      val partnerCols = (1 until arity).map(j => s"__p$j")
-      for (j <- 1 until arity) {
-        val shift = span * j
-        val nearEnd = paired.filter(col("pos") >= col("n_tokens") - lit(shift))
-          .withColumn(s"__p$j", lit(-1L))
-        val lookup = rankedView.select(col(idCol), (col("pos") - lit(shift)).as("pos"),
-          col("__r").as(s"__p$j"))
-        val far = paired.filter(col("pos") < col("n_tokens") - lit(shift))
-          .join(lookup, Seq(idCol, "pos"))
-        paired = far.unionByName(nearEnd)
-      }
-      // within class [r, r+s): new rank = r + (rows strictly before
-      // this row's (r, partners…) run) = r + __sh − __ch, where __ch
-      // (the block head = min(__sh) over the class, contiguous under
-      // the sort) and the new class's size>1 flag are computed inside
-      // the ranking pass itself — every member of an ambiguous class
-      // is in the subset, so the offsets are exact
-      val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
-        partnerCols.map(col), "__sh", "__amb", Some("__ch"))
-      val refined = graft.Checkpoints.checkpoint(
-        sub.select(col(idCol), col("n_tokens"), col("pos"),
-          (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
-      frozenParts += graft.Checkpoints.checkpoint(
-        refined.filter(!col("__amb")).select(cols: _*))
-      pend = graft.Checkpoints.checkpoint(
-        refined.filter(col("__amb")).select(cols: _*))
-      span *= arity
-    }
-    // classes still ambiguous when the gate closes are genuinely
-    // identical suffixes (to their doc ends) — their shared rank is
-    // final
-    val ranked = (frozenParts :+ pend).reduce(_ unionByName _)
+    val ranked =
+      if (coPart) doublingCoPartitioned(all0, baseWidth, arity)
+      else doublingJoin(all0, baseWidth, arity)
 
     // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
+    // (steps 2 and 3 run on the loop's "__kid" key — the raw id on the
+    // join path, the long surrogate on the co-partitioned one; the
+    // caller's id comes back in the final join below)
     val suff = ranked.filter(col("pos") <= col("n_tokens") - minLen)
       .withColumn("__rem", col("n_tokens") - col("pos"))
     val adj = GlobalOrder.withPrev(suff,
-      Seq(col("__r"), col(idCol), col("pos")), Seq(idCol, "pos", "__r", "__rem"))
-    val pairs = adj.filter(col(s"__prev_$idCol").isNotNull)
-      .select(col(s"__prev_$idCol").as("idA"), col("__prev_pos").as("posA"),
+      Seq(col("__r"), col("__kid"), col("pos")), Seq("__kid", "pos", "__r", "__rem"))
+    val pairs = adj.filter(col("__prev___kid").isNotNull)
+      .select(col("__prev___kid").as("idA"), col("__prev_pos").as("posA"),
         col("__prev___r").as("rA"), col("__prev___rem").as("remA"),
-        col(idCol).as("idB"), col("pos").as("posB"),
+        col("__kid").as("idB"), col("pos").as("posB"),
         col("__r").as("rB"), col("__rem").as("remB"))
 
     // --- 3. neighbor LCPs ---------------------------------------------
@@ -403,13 +351,13 @@ object SuffixSpans {
         least(col("remA"), col("remB")).as("lcp"))
     // 128-bit gram prefilter: unequal hashes PROVE lcp < minLen (drop);
     // equal hashes proceed to exact chunk comparison from off = minLen
-    val grams = docsArr.select(col(idCol),
+    val grams = docsArr.select(keyExpr.as("__kid"),
         posexplode(Dedup.positionalShingleArray(minLen)).as(Seq("pos", "__g")))
-      .select(col(idCol), col("pos"),
+      .select(col("__kid"), col("pos"),
         xxhash64(col("__g")).as("gh1"), xxhash64(lit("s2"), col("__g")).as("gh2"))
-    val gA = grams.select(col(idCol).as("idA"), col("pos").as("posA"),
+    val gA = grams.select(col("__kid").as("idA"), col("pos").as("posA"),
       col("gh1").as("a1"), col("gh2").as("a2"))
-    val gB = grams.select(col(idCol).as("idB"), col("pos").as("posB"),
+    val gB = grams.select(col("__kid").as("idB"), col("pos").as("posB"),
       col("gh1").as("b1"), col("gh2").as("b2"))
     var active = graft.Checkpoints.checkpoint(
       pairs.filter(col("rA") =!= col("rB"))
@@ -417,8 +365,8 @@ object SuffixSpans {
         .filter(col("a1") === col("b1") && col("a2") === col("b2"))
         .select(col("idA"), col("posA"), col("idB"), col("posB"),
           lit(minLen.toLong).as("__off"), least(col("remA"), col("remB")).as("__lim")))
-    val wsA = docsArr.select(col(idCol).as("idA"), col("__ws").as("__wsA"))
-    val wsB = docsArr.select(col(idCol).as("idB"), col("__ws").as("__wsB"))
+    val wsA = docsArr.select(keyExpr.as("idA"), col("__ws").as("__wsA"))
+    val wsB = docsArr.select(keyExpr.as("idB"), col("__ws").as("__wsB"))
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     done += eqLcp
     var chunk = minLen.toLong
@@ -450,11 +398,15 @@ object SuffixSpans {
 
     // dup_len(pos) = max LCP with either SA neighbor
     val lcps = done.reduce(_ unionByName _)
-    val byPos = lcps.select(col("idA").as(idCol), col("posA").as("pos"), col("lcp"))
-      .unionByName(lcps.select(col("idB").as(idCol), col("posB").as("pos"), col("lcp")))
-      .groupBy(col(idCol), col("pos")).agg(max("lcp").as("dup_len"))
+    val byPos = lcps.select(col("idA").as("__kid"), col("posA").as("pos"), col("lcp"))
+      .unionByName(lcps.select(col("idB").as("__kid"), col("posB").as("pos"), col("lcp")))
+      .groupBy(col("__kid"), col("pos")).agg(max("lcp").as("dup_len"))
       .filter(col("dup_len") >= minLen)
-    byPos.join(docsArr.select(col(idCol), col("n_tokens")), Seq(idCol))
+    // map the loop key back to the caller's id (identity join on the
+    // join path; surrogate→id on the co-partitioned one — byPos holds
+    // only the duplicate-mass positions, so this join is result-sized)
+    byPos.join(docsArr.select(keyExpr.as("__kid"), col(idCol), col("n_tokens")),
+        Seq("__kid"))
       .select(col(idCol), col("n_tokens"), col("pos"), col("dup_len"))
   }
 
@@ -516,5 +468,267 @@ object SuffixSpans {
           expr("slice(__ws, cast(pos + 1 as int), cast(dup_len as int))")).as("passage"))
       .orderBy(col("dup_len").desc, col(idCol), col("pos"))
       .limit(topN)
+  }
+
+  /** Session-conf knob for the co-partitioned doubling loop (default
+    * on). `false` routes to the join-formulated loop — the measured
+    * comparator for A-Bs and the automatic fallback when the xxhash64
+    * doc-id surrogate is not a bijection (checked per build). */
+  private[graft] val CoPartConfKey = "spark.graft.saCopartition"
+
+  /** The join-formulated doubling loop (rounds <= r13): frozen
+    * checkpointed pieces + a pending set; each round's partner lookup
+    * equi-joins the pending probe against the shifted full rank view
+    * (frozen ∪ pending ≈ n rows — a full-corpus exchange, or a
+    * broadcast + full-view scan once the pending side shrinks). Kept
+    * verbatim as the surrogate-collision fallback and the A-B
+    * comparator for [[doublingCoPartitioned]]. Input/output rows:
+    * (__kid, n_tokens, pos, __r[, __amb]). */
+  private def doublingJoin(all0: DataFrame, baseWidth: Int, arity: Int): DataFrame = {
+    val cols = Seq(col("__kid"), col("n_tokens"), col("pos"), col("__r"))
+    // frozen pieces (classes proven singleton) + the active remainder;
+    // their union is the full rank table at any round
+    // Both splits are MATERIALIZED slim: frozen pieces are rescanned by
+    // every later round's rankedView, so leaving them as lazy filters
+    // over the full per-round checkpoints would re-read each round's
+    // whole refined set (≈ the duplicate mass, which on low-entropy
+    // corpora stays ≈ n for all ⌈log2 maxLen⌉ rounds) once per LATER
+    // round — a quadratic-in-rounds scan. Materialized, the pieces are
+    // disjoint and total ≤ n rows at any round.
+    val frozenParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    frozenParts += graft.Checkpoints.checkpoint(
+      all0.filter(!col("__amb")).select(cols: _*))
+    var pend = graft.Checkpoints.checkpoint(
+      all0.filter(col("__amb")).select(cols: _*))
+    var span = baseWidth.toLong
+    // ROUND GATE (round 12): stop when span covers every pending
+    // row's remaining suffix, not when it covers the longest DOC.
+    // Once span ≥ max(n_tokens − pos) over the pending set, every
+    // pending class's shared rank already encodes its members' full
+    // remaining suffixes (the −1 end-marker chain orders doc-final
+    // suffixes like finite strings), so equal rank = identical
+    // suffixes — exactly the loop's exit invariant — and further
+    // rounds provably refine nothing while still paying a sort each.
+    // A corpus whose longest doc is 4096 tokens but whose ambiguous
+    // classes are all short repeats would otherwise pay ~9 dead
+    // rounds. One aggregate replaces the isEmpty probe (same job
+    // count per round, strictly more information).
+    def pendGate(): Long = { // max remaining length, 0 when empty
+      val r = pend.agg(max(col("n_tokens") - col("pos"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    while (span < pendGate()) {
+      val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
+      // suffix at pos p extends with the ranks of the suffixes at
+      // p + j·span for j = 1..arity−1 (binary doubling is arity 2 —
+      // one partner; k-ary combines k−1 partners per round and
+      // multiplies span by k, exactness per the lexicographic
+      // composition argument: components j < k agree whenever the
+      // first difference lies beyond (j+1)·span, and a −1 end marker
+      // orders a proper-prefix suffix strictly first at its first
+      // absent partner). Each partner lookup shifts the rank view by
+      // −j·span so the probe is a plain equi-join. Positions with
+      // pos ≥ n_tokens − j·span have no partner — knowable
+      // arithmetically, so the join stays INNER (broadcastable on the
+      // shrinking active side; a left join would force the full
+      // corpus-sized lookup through a shuffle).
+      var paired = pend
+      val partnerCols = (1 until arity).map(j => s"__p$j")
+      for (j <- 1 until arity) {
+        val shift = span * j
+        val nearEnd = paired.filter(col("pos") >= col("n_tokens") - lit(shift))
+          .withColumn(s"__p$j", lit(-1L))
+        val lookup = rankedView.select(col("__kid"), (col("pos") - lit(shift)).as("pos"),
+          col("__r").as(s"__p$j"))
+        val far = paired.filter(col("pos") < col("n_tokens") - lit(shift))
+          .join(lookup, Seq("__kid", "pos"))
+        paired = far.unionByName(nearEnd)
+      }
+      // within class [r, r+s): new rank = r + (rows strictly before
+      // this row's (r, partners…) run) = r + __sh − __ch, where __ch
+      // (the block head = min(__sh) over the class, contiguous under
+      // the sort) and the new class's size>1 flag are computed inside
+      // the ranking pass itself — every member of an ambiguous class
+      // is in the subset, so the offsets are exact
+      val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
+        partnerCols.map(col), "__sh", "__amb", Some("__ch"))
+      val refined = graft.Checkpoints.checkpoint(
+        sub.select(col("__kid"), col("n_tokens"), col("pos"),
+          (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
+      frozenParts += graft.Checkpoints.checkpoint(
+        refined.filter(!col("__amb")).select(cols: _*))
+      pend = graft.Checkpoints.checkpoint(
+        refined.filter(col("__amb")).select(cols: _*))
+      span *= arity
+    }
+    // classes still ambiguous when the gate closes are genuinely
+    // identical suffixes (to their doc ends) — their shared rank is
+    // final
+    (frozenParts :+ pend).reduce(_ unionByName _)
+  }
+
+  /** The co-partitioned doubling loop (round 14): the full rank state
+    * lives in ONE table hash-partitioned by doc surrogate and sorted
+    * by (doc, pos) within partitions — a layout every round REUSES,
+    * because the partner of (doc, pos) at pos + j·span lives j·span
+    * rows ahead in the SAME partition (positions are dense 0..n−1
+    * within each doc block, and no row ever leaves the table). Each
+    * round then costs:
+    *   1. partner lookup — one zero-exchange streaming pass over the
+    *      table ([[pairedRows]]: a bounded lookahead window, partner
+    *      rank read by ARRAY OFFSET, no join, no hash map);
+    *   2. the refinement range-sort over the pending rows only
+    *      (unchanged, [[GlobalOrder.withHeadRankFlagged]]);
+    *   3. rank merge — the refined delta re-keyed to the same layout
+    *      (a pending-sized exchange) and zipped partition-for-partition
+    *      into the table by a sorted two-pointer pass ([[mergeSorted]]),
+    *      then checkpointed as the next round's state.
+    * vs the join loop's per-round full-corpus exchange of the rank
+    * view: the full table is only ever SCANNED and REWRITTEN (slim
+    * ~40-byte rows through executor-local storage), never shuffled.
+    * The trade-offs, stated honestly: (a) the merge rewrites n rows
+    * per round where the join loop checkpointed only the refined set —
+    * on fast-decaying corpora that is the price for removing the
+    * full-view exchange that same round still pays; (b) hash(doc)
+    * partitioning makes partition load ∝ the largest document (the
+    * per-doc window stages downstream already have this shape); the
+    * lookahead window is likewise bounded by min((arity−1)·span,
+    * longest doc) rows. Doc ids ride as the xxhash64 long surrogate
+    * (bijection-checked upstream) so partition hashing, in-partition
+    * ordering and row width never depend on the caller's id type.
+    * Exactness is pinned by the copart≡join parity spec and the
+    * planted-truth extents suites (both loops produce identical
+    * extents), plus in-pass density asserts that fail loudly if the
+    * layout invariant is ever broken. */
+  private def doublingCoPartitioned(all0: DataFrame, baseWidth: Int, arity: Int): DataFrame = {
+    val spark = all0.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    def gateOf(d: DataFrame): Long = { // max remaining length over the
+      // (new) pending rows — the same round gate as the join loop; 0
+      // when no class is still ambiguous
+      val r = d.filter(col("__amb")).agg(max(col("n_tokens") - col("pos"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var span = baseWidth.toLong
+    var gate = gateOf(all0)
+    if (span >= gate) // round 0 individuated everything still pending
+      return all0.select("__kid", "n_tokens", "pos", "__r")
+    def layout(d: DataFrame): DataFrame = graft.Checkpoints.checkpoint(
+      d.select(col("__kid"), col("n_tokens"), col("pos"), col("__r"), col("__amb"))
+        .repartition(nPart, col("__kid")).sortWithinPartitions("__kid", "pos"))
+    var table = layout(all0)
+    while (span < gate) {
+      val paired = pairedRows(table, span, arity)
+      val partnerCols = (1 until arity).map(j => s"__p$j")
+      // within class [r, r+s): new rank = r + __sh − __ch, exactly as
+      // in the join loop (the refinement sort is shared machinery)
+      val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
+        partnerCols.map(col), "__sh", "__amb", Some("__ch"))
+      val delta = layout(sub.select(col("__kid"), col("n_tokens"), col("pos"),
+        (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
+      // frozen rows never re-enter the pending set, so the NEW pending
+      // set is exactly the delta's ambiguous rows — the gate reads the
+      // (checkpointed, pending-sized) delta, not the merged table
+      gate = gateOf(delta)
+      table = graft.Checkpoints.checkpoint(mergeSorted(table, delta))
+      span *= arity
+    }
+    // classes still ambiguous when the gate closes are genuinely
+    // identical suffixes (to their doc ends) — their shared rank is
+    // final
+    table.select("__kid", "n_tokens", "pos", "__r")
+  }
+
+  /** One zero-exchange partner-lookup pass over the co-partitioned
+    * rank table: for every still-ambiguous row (doc, pos) emit
+    * (__kid, n_tokens, pos, __r, __p1..__p_{arity−1}) where __pj is
+    * the rank at (doc, pos + j·span), read from a bounded lookahead
+    * window — positions are dense within each doc block, so the
+    * partner sits exactly j·span rows ahead in the same sorted
+    * partition (density is asserted per lookup; a violation is a
+    * layout bug and must fail the job, never mis-rank). Positions
+    * within j·span of their doc end take the −1 end marker, exactly
+    * like the join loop's nearEnd branch. The window never holds more
+    * than min((arity−1)·span, remaining doc length) + 1 rows. */
+  private def pairedRows(table: DataFrame, spanLen: Long, arity: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val maxShift = spanLen * (arity - 1)
+    val schema = StructType(table.schema.fields.take(4).toIndexedSeq ++
+      (1 until arity).map(j => StructField(s"__p$j", LongType, nullable = false)))
+    val rdd = table.rdd.mapPartitions { it =>
+      new Iterator[Row] {
+        private val buf = new scala.collection.mutable.ArrayDeque[Row]()
+        private var out: Row = _
+        private def advance(): Unit = {
+          while (out == null && (buf.nonEmpty || it.hasNext)) {
+            if (buf.isEmpty) buf.append(it.next())
+            val h = buf.head
+            val nTok = h.getLong(1); val pos = h.getInt(2)
+            // rows of lookahead this head can ever need: partners stop
+            // at the doc end, and the doc block is contiguous
+            val need = math.min(maxShift, nTok - pos - 1).toInt
+            while (buf.length - 1 < need && it.hasNext) buf.append(it.next())
+            buf.removeHead()
+            if (h.getBoolean(4)) {
+              val vals = new Array[Any](3 + arity)
+              vals(0) = h.getLong(0); vals(1) = nTok
+              vals(2) = pos; vals(3) = h.getLong(3)
+              var j = 1
+              while (j < arity) {
+                val sh = spanLen * j
+                vals(3 + j) =
+                  if (pos + sh >= nTok) -1L
+                  else {
+                    val part = buf((sh - 1).toInt) // head removed: offset sh ⇒ index sh−1
+                    require(part.getLong(0) == h.getLong(0) && part.getInt(2) == pos + sh,
+                      s"suffix rank table density violated at pos=$pos shift=$sh")
+                    part.getLong(3)
+                  }
+                j += 1
+              }
+              out = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            }
+          }
+        }
+        def hasNext: Boolean = { if (out == null) advance(); out != null }
+        def next(): Row = {
+          if (out == null) advance()
+          val r = out; out = null; r
+        }
+      }
+    }
+    table.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Sorted two-pointer merge of the refined delta into the rank
+    * table, partition-for-partition (both sides share the
+    * hash(__kid)-into-nPart layout and the (__kid, pos) in-partition
+    * order, so `zipPartitions` aligns them without any exchange).
+    * Delta keys are a subset of table keys — a row takes the delta's
+    * (rank, amb) when keys match, else passes through unchanged; a
+    * delta row left over when its partition's table side is exhausted
+    * is a co-partitioning bug and fails loudly. */
+  private def mergeSorted(table: DataFrame, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = table.schema
+    val rdd = table.rdd.zipPartitions(delta.rdd) { (ti, di0) =>
+      val di = di0.buffered
+      val merged = ti.map { t =>
+        if (di.hasNext && di.head.getLong(0) == t.getLong(0) &&
+            di.head.getInt(2) == t.getInt(2)) di.next()
+        else t
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = merged.hasNext
+          if (!h) require(!di.hasNext,
+            "suffix delta row missing from the base rank table (layout bug)")
+          h
+        }
+        def next(): Row = merged.next()
+      }
+    }
+    table.sparkSession.createDataFrame(rdd, schema)
   }
 }

@@ -149,6 +149,36 @@ class EditDistanceSpec extends AnyFunSuite with SharedSpark {
     assert(blocked === bruteForce(docs, 0.1, 80))
   }
 
+  test("flipped split (segs-heavy giant via segs-side detection) fires and stays exact") {
+    // force the r14 segs-side giant route at spec scale: hotDf huge so
+    // NO key is hot (giant2 candidacy requires non-hot), blockTarget=1
+    // so any sampled key with a*b > 4 becomes a flipped giant (segs
+    // side tags its own doc-hash block, probe side replicates per
+    // block). skewSampleFrac=1 makes the decision deterministic.
+    // Output must equal the dormant path and brute force — the flip
+    // only re-shapes which side replicates, never the candidate
+    // multiset (each segs row in one block, each probe row in all).
+    val docs = corpus()
+    val df = docs.toDF("doc_id", "text")
+    val flipped = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0,
+        hotDf = 1000000, hotFrac = 1.0, blockTarget = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // the forced path really did flip: giantKeys2 must carry B >= 2
+    // while the hot-anchored giantKeys stays empty
+    val st = EditDistance.stages(df, "doc_id", "text",
+      maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0,
+      hotDf = 1000000, hotFrac = 1.0, blockTarget = 1L)
+    assert(st("giantKeys").isEmpty, "hot-anchored giants should be empty here")
+    assert(st("giantKeys2").filter(col("__B") >= 2).count() > 0,
+      "flipped path never fired")
+    val plain = EditDistance.editDistancePairs(df, "doc_id", "text",
+        maxFrac = 0.1, headChars = 80, skewSampleFrac = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flipped === plain)
+    assert(flipped === bruteForce(docs, 0.1, 80))
+  }
+
   test("short-text corpus (every head under the fingerprint width) stays exact") {
     // the round-7 short path broadcast-nested-looped this shape; the
     // per-length pigeonhole must handle an all-short corpus exactly

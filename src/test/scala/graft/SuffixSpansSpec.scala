@@ -185,6 +185,44 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     assert(!a2.exists { case (id, _, _, _) => id == 4L || id == 5L })
   }
 
+  test("co-partitioned doubling == join-formulated doubling (full parity, both arities)") {
+    // the r14 co-partitioned loop keeps the rank state in one
+    // hash(doc)-partitioned (doc, pos)-sorted table and reads partner
+    // ranks by array offset; the join loop is the independently-derived
+    // comparator. The corpus forces several refinement rounds (a
+    // 37-token phrase), doc-final suffixes (phrase ends a doc), a
+    // proper-prefix pair, a long repeat-free doc, and a doc shorter
+    // than minLen — every sentinel the partner lookup handles.
+    val rng = new scala.util.Random(71)
+    def w() = s"c${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    def run(n: Int) = Seq.fill(n)(w())
+    val p37 = run(37)
+    val df = Seq(
+      (1L, (run(5) ++ p37 ++ run(4)).mkString(" ")),
+      (2L, (run(2) ++ p37).mkString(" ")),          // phrase ends the doc
+      (3L, (p37.take(13) ++ run(6)).mkString(" ")), // proper prefix of the repeat
+      (4L, run(200).mkString(" ")),                 // long, repeat-free
+      (5L, "z1 z2")                                 // shorter than minLen
+    ).toDF("doc_id", "text")
+    def extents(copart: Boolean, width: Int, k: Int) = {
+      spark.conf.set(SuffixSpans.CoPartConfKey, copart.toString)
+      try {
+        val got = SuffixSpans.repeatExtents(df, "doc_id", "text",
+            minLen = 4, baseWidth = width, arity = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+          .toSet
+        SharedFrames.release()
+        Dedup.releaseCaches()
+        got
+      } finally spark.conf.unset(SuffixSpans.CoPartConfKey)
+    }
+    val joinPath = extents(copart = false, width = 1, k = 2)
+    assert(joinPath.nonEmpty)
+    assert(extents(copart = true, width = 1, k = 2) === joinPath)
+    // and on the shipped-shaped config: joined binary base key + k-ary
+    assert(extents(copart = true, width = 4, k = 4) === joinPath)
+  }
+
   test("NUL-containing tokens route to the array base key (no separator collisions)") {
     // the r13 binary base key joins slice keys with chr(0); a corpus
     // whose tokens can contain NUL must fall back to the array form.

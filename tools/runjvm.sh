@@ -12,6 +12,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java -Xmx"$MEM" $ADD_OPENS \
+# JVM_EXTRA: optional extra JVM flags, e.g. session-conf overrides via
+# system properties (SparkConf loads spark.* properties):
+#   JVM_EXTRA="-Dspark.graft.reliableCheckpoints=true -Dspark.checkpoint.dir=/tmp/ckpt"
+exec java -Xmx"$MEM" $ADD_OPENS ${JVM_EXTRA:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
