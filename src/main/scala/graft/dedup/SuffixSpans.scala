@@ -264,9 +264,14 @@ object SuffixSpans {
     // exchanges over the full corpus — see [[doublingCoPartitioned]].
     // The join-formulated loop stays as the measured comparator and
     // the fallback for a surrogate collision.
-    val coPart = df.sparkSession.conf.get(CoPartConfKey, "true").toBoolean &&
-      head.getLong(2) == head.getLong(3)
-    val keyExpr = if (coPart) xxhash64(col(idCol)) else col(idCol)
+    val surrogateOk = head.getLong(2) == head.getLong(3)
+    val mode = df.sparkSession.conf.get(CoPartConfKey, "auto") match {
+      case "false" => "join"
+      case _ if !surrogateOk => "join"
+      case "true" => "copart"
+      case _ => "auto"
+    }
+    val keyExpr = if (mode == "join") col(idCol) else xxhash64(col(idCol))
 
     // --- 1. prefix doubling ------------------------------------------
     // Head ranks (rank = global index of the class head) let a round
@@ -326,9 +331,11 @@ object SuffixSpans {
     // parallel sort per round, no groupBy shuffles, no split joins
     val r0 = GlobalOrder.withHeadRankFlagged(toks, Nil, Seq(col("__t")), "__r", "__amb")
     val all0 = graft.Checkpoints.checkpoint(r0.drop("__t"))
-    val ranked =
-      if (coPart) doublingCoPartitioned(all0, baseWidth, arity)
-      else doublingJoin(all0, baseWidth, arity)
+    val ranked = mode match {
+      case "copart" => doublingCoPartitioned(all0, baseWidth, arity)
+      case "auto" => doublingJoin(all0, baseWidth, arity, CoPartSwitchFrac)
+      case _ => doublingJoin(all0, baseWidth, arity)
+    }
 
     // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
     // (steps 2 and 3 run on the loop's "__kid" key — the raw id on the
@@ -470,11 +477,31 @@ object SuffixSpans {
       .limit(topN)
   }
 
-  /** Session-conf knob for the co-partitioned doubling loop (default
-    * on). `false` routes to the join-formulated loop — the measured
-    * comparator for A-Bs and the automatic fallback when the xxhash64
-    * doc-id surrogate is not a bijection (checked per build). */
+  /** Session-conf knob for the doubling loop's representation:
+    * "auto" (default) — join-formulated rounds that SWITCH to the
+    * co-partitioned table when the pending set stays above
+    * [[CoPartSwitchFrac]] of the corpus (the measured routing
+    * boundary); "true" — co-partitioned from round 1 (A-B side);
+    * "false" — pure join loop (A-B side, and the automatic fallback
+    * when the xxhash64 doc-id surrogate is not a bijection — checked
+    * per build, in which case every mode routes to the join loop on
+    * the raw id). */
   private[graft] val CoPartConfKey = "spark.graft.saCopartition"
+
+  /** Pending-set fraction above which the adaptive loop abandons the
+    * join formulation for the co-partitioned table (knob value
+    * "auto"). MEASURED routing boundary, not a guess: on the sf10
+    * bench corpus (fast decay — pending collapses after the width-8
+    * round 0) the join loop won all 3 interleaved fresh-JVM pairs
+    * (copart 1.12-1.27x slower: the full-table decode+rewrite per
+    * round outweighs a broadcast-probed view scan when pending is
+    * small), while on the slow-decay boilerplate corpus (shared
+    * 1000-token prefix, pending ≈ 0.97·n for ~7 rounds) the copart
+    * table won both pairs (0.87x/0.95x) — BENCH_sa_copart_ab_r14.json.
+    * At pending ≥ half the corpus a join round's partner-lookup
+    * exchange already moves ≥ n/2 rows, the regime where scanning and
+    * locally rewriting beats re-shuffling. */
+  private[graft] val CoPartSwitchFrac = 0.5
 
   /** The join-formulated doubling loop (rounds <= r13): frozen
     * checkpointed pieces + a pending set; each round's partner lookup
@@ -482,9 +509,22 @@ object SuffixSpans {
     * (frozen ∪ pending ≈ n rows — a full-corpus exchange, or a
     * broadcast + full-view scan once the pending side shrinks). Kept
     * verbatim as the surrogate-collision fallback and the A-B
-    * comparator for [[doublingCoPartitioned]]. Input/output rows:
+    * comparator for [[doublingCoPartitioned]]; with a finite
+    * `switchFrac` (knob "auto") it is also the adaptive loop's
+    * join-mode phase — when the pending set stays above
+    * switchFrac·n at a round boundary, the full view is laid out
+    * once into the co-partitioned table and [[copartLoop]] finishes
+    * the job (the pending count rides the existing per-round gate
+    * aggregate, so the routing signal is free). Input/output rows:
     * (__kid, n_tokens, pos, __r[, __amb]). */
-  private def doublingJoin(all0: DataFrame, baseWidth: Int, arity: Int): DataFrame = {
+  /** Test instrumentation: whether the last doublingJoin run switched
+    * to the co-partitioned table (pins that the adaptive spec corpus
+    * actually exercises the switch, not just the join path). */
+  @volatile private[graft] var lastSwitchedToCoPart = false
+
+  private def doublingJoin(all0: DataFrame, baseWidth: Int, arity: Int,
+                           switchFrac: Double = Double.PositiveInfinity): DataFrame = {
+    lastSwitchedToCoPart = false
     val cols = Seq(col("__kid"), col("n_tokens"), col("pos"), col("__r"))
     // frozen pieces (classes proven singleton) + the active remainder;
     // their union is the full rank table at any round
@@ -513,11 +553,25 @@ object SuffixSpans {
     // classes are all short repeats would otherwise pay ~9 dead
     // rounds. One aggregate replaces the isEmpty probe (same job
     // count per round, strictly more information).
-    def pendGate(): Long = { // max remaining length, 0 when empty
-      val r = pend.agg(max(col("n_tokens") - col("pos"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    def pendStats(): (Long, Long) = { // (max remaining length, rows); (0,0) when empty
+      val r = pend.agg(max(col("n_tokens") - col("pos")), count(lit(1))).first()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     }
-    while (span < pendGate()) {
+    lazy val nAll: Long = all0.count() // cheap: all0 is checkpointed
+    var stats = pendStats()
+    while (span < stats._1) {
+      if (stats._2 > switchFrac * nAll) {
+        // the pending set is corpus-sized: every further join round
+        // would exchange ~n rows for its partner lookup — lay the
+        // full view out ONCE into the co-partitioned table and let
+        // the offset-lookup loop finish (see CoPartSwitchFrac)
+        val view = frozenParts.map(_.withColumn("__amb", lit(false)))
+          .reduceOption(_ unionByName _)
+          .map(_.unionByName(pend.withColumn("__amb", lit(true))))
+          .getOrElse(pend.withColumn("__amb", lit(true)))
+        lastSwitchedToCoPart = true
+        return copartLoop(copartLayout(view), span, stats._1, arity)
+      }
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
       // suffix at pos p extends with the ranks of the suffixes at
       // p + j·span for j = 1..arity−1 (binary doubling is arity 2 —
@@ -560,6 +614,7 @@ object SuffixSpans {
       pend = graft.Checkpoints.checkpoint(
         refined.filter(col("__amb")).select(cols: _*))
       span *= arity
+      stats = pendStats()
     }
     // classes still ambiguous when the gate closes are genuinely
     // identical suffixes (to their doc ends) — their shared rank is
@@ -601,22 +656,35 @@ object SuffixSpans {
     * extents), plus in-pass density asserts that fail loudly if the
     * layout invariant is ever broken. */
   private def doublingCoPartitioned(all0: DataFrame, baseWidth: Int, arity: Int): DataFrame = {
-    val spark = all0.sparkSession
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    def gateOf(d: DataFrame): Long = { // max remaining length over the
-      // (new) pending rows — the same round gate as the join loop; 0
-      // when no class is still ambiguous
-      val r = d.filter(col("__amb")).agg(max(col("n_tokens") - col("pos"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    var span = baseWidth.toLong
-    var gate = gateOf(all0)
-    if (span >= gate) // round 0 individuated everything still pending
+    val gate = gateOf(all0)
+    if (baseWidth.toLong >= gate) // round 0 individuated everything still pending
       return all0.select("__kid", "n_tokens", "pos", "__r")
-    def layout(d: DataFrame): DataFrame = graft.Checkpoints.checkpoint(
+    copartLoop(copartLayout(all0), baseWidth.toLong, gate, arity)
+  }
+
+  private def gateOf(d: DataFrame): Long = { // max remaining length over
+    // the pending rows — the same round gate as the join loop; 0 when
+    // no class is still ambiguous
+    val r = d.filter(col("__amb")).agg(max(col("n_tokens") - col("pos"))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Materialize (__kid, n_tokens, pos, __r, __amb) rows in the
+    * co-partitioned layout: hash(__kid) into the session's shuffle
+    * partition count, sorted by (__kid, pos) within partitions — the
+    * layout [[pairedRows]] and [[mergeSorted]] rely on. */
+  private def copartLayout(d: DataFrame): DataFrame = {
+    val nPart = d.sparkSession.sessionState.conf.numShufflePartitions
+    graft.Checkpoints.checkpoint(
       d.select(col("__kid"), col("n_tokens"), col("pos"), col("__r"), col("__amb"))
         .repartition(nPart, col("__kid")).sortWithinPartitions("__kid", "pos"))
-    var table = layout(all0)
+  }
+
+  private def copartLoop(table0: DataFrame, startSpan: Long, startGate: Long,
+                         arity: Int): DataFrame = {
+    var table = table0
+    var span = startSpan
+    var gate = startGate
     while (span < gate) {
       val paired = pairedRows(table, span, arity)
       val partnerCols = (1 until arity).map(j => s"__p$j")
@@ -624,7 +692,7 @@ object SuffixSpans {
       // in the join loop (the refinement sort is shared machinery)
       val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
         partnerCols.map(col), "__sh", "__amb", Some("__ch"))
-      val delta = layout(sub.select(col("__kid"), col("n_tokens"), col("pos"),
+      val delta = copartLayout(sub.select(col("__kid"), col("n_tokens"), col("pos"),
         (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
       // frozen rows never re-enter the pending set, so the NEW pending
       // set is exactly the delta's ambiguous rows — the gate reads the

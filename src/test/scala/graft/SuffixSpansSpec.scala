@@ -223,6 +223,43 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
     assert(extents(copart = true, width = 4, k = 4) === joinPath)
   }
 
+  test("adaptive loop switches mid-run on a slow-decay corpus and stays exact") {
+    // every doc shares a 40-token boilerplate prefix + a unique tail,
+    // so after the width-1 round 0 nearly every position is still
+    // ambiguous (pending >> CoPartSwitchFrac of the corpus) and the
+    // "auto" mode must abandon the join formulation for the
+    // co-partitioned table mid-loop — the routing the sf10/slow-decay
+    // A-B pair motivated (BENCH_sa_copart_ab_r14.json). Equality with
+    // the pure join path is the exactness pin for the switch itself
+    // (the mid-loop layout of frozen ∪ pending and the copart rounds
+    // that follow).
+    val rng = new scala.util.Random(83)
+    def w() = s"s${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    val shared = Seq.fill(40)(w())
+    val df = (1L to 12L).map { i =>
+      (i, (shared ++ Seq.fill(4)(w())).mkString(" "))
+    }.toDF("doc_id", "text")
+    def extents(knob: String) = {
+      spark.conf.set(SuffixSpans.CoPartConfKey, knob)
+      try {
+        val got = SuffixSpans.repeatExtents(df, "doc_id", "text",
+            minLen = 4, baseWidth = 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+          .toSet
+        SharedFrames.release()
+        Dedup.releaseCaches()
+        got
+      } finally spark.conf.unset(SuffixSpans.CoPartConfKey)
+    }
+    val joinPath = extents("false")
+    assert(joinPath.nonEmpty)
+    // the 40-token shared prefix must surface in the extents
+    assert(joinPath.exists { case (_, _, pos, len) => pos == 0 && len == 40L })
+    assert(extents("auto") === joinPath)
+    assert(SuffixSpans.lastSwitchedToCoPart,
+      "auto mode never switched — the corpus does not exercise the adaptive path")
+  }
+
   test("NUL-containing tokens route to the array base key (no separator collisions)") {
     // the r13 binary base key joins slice keys with chr(0); a corpus
     // whose tokens can contain NUL must fall back to the array form.
