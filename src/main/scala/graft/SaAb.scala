@@ -41,7 +41,11 @@ object SaAb {
         val rows = graft.dedup.SuffixSpans.repeatExtents(sdocs, "doc_id", "text",
           minLen = 8).count()
         val t1 = System.nanoTime()
-        println(f"[saab] slowdecay copart=$on n=$n extents_rows=$rows time=${(t1 - t0) / 1e9}%.1f s switched=${graft.dedup.SuffixSpans.lastSwitchedToCoPart}")
+        // the switch fact is only defined on the adaptive path — forced
+        // modes ("true"/"false") never write the test-only var
+        val switched = if (on == "auto")
+          s" switched=${graft.dedup.SuffixSpans.lastSwitchedToCoPart}" else ""
+        println(f"[saab] slowdecay copart=$on n=$n extents_rows=$rows time=${(t1 - t0) / 1e9}%.1f s$switched")
       case "copart" =>
         val on = args(2) == "on"
         val k = if (args.length > 3) args(3).toInt else 2

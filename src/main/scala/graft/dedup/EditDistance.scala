@@ -562,12 +562,11 @@ object EditDistance {
     // segs count alone makes a giant product POSSIBLE
     // (a/p > blockTarget/hotDfCap — an evader's probe-df is at most
     // ~the clamp, else it would be hot) and that are NOT already
-    // handled via hotKeys get their probe-df recounted by a
-    // broadcast-filtered aggregation over the SAME sampled probe
-    // enumeration (candidates are boilerplate-segment keys — few — so
-    // the recount is an extra sampled-probe scan with a tiny
-    // broadcast-pruned aggregation, no new shuffle), and the usual
-    // product rule assigns B. Knob `spark.graft.editdistSegsGiant`
+    // handled via hotKeys are assigned B from the segs-side count
+    // alone, with the probe-df BOUNDED by hotDfCap rather than
+    // recounted (the rejected-recount history and its measured cost
+    // are in the next comment), and the usual product rule assigns
+    // B. Knob `spark.graft.editdistSegsGiant`
     // (default on) exists for the dormant-path A-B; exactness is
     // indifferent (the block split is exact at any B, forced-path
     // spec), detection affects COST only.
@@ -579,7 +578,9 @@ object EditDistance {
     // segs side alone. Overestimating B is CHEAP under the flipped
     // split below — the segs side is only TAGGED (never replicated)
     // and the probe side replicates at most b·B <= hotDfCap·256 rows
-    // corpus-wide — while recounting b cost a second sampled probe
+    // PER FLIPPED KEY (total replication scales with the number of
+    // flipped keys, but each key's replication is dwarfed by its own
+    // a·b candidate stream) — while recounting b cost a second sampled probe
     // ENUMERATION, measured at ~1.5x the serialized tail it was
     // buying back (EvasionStress, nShort = 2M: on 253 s vs off 165 s
     // with the recount; the enumeration, not the aggregation, is the

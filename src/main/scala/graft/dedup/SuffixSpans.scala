@@ -247,11 +247,18 @@ object SuffixSpans {
     // 64-bit xxhash64 collision between two doc ids would silently
     // merge their suffix sets; astronomically unlikely at any real doc
     // count, but exactness never RESTS on it — a detected collision
-    // routes to the join-formulated loop keyed on the raw id)
+    // routes to the join-formulated loop keyed on the raw id). The
+    // bijection check is COPART-ONLY: its two exact countDistincts add
+    // an Expand over the doc table, so when the knob forces the join
+    // path (where the surrogate is never used) they are skipped
+    // entirely (round 15, VERDICT r14 item 5).
+    val coPartConf = df.sparkSession.conf.get(CoPartConfKey, "auto")
+    val bijectionAggs =
+      if (coPartConf == "false") Nil
+      else Seq(countDistinct(col(idCol)), countDistinct(xxhash64(col(idCol))))
     val head = docsArr.agg(max("n_tokens"),
-      max(when(exists(col("__ws"), t => t.contains("\u0000")), 1).otherwise(0)),
-      countDistinct(col(idCol)),
-      countDistinct(xxhash64(col(idCol)))).first()
+      (max(when(exists(col("__ws"), t => t.contains("\u0000")), 1).otherwise(0))
+        +: bijectionAggs): _*).first()
     if (head.isNullAt(0))
       // no doc long enough: empty result, right schema
       return docsArr.select(col(idCol), col("n_tokens"),
@@ -264,13 +271,30 @@ object SuffixSpans {
     // exchanges over the full corpus — see [[doublingCoPartitioned]].
     // The join-formulated loop stays as the measured comparator and
     // the fallback for a surrogate collision.
-    val surrogateOk = head.getLong(2) == head.getLong(3)
-    val mode = df.sparkSession.conf.get(CoPartConfKey, "auto") match {
+    val surrogateOk = coPartConf == "false" || head.getLong(2) == head.getLong(3)
+    // PATHOLOGICAL-DOCUMENT GUARD (round 15, VERDICT r14 item 6):
+    // [[pairedRows]]'s lookahead deque is bounded by
+    // min((arity-1)*span, remaining doc length) ROWS — on a single
+    // multi-million-token document that is a per-task buffer
+    // proportional to the doc's full length late in the loop (span
+    // grows past every shorter doc). The join loop has no such
+    // per-doc buffer (its partner lookup is an equi-join), so a build
+    // whose LONGEST doc exceeds [[CoPartMaxDocTokensKey]] routes to
+    // the join formulation outright — including disabling the
+    // adaptive mid-loop switch, which would land in the same deque.
+    // max(n_tokens) rides the existing head pass, so the signal is
+    // free; the cap is a cost guard only (both loops are exact).
+    val maxDocTokens = head.getLong(0)
+    val copartDocCap = df.sparkSession.conf
+      .get(CoPartMaxDocTokensKey, "2000000").toLong
+    val mode = coPartConf match {
       case "false" => "join"
       case _ if !surrogateOk => "join"
+      case _ if maxDocTokens > copartDocCap => "join"
       case "true" => "copart"
       case _ => "auto"
     }
+    lastModeChosen = mode // test-only instrumentation (see the var's doc)
     val keyExpr = if (mode == "join") col(idCol) else xxhash64(col(idCol))
 
     // --- 1. prefix doubling ------------------------------------------
@@ -333,8 +357,11 @@ object SuffixSpans {
     val all0 = graft.Checkpoints.checkpoint(r0.drop("__t"))
     val ranked = mode match {
       case "copart" => doublingCoPartitioned(all0, baseWidth, arity)
-      case "auto" => doublingJoin(all0, baseWidth, arity, CoPartSwitchFrac)
-      case _ => doublingJoin(all0, baseWidth, arity)
+      case "auto" =>
+        val r = doublingJoin(all0, baseWidth, arity, CoPartSwitchFrac)
+        lastSwitchedToCoPart = r.switchedToCoPart // test-only, auto path only
+        r.ranked
+      case _ => doublingJoin(all0, baseWidth, arity).ranked
     }
 
     // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
@@ -488,6 +515,14 @@ object SuffixSpans {
     * the raw id). */
   private[graft] val CoPartConfKey = "spark.graft.saCopartition"
 
+  /** Longest-document cap (tokens) for the co-partitioned loop: a
+    * build containing any doc longer than this routes to the join
+    * loop (and never adaptively switches), because the copart
+    * partner-lookup deque buffers up to one doc's remaining rows per
+    * task (~120 B/boxed row: 2M tokens is ~240 MB in one task). Cost
+    * guard only — exactness is identical on both paths. */
+  private[graft] val CoPartMaxDocTokensKey = "spark.graft.saCopartMaxDocTokens"
+
   /** Pending-set fraction above which the adaptive loop abandons the
     * join formulation for the co-partitioned table (knob value
     * "auto"). MEASURED routing boundary, not a guess: on the sf10
@@ -517,14 +552,34 @@ object SuffixSpans {
     * the job (the pending count rides the existing per-round gate
     * aggregate, so the routing signal is free). Input/output rows:
     * (__kid, n_tokens, pos, __r[, __amb]). */
-  /** Test instrumentation: whether the last doublingJoin run switched
-    * to the co-partitioned table (pins that the adaptive spec corpus
-    * actually exercises the switch, not just the join path). */
+  /** Test instrumentation ONLY: whether the last AUTO-mode build in
+    * this JVM switched to the co-partitioned table (pins that the
+    * adaptive spec corpus actually exercises the switch, not just the
+    * join path). Written exclusively at the auto-path call site from
+    * [[doublingJoin]]'s returned switch fact — forced-mode runs
+    * ("true"/"false") never touch it, so it is meaningless after
+    * them; concurrent auto builds in one session race on it, which a
+    * single-threaded spec never does. Production code must read the
+    * [[JoinLoopResult]], never this var. */
   @volatile private[graft] var lastSwitchedToCoPart = false
 
+  /** Test instrumentation ONLY: the loop formulation the last build in
+    * this JVM routed to ("join" | "copart" | "auto") — lets the specs
+    * pin that a guard (surrogate collision, pathological-doc cap)
+    * actually forced the join route rather than merely producing
+    * correct results by luck. Same caveats as
+    * [[lastSwitchedToCoPart]]: races under concurrent builds,
+    * production code must never read it. */
+  @volatile private[graft] var lastModeChosen = ""
+
+  /** [[doublingJoin]]'s result: the final rank table plus whether the
+    * adaptive loop abandoned the join formulation mid-build for the
+    * co-partitioned table (always false at an infinite switchFrac). */
+  private final case class JoinLoopResult(ranked: DataFrame,
+                                          switchedToCoPart: Boolean)
+
   private def doublingJoin(all0: DataFrame, baseWidth: Int, arity: Int,
-                           switchFrac: Double = Double.PositiveInfinity): DataFrame = {
-    lastSwitchedToCoPart = false
+                           switchFrac: Double = Double.PositiveInfinity): JoinLoopResult = {
     val cols = Seq(col("__kid"), col("n_tokens"), col("pos"), col("__r"))
     // frozen pieces (classes proven singleton) + the active remainder;
     // their union is the full rank table at any round
@@ -569,8 +624,9 @@ object SuffixSpans {
           .reduceOption(_ unionByName _)
           .map(_.unionByName(pend.withColumn("__amb", lit(true))))
           .getOrElse(pend.withColumn("__amb", lit(true)))
-        lastSwitchedToCoPart = true
-        return copartLoop(copartLayout(view), span, stats._1, arity)
+        return JoinLoopResult(
+          copartLoop(copartLayout(view), span, stats._1, arity),
+          switchedToCoPart = true)
       }
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
       // suffix at pos p extends with the ranks of the suffixes at
@@ -619,7 +675,8 @@ object SuffixSpans {
     // classes still ambiguous when the gate closes are genuinely
     // identical suffixes (to their doc ends) — their shared rank is
     // final
-    (frozenParts :+ pend).reduce(_ unionByName _)
+    JoinLoopResult((frozenParts :+ pend).reduce(_ unionByName _),
+      switchedToCoPart = false)
   }
 
   /** The co-partitioned doubling loop (round 14): the full rank state

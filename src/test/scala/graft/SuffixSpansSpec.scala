@@ -260,6 +260,46 @@ class SuffixSpansSpec extends AnyFunSuite with SharedSpark {
       "auto mode never switched — the corpus does not exercise the adaptive path")
   }
 
+  test("pathological-document cap routes the build to the join loop (r15 guard)") {
+    // pairedRows buffers up to one doc's remaining rows per task, so a
+    // build whose longest doc exceeds saCopartMaxDocTokens must route
+    // to the join formulation even when the knob FORCES copart — and
+    // stay exact. Cap forced to 30 tokens; the planted 60-token doc
+    // trips it. The instrumentation var pins the route (correct output
+    // alone would pass on the copart path too).
+    val rng = new scala.util.Random(59)
+    def w() = s"g${rng.nextInt(100000)}_${rng.nextInt(100000)}"
+    val phrase = Seq.fill(6)(w())
+    val big = (Seq.fill(20)(w()) ++ phrase ++ Seq.fill(34)(w())).mkString(" ")
+    val small = (Seq.fill(3)(w()) ++ phrase ++ Seq.fill(3)(w())).mkString(" ")
+    val df = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    def run(knob: Option[String], cap: Option[String]) = {
+      knob.foreach(spark.conf.set(SuffixSpans.CoPartConfKey, _))
+      cap.foreach(spark.conf.set(SuffixSpans.CoPartMaxDocTokensKey, _))
+      try {
+        val got = SuffixSpans.repeatExtents(df, "doc_id", "text", minLen = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+          .toSet
+        SharedFrames.release()
+        Dedup.releaseCaches()
+        (got, SuffixSpans.lastModeChosen)
+      } finally {
+        spark.conf.unset(SuffixSpans.CoPartConfKey)
+        spark.conf.unset(SuffixSpans.CoPartMaxDocTokensKey)
+      }
+    }
+    val (base, baseMode) = run(Some("true"), None)
+    assert(base.nonEmpty)
+    assert(baseMode == "copart") // 60 tokens is far under the 2M default
+    val (guarded, guardedMode) = run(Some("true"), Some("30"))
+    assert(guardedMode == "join",
+      "a 60-token doc above the forced 30-token cap must route to the join loop")
+    assert(guarded === base)
+    // default path (auto) is likewise capped
+    val (_, autoMode) = run(None, Some("30"))
+    assert(autoMode == "join")
+  }
+
   test("NUL-containing tokens route to the array base key (no separator collisions)") {
     // the r13 binary base key joins slice keys with chr(0); a corpus
     // whose tokens can contain NUL must fall back to the array form.
