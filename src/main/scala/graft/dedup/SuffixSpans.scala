@@ -776,54 +776,102 @@ object SuffixSpans {
     * like the join loop's nearEnd branch. The window never holds more
     * than min((arity−1)·span, remaining doc length) + 1 rows. */
   private def pairedRows(table: DataFrame, spanLen: Long, arity: Int): DataFrame = {
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.GraftInternalRows
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.SpecificInternalRow
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val maxShift = spanLen * (arity - 1)
     val schema = StructType(table.schema.fields.take(4).toIndexedSeq ++
       (1 until arity).map(j => StructField(s"__p$j", LongType, nullable = false)))
-    val rdd = table.rdd.mapPartitions { it =>
-      new Iterator[Row] {
-        private val buf = new scala.collection.mutable.ArrayDeque[Row]()
-        private var out: Row = _
+    val outTypes = schema.fields.map(_.dataType)
+    // INTERNALROW FORMULATION (round 15): the r14 pass ran on
+    // `table.rdd` — every row paid an encoder decode to a boxed
+    // GenericRow (one object + one box per primitive field), the
+    // measured reason the copart loop lost fast-decay corpora
+    // 1.12–1.27x (BENCH_sa_copart_ab_r14.json; VERDICT r14 item 4).
+    // This pass reads the plan's InternalRows in place and decodes the
+    // five primitive fields straight into a primitive RING BUFFER —
+    // the lookahead window holds no row objects at all — and emits one
+    // REUSED mutable output row (the scan node behind
+    // [[GraftInternalRows.fromRdd]] applies its own unsafe projection;
+    // reuse is the standard valid-until-next-next() row contract).
+    val rdd = GraftInternalRows.toRdd(table).mapPartitions { it =>
+      new Iterator[InternalRow] {
+        // decoded lookahead window as five primitive ring buffers:
+        // bounded by min(maxShift, remaining doc length) entries (same
+        // bound as the r14 deque, at ~29 B/entry vs ~120 B/boxed Row)
+        private var cap = 1024
+        private var kidB = new Array[Long](cap)
+        private var ntB = new Array[Long](cap)
+        private var posB = new Array[Int](cap)
+        private var rB = new Array[Long](cap)
+        private var ambB = new Array[Boolean](cap)
+        private var start = 0
+        private var len = 0
+        private def grow(): Unit = {
+          val nc = cap << 1
+          val k2 = new Array[Long](nc); val n2 = new Array[Long](nc)
+          val p2 = new Array[Int](nc); val r2 = new Array[Long](nc)
+          val a2 = new Array[Boolean](nc)
+          var i = 0
+          while (i < len) {
+            val s = (start + i) % cap
+            k2(i) = kidB(s); n2(i) = ntB(s); p2(i) = posB(s)
+            r2(i) = rB(s); a2(i) = ambB(s)
+            i += 1
+          }
+          kidB = k2; ntB = n2; posB = p2; rB = r2; ambB = a2
+          cap = nc; start = 0
+        }
+        private def append(r: InternalRow): Unit = {
+          if (len == cap) grow()
+          val e = (start + len) % cap
+          kidB(e) = r.getLong(0); ntB(e) = r.getLong(1); posB(e) = r.getInt(2)
+          rB(e) = r.getLong(3); ambB(e) = r.getBoolean(4)
+          len += 1
+        }
+        private val out = new SpecificInternalRow(outTypes)
+        private var ready = false
         private def advance(): Unit = {
-          while (out == null && (buf.nonEmpty || it.hasNext)) {
-            if (buf.isEmpty) buf.append(it.next())
-            val h = buf.head
-            val nTok = h.getLong(1); val pos = h.getInt(2)
+          while (!ready && (len > 0 || it.hasNext)) {
+            if (len == 0) append(it.next())
+            val hi = start
+            val hKid = kidB(hi); val hNt = ntB(hi); val hPos = posB(hi)
+            val hR = rB(hi); val hAmb = ambB(hi)
             // rows of lookahead this head can ever need: partners stop
             // at the doc end, and the doc block is contiguous
-            val need = math.min(maxShift, nTok - pos - 1).toInt
-            while (buf.length - 1 < need && it.hasNext) buf.append(it.next())
-            buf.removeHead()
-            if (h.getBoolean(4)) {
-              val vals = new Array[Any](3 + arity)
-              vals(0) = h.getLong(0); vals(1) = nTok
-              vals(2) = pos; vals(3) = h.getLong(3)
+            val need = math.min(maxShift, hNt - hPos - 1).toInt
+            while (len - 1 < need && it.hasNext) append(it.next())
+            start = (start + 1) % cap; len -= 1
+            if (hAmb) {
+              out.setLong(0, hKid); out.setLong(1, hNt)
+              out.setInt(2, hPos); out.setLong(3, hR)
               var j = 1
               while (j < arity) {
                 val sh = spanLen * j
-                vals(3 + j) =
-                  if (pos + sh >= nTok) -1L
+                val v =
+                  if (hPos + sh >= hNt) -1L
                   else {
-                    val part = buf((sh - 1).toInt) // head removed: offset sh ⇒ index sh−1
-                    require(part.getLong(0) == h.getLong(0) && part.getInt(2) == pos + sh,
-                      s"suffix rank table density violated at pos=$pos shift=$sh")
-                    part.getLong(3)
+                    val idx = (start + (sh - 1).toInt) % cap // head removed: offset sh ⇒ index sh−1
+                    require(kidB(idx) == hKid && posB(idx) == hPos + sh,
+                      s"suffix rank table density violated at pos=$hPos shift=$sh")
+                    rB(idx)
                   }
+                out.setLong(3 + j, v)
                 j += 1
               }
-              out = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+              ready = true
             }
           }
         }
-        def hasNext: Boolean = { if (out == null) advance(); out != null }
-        def next(): Row = {
-          if (out == null) advance()
-          val r = out; out = null; r
+        def hasNext: Boolean = { if (!ready) advance(); ready }
+        def next(): InternalRow = {
+          if (!ready) advance()
+          ready = false; out
         }
       }
     }
-    table.sparkSession.createDataFrame(rdd, schema)
+    GraftInternalRows.fromRdd(table.sparkSession, rdd, schema)
   }
 
   /** Sorted two-pointer merge of the refined delta into the rank
@@ -835,25 +883,36 @@ object SuffixSpans {
     * delta row left over when its partition's table side is exhausted
     * is a co-partitioning bug and fails loudly. */
   private def mergeSorted(table: DataFrame, delta: DataFrame): DataFrame = {
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.GraftInternalRows
+    import org.apache.spark.sql.catalyst.InternalRow
     val schema = table.schema
-    val rdd = table.rdd.zipPartitions(delta.rdd) { (ti, di0) =>
-      val di = di0.buffered
-      val merged = ti.map { t =>
-        if (di.hasNext && di.head.getLong(0) == t.getLong(0) &&
-            di.head.getInt(2) == t.getInt(2)) di.next()
-        else t
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = merged.hasNext
-          if (!h) require(!di.hasNext,
-            "suffix delta row missing from the base rank table (layout bug)")
-          h
+    // InternalRow formulation (round 15): pure passthrough — no decode,
+    // no per-row allocation. Row-reuse safety: `di.head` caches the one
+    // row the underlying iterator last produced, whose buffer is only
+    // overwritten by the NEXT underlying next() — i.e. after the merge
+    // either emitted it (downstream contract: valid until the
+    // consumer's next next(), which is when we advance again) or
+    // decided to pass the table row through (di untouched). The two
+    // sides reuse DISTINCT buffers, so comparing di.head against t is
+    // always sound.
+    val rdd = GraftInternalRows.toRdd(table)
+      .zipPartitions(GraftInternalRows.toRdd(delta)) { (ti, di0) =>
+        val di = di0.buffered
+        val merged = ti.map { t =>
+          if (di.hasNext && di.head.getLong(0) == t.getLong(0) &&
+              di.head.getInt(2) == t.getInt(2)) di.next()
+          else t
         }
-        def next(): Row = merged.next()
+        new Iterator[InternalRow] {
+          def hasNext: Boolean = {
+            val h = merged.hasNext
+            if (!h) require(!di.hasNext,
+              "suffix delta row missing from the base rank table (layout bug)")
+            h
+          }
+          def next(): InternalRow = merged.next()
+        }
       }
-    }
-    table.sparkSession.createDataFrame(rdd, schema)
+    GraftInternalRows.fromRdd(table.sparkSession, rdd, schema)
   }
 }
