@@ -130,10 +130,22 @@ object Stats {
     * ⌈p·n⌉), independently computable by another engine — which turns
     * the sketch's spec-only guarantee into a cross-engine per-run data
     * check: the oracle recomputes (q, lo, hi) and asserts within=true.
-    * Probabilities are rendered as exact DECIMAL literals (BigDecimal,
-    * never double arithmetic) so both engines parse identical
-    * constants. Exact percentile_disc is a sort-based aggregate — this
-    * is a VERIFICATION query; the production path at scale is
+    *
+    * RANK-BOUNDARY STABILITY (r15): probing percentile_disc at the
+    * raw probability p is FP-fragile exactly when p·n is an integer —
+    * both engines compute rank = ⌈p·n⌉ in double, and at sf1
+    * (n = 6,000,000) 0.0102·n reads 61200.00000000001, so Spark
+    * ceiled to 61201 while DuckDB landed on 61200 and the two engines
+    * returned ADJACENT data elements (the first sf1 gate failure this
+    * query ever produced; smaller SFs masked it behind duplicate
+    * values). The fix makes the rank explicit: count n first (one
+    * extra job — this is the verification path, not the production
+    * path), compute k = ⌈p·n⌉ in EXACT BigDecimal arithmetic, then
+    * probe at the mid-interval probability (k − 1/2)/n, which double
+    * rounding cannot move off k on any engine (the oracle SQL mirrors
+    * the same ceil-of-DECIMAL-times-count arithmetic). Exact
+    * percentile_disc is a sort-based aggregate — this is a
+    * VERIFICATION query; the production path at scale is
     * [[quantilesApprox]] alone.
     *
     * PRECONDITION GUARD: the bracket argument needs ε·n ≥ 2 (n ≥
@@ -147,18 +159,27 @@ object Stats {
     val margin = BigDecimal(2) / BigDecimal(accuracy)
     val probes = qs.map { q =>
       val bq = BigDecimal(q.toString)
-      (bq.toString, (bq - margin).toString, (bq + margin).toString)
+      (bq.toString, bq - margin, bq + margin)
     }
     probes.foreach { case (_, lo, hi) =>
-      require(BigDecimal(lo) > 0 && BigDecimal(hi) < 1,
+      require(lo > 0 && hi < 1,
         s"q ± 2/accuracy must stay inside (0,1), got ($lo, $hi)") }
+    // count first so the disc probes can target explicit ranks (see
+    // Scaladoc: FP-stable mid-interval probabilities need n up front)
+    val n = df.agg(count(col(valueCol))).first().getLong(0)
+    def midProb(p: BigDecimal): String =
+      if (n == 0) p.toString // degenerate: percentile_disc returns null anyway
+      else {
+        val k = (p * n).setScale(0, BigDecimal.RoundingMode.CEILING)
+        ((k - BigDecimal("0.5")) / n).toString // (k − ½)/n; DECIMAL128 division
+      }
     val arr = s"array(${qs.map(q => s"${q}D").mkString(",")})"
     val aggs =
       expr(s"approx_percentile($valueCol, $arr, $accuracy)").as("__av") +:
       count(col(valueCol)).as("__n") +:
       probes.zipWithIndex.flatMap { case ((_, lo, hi), i) => Seq(
-        expr(s"percentile_disc(${lo}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__lo$i"),
-        expr(s"percentile_disc(${hi}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__hi$i")) }
+        expr(s"percentile_disc(${midProb(lo)}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__lo$i"),
+        expr(s"percentile_disc(${midProb(hi)}D) WITHIN GROUP (ORDER BY $valueCol)").as(s"__hi$i")) }
     val agg = df.agg(aggs.head, aggs.tail: _*)
     val rows = probes.zipWithIndex.map { case ((q, _, _), i) =>
       struct(expr(s"${q}D").as("q"), col(s"__lo$i").as("lo"), col(s"__hi$i").as("hi"),

@@ -83,18 +83,37 @@ object StatsQueries {
     // percentile_disc at all 10 probabilities) and assert the Spark
     // side's within flag. lo/hi are exact data elements, so the hash
     // compares raw doubles; `within` must come back true.
+    // Probes are EXPLICIT ranks k = ceil(p·n) computed in exact
+    // DECIMAL arithmetic and read by row_number — no engine percentile
+    // function's internal double rank math. Probing quantile_disc at
+    // the raw p failed at sf1 (n = 6,000,000): 0.0102·n = 61200
+    // exactly, but the double read 61200.00000000001 and the engines
+    // ceiled to different ranks (Spark 61201, DuckDB 61200) —
+    // adjacent, distinct elements. The Spark side
+    // (Stats.quantilesApproxChecked) does the same count-then-exact-k
+    // arithmetic in BigDecimal and probes percentile_disc at the
+    // mid-interval probability (k − 0.5)/n, which rounding cannot
+    // move off k.
     "q_quantile_approx" ->
-      """SELECT q, lo, hi, true AS within FROM (
-        | SELECT cast(0.01 as double) AS q, quantile_disc(l_extendedprice, 0.0098) AS lo,
-        |        quantile_disc(l_extendedprice, 0.0102) AS hi FROM lineitem
-        | UNION ALL SELECT 0.25, quantile_disc(l_extendedprice, 0.2498),
-        |        quantile_disc(l_extendedprice, 0.2502) FROM lineitem
-        | UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.4998),
-        |        quantile_disc(l_extendedprice, 0.5002) FROM lineitem
-        | UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.7498),
-        |        quantile_disc(l_extendedprice, 0.7502) FROM lineitem
-        | UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.9898),
-        |        quantile_disc(l_extendedprice, 0.9902) FROM lineitem
+      """WITH n AS (SELECT count(l_extendedprice) AS c FROM lineitem),
+        |r AS (SELECT l_extendedprice AS v,
+        |             row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem)
+        |SELECT q, lo, hi, true AS within FROM (
+        | SELECT cast(0.01 as double) AS q,
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.0098::DECIMAL(18,6) * c)) AS lo,
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.0102::DECIMAL(18,6) * c)) AS hi
+        | UNION ALL SELECT 0.25,
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.2498::DECIMAL(18,6) * c)),
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.2502::DECIMAL(18,6) * c))
+        | UNION ALL SELECT 0.5,
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.4998::DECIMAL(18,6) * c)),
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.5002::DECIMAL(18,6) * c))
+        | UNION ALL SELECT 0.75,
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.7498::DECIMAL(18,6) * c)),
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.7502::DECIMAL(18,6) * c))
+        | UNION ALL SELECT 0.99,
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.9898::DECIMAL(18,6) * c)),
+        |        (SELECT v FROM r, n WHERE rn = ceil(0.9902::DECIMAL(18,6) * c))
         |) ORDER BY q""".stripMargin,
 
     "q_quantile" ->

@@ -89,12 +89,19 @@ class OperatorSpec extends AnyFunSuite with SharedSpark {
     val rows = Stats.quantilesApproxChecked(df, "x", qs, accuracy = 10000)
       .orderBy("q").collect()
     assert(rows.length == qs.length)
+    // expected ranks in EXACT decimal arithmetic — double math here
+    // would re-introduce the very FP-at-integer-rank artifact the
+    // operator's r15 fix removed ((0.01+0.0002)·40000 reads
+    // 408.00000000000006 in double and ceils to 409; the true
+    // ⌈p·n⌉ is 408)
+    def exactCeil(p: BigDecimal): Double =
+      (p * n).setScale(0, BigDecimal.RoundingMode.CEILING).toDouble
     rows.zip(qs).foreach { case (r, q) =>
       assert(r.getAs[Double]("q") == q)
       assert(r.getAs[Boolean]("within"), s"q=$q sketch cut outside its disc window")
-      assert(r.getAs[Double]("lo") == math.ceil((q - 0.0002) * n),
+      assert(r.getAs[Double]("lo") == exactCeil(BigDecimal(q.toString) - BigDecimal("0.0002")),
         s"q=$q lo=${r.getAs[Double]("lo")}")
-      assert(r.getAs[Double]("hi") == math.ceil((q + 0.0002) * n),
+      assert(r.getAs[Double]("hi") == exactCeil(BigDecimal(q.toString) + BigDecimal("0.0002")),
         s"q=$q hi=${r.getAs[Double]("hi")}")
     }
     // out-of-range probes must fail fast, not emit a clamped window
