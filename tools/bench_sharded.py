@@ -15,7 +15,8 @@ Usage: tools/bench_sharded.py SF_DIR OUT_JSON [ITERS]
 import json, subprocess, sys, os, collections, time
 
 
-PROBE_CHECKSUM = 2072695552  # the pinned loop's value at n=40_000_000
+PROBE_CHECKSUM = 2072695552     # the pinned loop's value at n=40_000_000
+PROBE_MT_CHECKSUM = 738653952   # the same loop's value at n=8_000_000
 
 
 def host_speed_probe(n=40_000_000):
@@ -34,6 +35,38 @@ def host_speed_probe(n=40_000_000):
         acc = (acc * 1103515245 + i) & 0xFFFFFFFF
     elapsed = round(time.perf_counter() - t0, 3)
     return (elapsed, True) if acc == PROBE_CHECKSUM else (None, False)
+
+
+def host_speed_probe_mt(n=8_000_000, threads=32):
+    """32-way parallel companion to host_speed_probe: the SAME pinned
+    loop run simultaneously on `threads` processes (wall = slowest),
+    recorded as host_speed_mt. Motivation (r15, BENCH_sf01_r15.json
+    core shard): the single-thread probe read 9.487 s — 2× nominal —
+    while the shard's 46 untouched 32-thread queries ran ~30% FASTER
+    nominally; single-thread epochs (boost clocks, scheduler placement)
+    and all-cores epochs (shared caches, memory bandwidth, sustained
+    clocks) can diverge, and Spark queries live in the second regime.
+    Recording both lets a reader pick the normalizer that matches the
+    workload instead of trusting one number. Uses processes, not
+    threads (the loop is pure-Python and the GIL would serialize it).
+    Returns (seconds, checksum_ok)."""
+    import concurrent.futures
+    t0 = time.perf_counter()
+    try:
+        with concurrent.futures.ProcessPoolExecutor(max_workers=threads) as ex:
+            accs = list(ex.map(_mt_loop, [n] * threads))
+    except Exception:
+        return (None, False)
+    elapsed = round(time.perf_counter() - t0, 3)
+    ok = all(a == PROBE_MT_CHECKSUM for a in accs)
+    return (elapsed, True) if ok else (None, False)
+
+
+def _mt_loop(n):
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return acc
 
 
 sf_dir = sys.argv[1]
@@ -81,7 +114,11 @@ for shard, qs in shards.items():
     speed, ck_ok = host_speed_probe()
     if not ck_ok:
         print(f"[shard {shard}] host_speed probe CHECKSUM MISMATCH — recording null")
-    print(f"[shard {shard}] {len(qs)} queries (host_speed {speed}s)", flush=True)
+    speed_mt, ck_mt = host_speed_probe_mt()
+    if not ck_mt:
+        print(f"[shard {shard}] host_speed_mt probe FAILED — recording null")
+    print(f"[shard {shard}] {len(qs)} queries (host_speed {speed}s, mt {speed_mt}s)",
+          flush=True)
     r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
                         ",".join(qs)], env=env, capture_output=True, text=True)
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
@@ -100,7 +137,7 @@ for shard, qs in shards.items():
         errors.update(err_line["errors"])
     shard_info[shard] = {"rc": r.returncode, "n": len(qs),
                          "wall": total_line["value"] if total_line else None,
-                         "host_speed": speed}
+                         "host_speed": speed, "host_speed_mt": speed_mt}
     print(f"[shard {shard}] done: {shard_info[shard]}", flush=True)
 
 # streaming rates in their own fresh JVM (a query-subset shard skips
@@ -123,6 +160,8 @@ print(f"[streaming] {streaming or streaming_error}")
 
 speeds = sorted(v["host_speed"] for v in shard_info.values()
                 if v.get("host_speed") is not None)
+speeds_mt = sorted(v["host_speed_mt"] for v in shard_info.values()
+                   if v.get("host_speed_mt") is not None)
 artifact = {
     "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
     "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
@@ -134,6 +173,11 @@ artifact = {
     # (see host_speed_probe) — divide two artifacts' walls by their
     # host_speed ratio before reading a gap as code movement
     "host_speed": speeds[len(speeds) // 2] if speeds else None,
+    # 32-process variant of the same loop (wall of the slowest worker):
+    # single-thread and all-cores epochs can diverge (see
+    # host_speed_probe_mt) — normalize 32-thread query walls by THIS
+    # when the two disagree
+    "host_speed_mt": speeds_mt[len(speeds_mt) // 2] if speeds_mt else None,
     "queries": dict(sorted(merged.items())),
     "errors": errors, "shards": shard_info, "n_queries": len(merged),
     "events_per_sec": streaming,
