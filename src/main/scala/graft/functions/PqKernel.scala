@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/** Handle to broadcast per-probe ADC lookup tables for product
+  * quantization (Jégou/Douze/Schmid, TPAMI 2011).
+  *
+  * PQ's asymmetric-distance trick: for a probe q and an m-subspace
+  * codebook of ksub centroids each, precompute
+  * lut[j·ksub + c] = ‖q_j − cb_j[c]‖² once per probe; the approximate
+  * distance to ANY encoded corpus vector is then Σ_j lut[j·ksub +
+  * code_j] — m array reads instead of D multiplies per pair. The LUTs
+  * must NOT ride the join as a column: a probe's m·ksub doubles
+  * serialized into every (probe, candidate) output row would undo the
+  * compression the codes bought. They travel ONCE per executor as a
+  * broadcast map keyed by probe id (probes are a bounded slice by
+  * design — the same convention as the bounded exact ANN baselines),
+  * and the scoring expression reads them by key. */
+case class BroadcastPqLuts(luts: Broadcast[Map[Long, Array[Double]]], m: Int, ksub: Int) {
+
+  /** Approximate squared L2 distance between the probe (by id) and an
+    * encoded vector (array<int> of m codes). */
+  def adc(probeId: Column, codes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PqAdcDistance(
+        org.apache.spark.sql.GraftColumnBridge.expression(probeId),
+        org.apache.spark.sql.GraftColumnBridge.expression(codes), this))
+
+  def destroy(): Unit = luts.destroy()
+}
+
+/** Codegen'd ADC distance: Σ_j lut[j·ksub + code_j] over the broadcast
+  * LUT of the row's probe id. The LUT map never enters the plan —
+  * codegen references this expression instance, which carries only the
+  * broadcast handle (the [[NearestCentroids]] pattern). */
+case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqLuts)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (bigint probe id, array<int> codes), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  def adcDistance(probeId: Long, codes: ArrayData): Double = {
+    val lut = luts.luts.value.getOrElse(probeId,
+      throw new IllegalArgumentException(s"pq_adc: no LUT for probe id $probeId"))
+    val (m, ksub) = (luts.m, luts.ksub)
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${codes.numElements()} codes for an m=$m quantizer")
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(s"pq_adc: code $c outside [0, $ksub)")
+      d += lut(j * ksub + c)
+      j += 1
+    }
+    d
+  }
+
+  override protected def nullSafeEval(probeId: Any, codes: Any): Any =
+    adcDistance(probeId.asInstanceOf[Long], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcKernel", this, classOf[PqAdcDistance].getName)
+    nullSafeCodeGen(ctx, ev, (pid, codes) => s"${ev.value} = $self.adcDistance($pid, $codes);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

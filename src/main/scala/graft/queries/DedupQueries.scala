@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.similarity.{Cosine, Ivf, SemDedup}
+import graft.similarity.{Cosine, Ivf, Pq, SemDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -259,6 +259,20 @@ object DedupQueries {
       val e = Tables.embeddings(s, dir)
       val cents = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3)
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, cents, nprobe = 3)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // #55b IVF-PQ ANN: coarse posting lists + product-quantized ADC
+    // scoring (rows-only: recall + determinism + ADC invariants
+    // checked in spec). The 100 TB shape: candidates ride the probe
+    // join as m=8 codebook ids instead of 64 floats (~32× less
+    // candidate shuffle than q_ann_ivf), distances are m LUT reads
+    // from a broadcast per-probe table.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val coarse = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3)
+      val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 3)
+      Pq.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, coarse, cbs, nprobe = 3)
         .orderBy("probe_id", "rank")
     }),
 

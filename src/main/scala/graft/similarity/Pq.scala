@@ -1,0 +1,140 @@
+package graft.similarity
+
+import graft.functions.{BroadcastCentroids, BroadcastPqLuts}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ ANN: the [[Ivf]] coarse quantizer for candidate selection +
+  * product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) for the per-pair distance.
+  *
+  * Why this is the 100 TB path beyond plain IVF: [[Ivf.topK]]'s
+  * posting-list join ships every candidate's FULL vector (D doubles)
+  * through the probe join. Here the corpus rides as m small codes
+  * (array<int>, one byte of entropy each at ksub = 256) — a
+  * D=64-float vector becomes 8 codes, ~32× less candidate shuffle —
+  * and the per-pair distance is m LUT reads instead of D multiplies
+  * (the asymmetric-distance computation, ADC). The LUTs are
+  * m·ksub doubles per probe, computed ONCE per probe from its raw
+  * vector and broadcast as a map ([[graft.functions.BroadcastPqLuts]])
+  * so they never ride join rows.
+  *
+  * Cosine ordering: all vectors are L2-normalized first, so ascending
+  * squared-L2 ADC order equals descending cosine order (‖a−b‖² =
+  * 2 − 2·cos on the unit sphere). Deterministic end to end: the
+  * per-subspace Lloyd trainer inherits [[Ivf.train]]'s hash-ordered
+  * init and fixed iteration count.
+  *
+  * Reference scope: the reference library has no ANN at all (its
+  * nearest lookup is df-index-of over a sorted series); this operator
+  * is part of the training-data-pipeline extension surface, same
+  * family as rows 45/46/55. */
+object Pq {
+
+  /** L2-normalize an array<float|double> column to unit length.
+    * Zero-norm vectors are dropped by [[Cosine.withNorm]] (the same
+    * guard every cosine operator applies — cosine is undefined on
+    * them). */
+  private[similarity] def normalized(df: DataFrame, vecCol: String): DataFrame =
+    Cosine.withNorm(df, vecCol) // adds __vd (double) + __nrm, drops zero-norm rows
+      .withColumn("__vn", transform(col("__vd"), x => x / col("__nrm")))
+      .drop("__vd", "__nrm")
+
+  /** Train m per-subspace codebooks of ksub centroids each over the
+    * NORMALIZED vectors. dim must divide evenly into m subspaces.
+    * Returns codebooks(j)(c) = centroid c of subspace j (length
+    * dim/m). Train on a sample at 100 TB — the trainer is
+    * [[Ivf.train]] run m times on sliced subvectors, so it inherits
+    * the broadcast-argmin assignment (one plan node per iteration at
+    * any ksub). */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ksub: Int, iters: Int = 4): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val base = normalized(df, vecCol).select(col(idCol), col("__vn")).cache()
+    try {
+      Array.tabulate(m) { j =>
+        val slices = base.select(col(idCol), slice(col("__vn"), j * sub + 1, sub).as("__s"))
+        Ivf.train(slices, idCol, "__s", k = ksub, iters = iters)
+      }
+    } finally base.unpersist()
+  }
+
+  /** Encode NORMALIZED vectors to array<int> of m codebook ids (one
+    * argmin per subspace — m broadcast-kernel plan nodes, no joins).
+    * Input df must already carry `__vn`. */
+  private def encodeCol(df: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val spark = df.sparkSession
+    val kernels = codebooks.map(cb => BroadcastCentroids(spark, cb))
+    val codes = array((0 until m).map { j =>
+      kernels(j).nearestOne(slice(col("__vn"), j * sub + 1, sub))
+    }: _*)
+    df.withColumn("__codes", codes)
+  }
+
+  /** IVF-PQ top-k: coarse posting lists select candidates (nprobe
+    * lists per probe), ADC over broadcast per-probe LUTs scores them.
+    * `probes` is a bounded slice by design (its LUTs broadcast; the
+    * same convention as the bounded exact baselines). Output:
+    * (probe_id, rank, neighbor_id, adc) — adc ascending = cosine
+    * descending on the normalized vectors. */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+           k: Int, coarse: Array[Array[Double]],
+           codebooks: Array[Array[Array[Double]]], nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val bcCoarse = BroadcastCentroids(spark, coarse)
+
+    val c = encodeCol(normalized(corpus, vecCol), codebooks)
+      .withColumn("__cid", bcCoarse.nearestOne(col("__vn")))
+      .select(col("__cid"), col(idCol).as("neighbor_id"), col("__codes"))
+
+    // per-probe ADC LUTs, computed on the driver from the bounded
+    // probe slice: lut[j*ksub + c] = ||q_j - cb_j[c]||^2
+    val probeRows = normalized(probes, vecCol)
+      .select(col(idCol).cast("long").as("__pid"), col("__vn")).collect()
+    val lutMap = probeRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      require(q.length == m * sub,
+        s"probe vector has ${q.length} dims, codebooks expect ${m * sub}")
+      val lut = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var cc = 0
+        while (cc < ksub) {
+          val cent = codebooks(j)(cc)
+          var s = 0.0
+          var i = 0
+          while (i < sub) {
+            val d = q(j * sub + i) - cent(i)
+            s += d * d
+            i += 1
+          }
+          lut(j * ksub + cc) = s
+          cc += 1
+        }
+        j += 1
+      }
+      r.getLong(0) -> lut
+    }.toMap
+    val bcLuts = BroadcastPqLuts(spark.sparkContext.broadcast(lutMap), m, ksub)
+
+    val p = normalized(probes, vecCol)
+      .select(col(idCol).cast("long").as("probe_id"),
+        explode(bcCoarse.nearest(col("__vn"), nprobe)).as("__cid"))
+
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("neighbor_id"))
+    p.join(c, Seq("__cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc", bcLuts.adc(col("probe_id"), col("__codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("adc"), 6).as("adc"))
+  }
+}
