@@ -43,8 +43,18 @@ object ScaleUp {
         .map(_.asInstanceOf[Number].longValue + 1).getOrElse(0L)
 
     // optional 4th arg: comma-separated table names (resume a partial
-    // generation without rewriting finished tables)
+    // generation without rewriting finished tables). Validated up
+    // front: a typo ("lineitems") would otherwise match nothing and
+    // exit 0 looking like a successful run that wrote zero tables.
+    val knownTables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val only = args.lift(3).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(knownTables)
+      require(unknown.isEmpty,
+        s"unknown table(s) in resume filter: ${unknown.toSeq.sorted.mkString(",")}" +
+          s" (known: ${knownTables.toSeq.sorted.mkString(",")})")
+    }
 
     // scale the file count with the factor so the generated layout
     // supplies scan splits the way a real table would — one giant

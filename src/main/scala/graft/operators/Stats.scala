@@ -153,7 +153,16 @@ object Stats {
     * legitimately land outside the window. The row count piggybacks on
     * the same aggregation; when the precondition is unmet `within`
     * comes back NULL (never a spurious true/false), which an oracle
-    * expecting `true` flags loudly as a mismatch pointing here. */
+    * expecting `true` flags loudly as a mismatch pointing here.
+    *
+    * STABLE-INPUT REQUIREMENT: n is counted in a separate job BEFORE
+    * the main aggregate, so `df` must read the same snapshot in both
+    * jobs (deterministic source, no concurrent append). Over a source
+    * that can change between jobs, the disc probes would target ranks
+    * from a stale n while the `within` guard reads the in-aggregate
+    * __n — persist/cache the input around the call in that case. All
+    * project inputs are immutable parquet snapshots, so the extra
+    * cache is not paid here. */
   def quantilesApproxChecked(df: DataFrame, valueCol: String, qs: Seq[Double],
                              accuracy: Int = 10000): DataFrame = {
     val margin = BigDecimal(2) / BigDecimal(accuracy)

@@ -254,10 +254,15 @@ object DedupQueries {
         .select("doc_id").orderBy("doc_id")),
 
     // #46b IVF ANN: k-means coarse quantizer + posting-list probe
-    // (rows-only: recall checked in spec).
+    // (rows-only: recall checked in spec). Training reads a bounded
+    // deterministic sample (maxTrainRows — a no-op below sf1 where
+    // the corpus is smaller) so the registered wall measures the
+    // SEARCH path, not 9 Lloyd passes over the full corpus; the
+    // 100 TB discipline the trainer Scaladoc prescribes.
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cents = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3)
+      val cents = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3,
+        maxTrainRows = 20000L)
       Ivf.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, cents, nprobe = 3)
         .orderBy("probe_id", "rank")
     }),
@@ -267,11 +272,16 @@ object DedupQueries {
     // checked in spec). The 100 TB shape: candidates ride the probe
     // join as m=8 codebook ids instead of 64 floats (~32× less
     // candidate shuffle than q_ann_ivf), distances are m LUT reads
-    // from a broadcast per-probe table.
+    // from a broadcast per-probe table. Coarse quantizer trained in
+    // the normalized space (Pq.trainCoarse — the space topK assigns
+    // cells in); both trainers read the same bounded sample so the
+    // wall is search-dominated, matching q_ann_ivf's discipline.
     "q_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val coarse = Ivf.train(e, "vec_id", "embedding", k = 8, iters = 3)
-      val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 3)
+      val coarse = Pq.trainCoarse(e, "vec_id", "embedding", k = 8, iters = 3,
+        maxTrainRows = 20000L)
+      val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 3,
+        maxTrainRows = 20000L)
       Pq.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, coarse, cbs, nprobe = 3)
         .orderBy("probe_id", "rank")
     }),

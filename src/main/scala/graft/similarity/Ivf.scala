@@ -21,17 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Deterministic bounded training sample: keep rows whose md5-hash
+    * uniform draw falls under maxRows/n — a per-row filter (NO
+    * shuffle, NO global sort), so it parallelizes like the scan
+    * itself at 100 TB. Expected sample size is min(maxRows, n) with
+    * binomial jitter (training cares about coverage, not an exact
+    * count). maxRows <= 0 means "train on everything". The count is
+    * one extra job, metadata-only on a plain parquet scan. */
+  private[graft] def trainSample(df: DataFrame, idCol: String,
+                                 maxRows: Long): DataFrame =
+    if (maxRows <= 0) df
+    else {
+      val n = df.count()
+      if (n <= maxRows) df
+      else df.filter(graft.pipeline.Sampling.hashUniform(col(idCol)) <=
+        lit(maxRows.toDouble / n))
+    }
+
   /** Lloyd's k-means with deterministic init (xxhash64-ordered rows).
-    * Returns the centroid matrix. Train on a sample at 100 TB. */
+    * Returns the centroid matrix. `maxTrainRows > 0` trains on a
+    * deterministic hash sample of at most ~that many rows (the 100 TB
+    * path: the quantizer needs coverage, not the full corpus — see
+    * [[trainSample]]); encode/search still read everything. */
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
-            iters: Int = 5): Array[Array[Double]] = {
+            iters: Int = 5, maxTrainRows: Long = 0L): Array[Array[Double]] = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("__id"), Cosine.toDouble(col(vecCol)).as("__vd"))
+    val base = trainSample(df, idCol, maxTrainRows)
+      .select(col(idCol).as("__id"), Cosine.toDouble(col(vecCol)).as("__vd"))
       .cache()
     try {
       var cents = base.orderBy(xxhash64(col("__id"))).limit(k)
         .select("__vd").collect().map(_.getSeq[Double](0).toArray)
+      require(cents.length == k,
+        s"training input has only ${cents.length} rows < k=$k" +
+          (if (maxTrainRows > 0) s" (maxTrainRows=$maxTrainRows — raise it)" else ""))
       for (_ <- 1 to iters) {
         val bc = BroadcastCentroids(spark, cents)
         val assigned = base.withColumn("__cid", bc.nearestOne(col("__vd")))

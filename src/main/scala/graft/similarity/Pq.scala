@@ -41,19 +41,36 @@ object Pq {
       .withColumn("__vn", transform(col("__vd"), x => x / col("__nrm")))
       .drop("__vd", "__nrm")
 
+  /** Train the COARSE quantizer for the PQ path: [[Ivf.train]] over
+    * the NORMALIZED vectors, so the centroid matrix lives in the same
+    * space [[topK]] assigns cells in (`__vn`). [[Ivf.train]] alone
+    * fits raw vectors — self-consistent with [[Ivf.topK]]'s raw-space
+    * assignment, and identical to this on unit-norm input, but on
+    * non-unit-norm input a raw-space matrix would partition the
+    * corpus differently under [[topK]]'s normalized assignment and
+    * unbalance the cells. `maxTrainRows` as in [[Ivf.train]]. */
+  def trainCoarse(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int = 5, maxTrainRows: Long = 0L): Array[Array[Double]] =
+    Ivf.train(normalized(df, vecCol).select(col(idCol), col("__vn")),
+      idCol, "__vn", k = k, iters = iters, maxTrainRows = maxTrainRows)
+
   /** Train m per-subspace codebooks of ksub centroids each over the
     * NORMALIZED vectors. dim must divide evenly into m subspaces.
     * Returns codebooks(j)(c) = centroid c of subspace j (length
-    * dim/m). Train on a sample at 100 TB — the trainer is
-    * [[Ivf.train]] run m times on sliced subvectors, so it inherits
-    * the broadcast-argmin assignment (one plan node per iteration at
-    * any ksub). */
+    * dim/m). `maxTrainRows > 0` trains on a deterministic hash sample
+    * (one sample shared by all m subspaces — the 100 TB path; see
+    * [[Ivf.trainSample]]) while encode/search read the full corpus.
+    * The trainer is [[Ivf.train]] run m times on sliced subvectors,
+    * so it inherits the broadcast-argmin assignment (one plan node
+    * per iteration at any ksub). */
   def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
-                     m: Int, ksub: Int, iters: Int = 4): Array[Array[Array[Double]]] = {
+                     m: Int, ksub: Int, iters: Int = 4,
+                     maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val sub = dim / m
-    val base = normalized(df, vecCol).select(col(idCol), col("__vn")).cache()
+    val base = Ivf.trainSample(normalized(df, vecCol), idCol, maxTrainRows)
+      .select(col(idCol), col("__vn")).cache()
     try {
       Array.tabulate(m) { j =>
         val slices = base.select(col(idCol), slice(col("__vn"), j * sub + 1, sub).as("__s"))
@@ -78,8 +95,12 @@ object Pq {
 
   /** IVF-PQ top-k: coarse posting lists select candidates (nprobe
     * lists per probe), ADC over broadcast per-probe LUTs scores them.
-    * `probes` is a bounded slice by design (its LUTs broadcast; the
-    * same convention as the bounded exact baselines). Output:
+    * `coarse` must be trained in the NORMALIZED space (use
+    * [[trainCoarse]]): cells here are assigned from `__vn`, so a
+    * raw-space matrix ([[Ivf.train]] output) only matches on
+    * unit-norm input. `probes` is a bounded slice by design (its
+    * LUTs broadcast; the same convention as the bounded exact
+    * baselines). Output:
     * (probe_id, rank, neighbor_id, adc) — adc ascending = cosine
     * descending on the normalized vectors. */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,

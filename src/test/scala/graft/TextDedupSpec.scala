@@ -369,7 +369,10 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     val probes = vecs.filter(col("vec_id") < 4) // one probe per cluster
     val exact = Cosine.topK(vecs, probes, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val coarse = Ivf.train(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    // trainCoarse: the documented space contract for Pq.topK (cells
+    // are assigned from normalized vectors, so the matrix must be
+    // trained on them — the fixture vectors are NOT unit-norm)
+    val coarse = Pq.trainCoarse(vecs, "vec_id", "embedding", k = 4, iters = 3)
     val cbs = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 4, ksub = 8, iters = 3)
     assert(cbs.length == 4 && cbs.forall(cb => cb.length == 8 && cb.forall(_.length == 2)))
     val pq = Pq.topK(vecs, probes, "vec_id", "embedding", 5, coarse, cbs, nprobe = 2)
@@ -396,6 +399,40 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     // hand-computed LUT distance on the emitted top-1 neighbor
     val top1 = pq.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
     assert(top1.getDouble(3) < 2.0, "nearest same-cluster neighbor should be close on the unit sphere")
+  }
+
+  test("train-on-sample: deterministic, bounded, and fails loudly when the sample can't seat k") {
+    val vecs = spark.range(2500).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), i -> cast(pmod(xxhash64(id, i), 1000) as double) / 1000.0)")
+        .as("embedding"))
+    // bounded: the hash filter reads ~maxTrainRows of 2500 (binomial
+    // jitter documented; assert the order of magnitude, not the count)
+    val sampled = Ivf.trainSample(vecs, "vec_id", 500L)
+    val n = sampled.count()
+    assert(n > 300 && n < 700, s"sample size $n far from requested 500")
+    // determinism: the sample is a pure hash filter — two trainings
+    // from the same data and params produce identical centroids
+    val a = Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 2, maxTrainRows = 500L)
+    val b = Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 2, maxTrainRows = 500L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // sampled codebooks: same determinism through the PQ trainer, and
+    // a sampled-trained index still searches (shape invariants hold)
+    val cb1 = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 4, ksub = 8,
+      iters = 2, maxTrainRows = 500L)
+    val cb2 = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 4, ksub = 8,
+      iters = 2, maxTrainRows = 500L)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    val coarse = Pq.trainCoarse(vecs, "vec_id", "embedding", k = 4, iters = 2,
+      maxTrainRows = 500L)
+    val out = Pq.topK(vecs, vecs.filter(col("vec_id") < 3), "vec_id", "embedding",
+      5, coarse, cb1, nprobe = 2).collect()
+    assert(out.length == 15 && out.forall(r => r.getLong(0) != r.getLong(2)))
+    // maxTrainRows below k: the init require must fire, not silently
+    // return fewer centroids
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.train(vecs, "vec_id", "embedding", k = 2000, iters = 1, maxTrainRows = 40L)
+    }
+    assert(ex.getMessage.contains("maxTrainRows"))
   }
 
   test("minhash candidates vs exact ground truth on a planted-dup corpus") {

@@ -69,18 +69,110 @@ def _mt_loop(n):
     return acc
 
 
-sf_dir = sys.argv[1]
-out_json = sys.argv[2]
-iters = sys.argv[3] if len(sys.argv) > 3 else "1"
-repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def main():
+    sf_dir = sys.argv[1]
+    out_json = sys.argv[2]
+    iters = sys.argv[3] if len(sys.argv) > 3 else "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# full registry from the CODE (graft.Bench --list prints the registry),
-# never from a frozen round artifact — a pinned artifact silently
-# excludes every query registered after that round
-_r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench", "--list"],
-                    capture_output=True, text=True, check=True)
-names = sorted(l.strip() for l in _r.stdout.splitlines() if l.strip().startswith("q_"))
-assert names, "empty registry from graft.Bench --list"
+    # full registry from the CODE (graft.Bench --list prints the registry),
+    # never from a frozen round artifact — a pinned artifact silently
+    # excludes every query registered after that round
+    _r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench", "--list"],
+                        capture_output=True, text=True, check=True)
+    names = sorted(l.strip() for l in _r.stdout.splitlines() if l.strip().startswith("q_"))
+    assert names, "empty registry from graft.Bench --list"
+
+    shards = collections.OrderedDict((s, []) for s, _ in SHARD_RULES)
+    for n in names:
+        for s, prefixes in SHARD_RULES:
+            if not prefixes or any(n.startswith(p) for p in prefixes):
+                shards[s].append(n); break
+
+    merged, errors, shard_info = {}, {}, {}
+    for shard, qs in shards.items():
+        if not qs:
+            continue
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+                   SPARK_GRAFT_BENCH_ITERS=iters)
+        speed, ck_ok = host_speed_probe()
+        if not ck_ok:
+            print(f"[shard {shard}] host_speed probe CHECKSUM MISMATCH — recording null")
+        speed_mt, ck_mt = host_speed_probe_mt()
+        if not ck_mt:
+            print(f"[shard {shard}] host_speed_mt probe FAILED — recording null")
+        print(f"[shard {shard}] {len(qs)} queries (host_speed {speed}s, mt {speed_mt}s)",
+              flush=True)
+        r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
+                            ",".join(qs)], env=env, capture_output=True, text=True)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        total_line = next((json.loads(l) for l in reversed(lines)
+                           if '"metric":"total"' in l), None)
+        full_line = next((json.loads(l) for l in lines
+                          if '"metric":"queries_full"' in l), None)
+        err_line = next((json.loads(l) for l in lines
+                         if '"metric":"errors"' in l), None)
+        if full_line is None:
+            print(f"[shard {shard}] FAILED rc={r.returncode}\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+            shard_info[shard] = {"rc": r.returncode, "error": "no output line"}
+            continue
+        merged.update(full_line["queries"])
+        if err_line:
+            errors.update(err_line["errors"])
+        shard_info[shard] = {"rc": r.returncode, "n": len(qs),
+                             "wall": total_line["value"] if total_line else None,
+                             "host_speed": speed, "host_speed_mt": speed_mt}
+        print(f"[shard {shard}] done: {shard_info[shard]}", flush=True)
+
+    # streaming rates in their own fresh JVM (a query-subset shard skips
+    # the streaming section entirely — the r10 sf10 artifact had none)
+    streaming, streaming_error = None, None
+    _s = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
+                         "--streaming"],
+                        env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                                 SPARK_GRAFT_CPUS="32"),
+                        capture_output=True, text=True)
+    for l in _s.stdout.splitlines():
+        if l.startswith("{") and '"metric":"streaming"' in l:
+            streaming = json.loads(l)["events_per_sec"]
+    if streaming is None:
+        # a missing metric line is a FAILURE, not "not measured": record the
+        # subprocess exit code + stderr tail so the artifact distinguishes
+        # events_per_sec: null (broken) from an intentionally skipped section
+        streaming_error = {"rc": _s.returncode, "stderr_tail": _s.stderr[-500:]}
+    print(f"[streaming] {streaming or streaming_error}")
+
+    speeds = sorted(v["host_speed"] for v in shard_info.values()
+                    if v.get("host_speed") is not None)
+    speeds_mt = sorted(v["host_speed_mt"] for v in shard_info.values()
+                       if v.get("host_speed_mt") is not None)
+    artifact = {
+        "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
+        "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
+        # host epoch: same-code runs on this host swing up to 2.6x/query
+        # between host-days — a reader comparing artifacts needs to know
+        # whether two totals share a host-hour before reading them as code
+        "host_epoch": int(time.time()),
+        # calibrated host-speed: median of the per-shard pinned-loop seconds
+        # (see host_speed_probe) — divide two artifacts' walls by their
+        # host_speed ratio before reading a gap as code movement
+        "host_speed": speeds[len(speeds) // 2] if speeds else None,
+        # 32-process variant of the same loop (wall of the slowest worker):
+        # single-thread and all-cores epochs can diverge (see
+        # host_speed_probe_mt) — normalize 32-thread query walls by THIS
+        # when the two disagree
+        "host_speed_mt": speeds_mt[len(speeds_mt) // 2] if speeds_mt else None,
+        "queries": dict(sorted(merged.items())),
+        "errors": errors, "shards": shard_info, "n_queries": len(merged),
+        "events_per_sec": streaming,
+    }
+    if streaming_error is not None:
+        artifact["streaming_error"] = streaming_error
+    with open(out_json, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out_json}: {artifact['n_queries']} queries, "
+          f"total {artifact['value']} s, {len(errors)} errors")
+
 
 SHARD_RULES = [  # (shard, prefixes) — first match wins
     # the SA-extents family (suffix-array build + its consumers) gets
@@ -99,92 +191,9 @@ SHARD_RULES = [  # (shard, prefixes) — first match wins
     ("core",     []),  # fallback
 ]
 
-shards = collections.OrderedDict((s, []) for s, _ in SHARD_RULES)
-for n in names:
-    for s, prefixes in SHARD_RULES:
-        if not prefixes or any(n.startswith(p) for p in prefixes):
-            shards[s].append(n); break
 
-merged, errors, shard_info = {}, {}, {}
-for shard, qs in shards.items():
-    if not qs:
-        continue
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
-               SPARK_GRAFT_BENCH_ITERS=iters)
-    speed, ck_ok = host_speed_probe()
-    if not ck_ok:
-        print(f"[shard {shard}] host_speed probe CHECKSUM MISMATCH — recording null")
-    speed_mt, ck_mt = host_speed_probe_mt()
-    if not ck_mt:
-        print(f"[shard {shard}] host_speed_mt probe FAILED — recording null")
-    print(f"[shard {shard}] {len(qs)} queries (host_speed {speed}s, mt {speed_mt}s)",
-          flush=True)
-    r = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
-                        ",".join(qs)], env=env, capture_output=True, text=True)
-    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-    total_line = next((json.loads(l) for l in reversed(lines)
-                       if '"metric":"total"' in l), None)
-    full_line = next((json.loads(l) for l in lines
-                      if '"metric":"queries_full"' in l), None)
-    err_line = next((json.loads(l) for l in lines
-                     if '"metric":"errors"' in l), None)
-    if full_line is None:
-        print(f"[shard {shard}] FAILED rc={r.returncode}\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
-        shard_info[shard] = {"rc": r.returncode, "error": "no output line"}
-        continue
-    merged.update(full_line["queries"])
-    if err_line:
-        errors.update(err_line["errors"])
-    shard_info[shard] = {"rc": r.returncode, "n": len(qs),
-                         "wall": total_line["value"] if total_line else None,
-                         "host_speed": speed, "host_speed_mt": speed_mt}
-    print(f"[shard {shard}] done: {shard_info[shard]}", flush=True)
-
-# streaming rates in their own fresh JVM (a query-subset shard skips
-# the streaming section entirely — the r10 sf10 artifact had none)
-streaming, streaming_error = None, None
-_s = subprocess.run([os.path.join(repo, "tools/runjvm.sh"), "graft.Bench",
-                     "--streaming"],
-                    env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                             SPARK_GRAFT_CPUS="32"),
-                    capture_output=True, text=True)
-for l in _s.stdout.splitlines():
-    if l.startswith("{") and '"metric":"streaming"' in l:
-        streaming = json.loads(l)["events_per_sec"]
-if streaming is None:
-    # a missing metric line is a FAILURE, not "not measured": record the
-    # subprocess exit code + stderr tail so the artifact distinguishes
-    # events_per_sec: null (broken) from an intentionally skipped section
-    streaming_error = {"rc": _s.returncode, "stderr_tail": _s.stderr[-500:]}
-print(f"[streaming] {streaming or streaming_error}")
-
-speeds = sorted(v["host_speed"] for v in shard_info.values()
-                if v.get("host_speed") is not None)
-speeds_mt = sorted(v["host_speed_mt"] for v in shard_info.values()
-                   if v.get("host_speed_mt") is not None)
-artifact = {
-    "metric": "total", "value": round(sum(merged.values()), 2), "unit": "sec",
-    "sf": sf_dir, "iters": int(iters), "sharding": "fresh JVM per shard",
-    # host epoch: same-code runs on this host swing up to 2.6x/query
-    # between host-days — a reader comparing artifacts needs to know
-    # whether two totals share a host-hour before reading them as code
-    "host_epoch": int(time.time()),
-    # calibrated host-speed: median of the per-shard pinned-loop seconds
-    # (see host_speed_probe) — divide two artifacts' walls by their
-    # host_speed ratio before reading a gap as code movement
-    "host_speed": speeds[len(speeds) // 2] if speeds else None,
-    # 32-process variant of the same loop (wall of the slowest worker):
-    # single-thread and all-cores epochs can diverge (see
-    # host_speed_probe_mt) — normalize 32-thread query walls by THIS
-    # when the two disagree
-    "host_speed_mt": speeds_mt[len(speeds_mt) // 2] if speeds_mt else None,
-    "queries": dict(sorted(merged.items())),
-    "errors": errors, "shards": shard_info, "n_queries": len(merged),
-    "events_per_sec": streaming,
-}
-if streaming_error is not None:
-    artifact["streaming_error"] = streaming_error
-with open(out_json, "w") as f:
-    json.dump(artifact, f, indent=1)
-print(f"wrote {out_json}: {artifact['n_queries']} queries, "
-      f"total {artifact['value']} s, {len(errors)} errors")
+# ProcessPoolExecutor workers re-import this module; without the guard
+# a spawn/forkserver start method (the Python 3.14 Linux default) would
+# re-execute the whole benchmark loop recursively in every worker.
+if __name__ == "__main__":
+    main()
