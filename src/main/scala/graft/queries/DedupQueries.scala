@@ -286,6 +286,24 @@ object DedupQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // #55c IVF-PQ with exact re-ranking — the production PQ search
+    // mode. Measured motivation (BENCH_pq_recall_r16.json): raw ADC
+    // recall@10 saturates ~0.22 at m=8/ksub=256 on these embeddings
+    // while IVF climbs with nprobe; pruning with ADC and exactly
+    // re-scoring kCand survivors restores most of the gap at
+    // |probes|·kCand full-vector touches (rows-only: recall +
+    // pool-subset invariants in spec).
+    "q_ann_ivfpq_refined" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val coarse = Pq.trainCoarse(e, "vec_id", "embedding", k = 8, iters = 3,
+        maxTrainRows = 20000L)
+      val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 3,
+        maxTrainRows = 20000L)
+      Pq.topKRefined(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        coarse, cbs, nprobe = 3, kCand = 50)
+        .orderBy("probe_id", "rank")
+    }),
+
     // #78 SemDeDup semantic dedup (Abbas et al. '23): k-means cells →
     // within-cell exact pairs → keep the low-centroid-cosine member per
     // dup group. Auto-k (⌈√n⌉ cells, sampled trainer) so the cost law

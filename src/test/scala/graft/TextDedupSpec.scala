@@ -399,6 +399,27 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     // hand-computed LUT distance on the emitted top-1 neighbor
     val top1 = pq.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
     assert(top1.getDouble(3) < 2.0, "nearest same-cluster neighbor should be close on the unit sphere")
+    // refined mode: ADC prunes, exact cosine re-ranks — output schema
+    // matches Ivf.topK, every returned pair must be drawn from the
+    // ADC candidate pool, and recall cannot drop below raw ADC's
+    val refined = Pq.topKRefined(vecs, probes, "vec_id", "embedding", 5, coarse, cbs,
+      nprobe = 2, kCand = 15)
+    assert(refined.columns.toSeq == Seq("probe_id", "rank", "neighbor_id", "cos"))
+    val rf = refined.collect()
+    assert(rf.length == 20 && rf.forall(r => r.getLong(0) != r.getLong(2)))
+    rf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos must descend with rank")
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    val gotR = rf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((exact & gotR).size >= (exact & got).size,
+      s"refined recall ${(exact & gotR).size} fell below raw ADC ${(exact & got).size}")
+    val cand15 = Pq.topK(vecs, probes, "vec_id", "embedding", 15, coarse, cbs, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gotR.subsetOf(cand15), "refined results must come from the ADC candidate pool")
   }
 
   test("train-on-sample: deterministic, bounded, and fails loudly when the sample can't seat k") {
