@@ -288,11 +288,12 @@ object DedupQueries {
 
     // #55c IVF-PQ with exact re-ranking — the production PQ search
     // mode. Measured motivation (BENCH_pq_recall_r16.json): raw ADC
-    // recall@10 saturates ~0.22 at m=8/ksub=256 on these embeddings
-    // while IVF climbs with nprobe; pruning with ADC and exactly
-    // re-scoring kCand survivors restores most of the gap at
-    // |probes|·kCand full-vector touches (rows-only: recall +
-    // pool-subset invariants in spec).
+    // recall@10 saturates at 0.15–0.20 at m=8/ksub=256 on these
+    // embeddings while IVF climbs with nprobe; pruning with ADC and
+    // exactly re-scoring kCand survivors recovers most of the gap
+    // (0.76–0.81 at kCand=100·k vs IVF 0.87–0.92) at |probes|·kCand
+    // full-vector touches (rows-only: recall + pool-subset
+    // invariants in spec).
     "q_ann_ivfpq_refined" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val coarse = Pq.trainCoarse(e, "vec_id", "embedding", k = 8, iters = 3,

@@ -164,12 +164,15 @@ object Pq {
     * survivors' FULL vectors are fetched and exactly re-scored, and
     * the true-cosine top-k is returned.
     *
-    * Why this exists: measured at sf1–sf10 production parameters
-    * (m=8, ksub=256 on the 64-dim embeddings), raw ADC recall@10
-    * SATURATES near 0.22 as nprobe grows — the 8-byte code's
-    * quantization error exceeds the margins between true top-10
-    * neighbors, so more candidates don't help. Re-ranking restores
-    * recall to the IVF ceiling at the same nprobe while keeping PQ's
+    * Why this exists: measured at production parameters (kc=1024,
+    * m=8, ksub=256 on the 64-dim embeddings;
+    * BENCH_pq_recall_r16.json), raw ADC recall@10 SATURATES — 0.199
+    * at sf10, 0.147 at sf100, flat from nprobe=128 on — because the
+    * 8-byte code's quantization error exceeds the margins between
+    * true top-10 neighbors, so more candidates don't help. Re-ranking
+    * recovers MOST of the gap to plain IVF at the same nprobe
+    * (kCand=100·k: 0.81/0.76 vs the IVF ceiling 0.87/0.92 at
+    * sf10/sf100; kCand is the recall/cost dial) while keeping PQ's
     * scale shape: the heavy pass over the posting lists still reads
     * only 8-int codes; full vectors are touched for just
     * |probes|·kCand rows, fetched by an equi-join in which the
