@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object PqAb {
 
+  /** Execute THIS DataFrame's own physical plan and return its row
+    * count. `df.count()` would NOT do: it wraps df in a new aggregate
+    * with its own QueryExecution, so `df.queryExecution.executedPlan`
+    * (where [[exchangeMetrics]] reads SQLMetrics from) never runs and
+    * every metric reads 0. toRdd materializes the very plan instance
+    * the metrics hang off. */
+  private def runOwnPlan(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   /** Walk the EXECUTED plan including AQE stages and reused
     * exchanges; metrics are only populated after an action ran. */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
@@ -83,17 +91,17 @@ object PqAb {
     val tCbs = (System.nanoTime() - t1) / 1e9
     println(f"""{"train_coarse_sec":$tCoarse%.1f,"train_codebooks_sec":$tCbs%.1f,"n_probes":$nProbes,"max_train_rows":$maxTrain}""")
 
-    // interleaved reps, count() as the action (both plans end in the
-    // same window + filter, so the measured work is the candidate join
-    // + scoring)
+    // interleaved reps, each executing the df's own plan (so rep 1's
+    // SQLMetrics are readable; both plans end in the same window +
+    // filter, so the measured work is the candidate join + scoring)
     for (r <- 1 to reps) {
       val ivfDf = Ivf.topK(e, probes, "vec_id", "embedding", 5, coarseIvf, nprobe = 3)
       val ta = System.nanoTime()
-      val nIvf = ivfDf.count()
+      val nIvf = runOwnPlan(ivfDf)
       val ivfSec = (System.nanoTime() - ta) / 1e9
       val pqDf = Pq.topK(e, probes, "vec_id", "embedding", 5, coarsePq, cbs, nprobe = 3)
       val tb = System.nanoTime()
-      val nPq = pqDf.count()
+      val nPq = runOwnPlan(pqDf)
       val pqSec = (System.nanoTime() - tb) / 1e9
       println(f"""{"rep":$r,"ivf_search_sec":$ivfSec%.1f,"pq_search_sec":$pqSec%.1f,"ivf_rows":$nIvf,"pq_rows":$nPq}""")
       if (r == 1) {
@@ -113,11 +121,11 @@ object PqAb {
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val ivfS = Ivf.topK(e, probes, "vec_id", "embedding", 5, coarseIvf, nprobe = 3)
     val ts0 = System.nanoTime()
-    val nIvfS = ivfS.count()
+    val nIvfS = runOwnPlan(ivfS)
     val ivfShufSec = (System.nanoTime() - ts0) / 1e9
     val pqS = Pq.topK(e, probes, "vec_id", "embedding", 5, coarsePq, cbs, nprobe = 3)
     val ts1 = System.nanoTime()
-    val nPqS = pqS.count()
+    val nPqS = runOwnPlan(pqS)
     val pqShufSec = (System.nanoTime() - ts1) / 1e9
     println(f"""{"mode":"forced_shuffle_join","ivf_search_sec":$ivfShufSec%.1f,"pq_search_sec":$pqShufSec%.1f,"ivf_rows":$nIvfS,"pq_rows":$nPqS}""")
     println(s"""{"ivf_shuffle_exchanges":[${exchangeMetrics(ivfS).mkString(",")}]}""")
