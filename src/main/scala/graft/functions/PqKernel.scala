@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 case class BroadcastPqLuts(luts: Broadcast[Map[Long, Array[Double]]], m: Int, ksub: Int) {
 
   /** Approximate squared L2 distance between the probe (by id) and an
-    * encoded vector (array<int> of m codes). */
+    * encoded vector — either `array<int>` of m codes, or the packed
+    * `bigint` form (code_j in byte j; m ≤ 8, ksub ≤ 256). */
   def adc(probeId: Column, codes: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       PqAdcDistance(
@@ -44,8 +45,12 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqL
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (LongType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (LongType, LongType) =>
+      if (luts.m <= 8 && luts.ksub <= 256) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_adc packed codes need m<=8 and ksub<=256, got m=${luts.m} ksub=${luts.ksub}")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc requires (bigint probe id, array<int> codes), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+      s"pq_adc requires (bigint probe id, array<int> | bigint codes), got (${l.simpleString(10)}, ${r.simpleString(10)})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
@@ -69,12 +74,37 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqL
     d
   }
 
+  /** Packed form: code_j lives in byte j of one long (m ≤ 8 bytes,
+    * ksub ≤ 256 values per byte) — the 8 codes of the standard
+    * m=8/ksub=256 config fill the long exactly, so a candidate's
+    * whole PQ payload is ONE fixed-width column (32 vs 80 B/row raw on
+    * the posting exchange; BENCH_pq_packed_r16.json). */
+  def adcDistancePacked(probeId: Long, packed: Long): Double = {
+    val lut = luts.luts.value.getOrElse(probeId,
+      throw new IllegalArgumentException(s"pq_adc: no LUT for probe id $probeId"))
+    val (m, ksub) = (luts.m, luts.ksub)
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      val c = ((packed >>> (j * 8)) & 0xffL).toInt
+      if (c >= ksub)
+        throw new IllegalArgumentException(s"pq_adc: code $c outside [0, $ksub)")
+      d += lut(j * ksub + c)
+      j += 1
+    }
+    d
+  }
+
+  private lazy val packed = right.dataType == LongType
+
   override protected def nullSafeEval(probeId: Any, codes: Any): Any =
-    adcDistance(probeId.asInstanceOf[Long], codes.asInstanceOf[ArrayData])
+    if (packed) adcDistancePacked(probeId.asInstanceOf[Long], codes.asInstanceOf[Long])
+    else adcDistance(probeId.asInstanceOf[Long], codes.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqAdcKernel", this, classOf[PqAdcDistance].getName)
-    nullSafeCodeGen(ctx, ev, (pid, codes) => s"${ev.value} = $self.adcDistance($pid, $codes);")
+    val call = if (packed) "adcDistancePacked" else "adcDistance"
+    nullSafeCodeGen(ctx, ev, (pid, codes) => s"${ev.value} = $self.$call($pid, $codes);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Why this is the 100 TB path beyond plain IVF: [[Ivf.topK]]'s
   * posting-list join ships every candidate's FULL vector (D doubles)
-  * through the probe join. Here the corpus rides as m small codes
-  * (array<int>, one byte of entropy each at ksub = 256) — a
-  * D=64-float vector becomes 8 codes, ~32× less candidate shuffle —
+  * through the probe join. Here the corpus rides as m small codes —
+  * packed into ONE `bigint` at the standard m ≤ 8 / ksub ≤ 256
+  * geometry, `array<int>` beyond it — so a D=64-float vector becomes
+  * an 8-byte column. Measured on the posting exchange at sf100
+  * (BENCH_pq_bytes_r16.json, BENCH_pq_packed_r16.json): 312 B/row
+  * (IVF, full vector) → 80 B/row (array codes) → 32 B/row (packed) —
   * and the per-pair distance is m LUT reads instead of D multiplies
   * (the asymmetric-distance computation, ADC). The LUTs are
   * m·ksub doubles per probe, computed ONCE per probe from its raw
@@ -79,17 +82,26 @@ object Pq {
     } finally base.unpersist()
   }
 
-  /** Encode NORMALIZED vectors to array<int> of m codebook ids (one
-    * argmin per subspace — m broadcast-kernel plan nodes, no joins).
-    * Input df must already carry `__vn`. */
+  /** Encode NORMALIZED vectors to m codebook ids (one argmin per
+    * subspace — m broadcast-kernel plan nodes, no joins). When the
+    * codes fit (m ≤ 8, ksub ≤ 256 — the standard PQ config and
+    * everything below it), they pack into ONE `bigint` column
+    * (code_j in byte j): a fixed-width 8-byte payload instead of an
+    * `array<int>` whose UnsafeArrayData header + 4-byte slots made up
+    * most of the candidate row (measured 80 → 32 B/row raw, 32.8 → 15.6
+    * compressed, on the posting exchange — BENCH_pq_packed_r16.json). Falls back to
+    * array<int> for larger geometries. Input df must already carry
+    * `__vn`. */
   private def encodeCol(df: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val spark = df.sparkSession
     val kernels = codebooks.map(cb => BroadcastCentroids(spark, cb))
-    val codes = array((0 until m).map { j =>
-      kernels(j).nearestOne(slice(col("__vn"), j * sub + 1, sub))
-    }: _*)
+    def code(j: Int) = kernels(j).nearestOne(slice(col("__vn"), j * sub + 1, sub))
+    val codes =
+      if (m <= 8 && codebooks.forall(_.length <= 256))
+        (0 until m).map(j => shiftleft(code(j).cast("long"), j * 8)).reduce(_.bitwiseOR(_))
+      else array((0 until m).map(code): _*)
     df.withColumn("__codes", codes)
   }
 
