@@ -58,7 +58,13 @@ object RecallAb {
     val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 256,
       iters = 3, maxTrainRows = maxTrain)
     val t3 = System.nanoTime()
-    println(f"""{"train_coarse_ivf_sec":${(t1 - t0) / 1e9}%.1f,"train_coarse_pq_sec":${(t2 - t1) / 1e9}%.1f,"train_codebooks_sec":${(t3 - t2) / 1e9}%.1f,"kc":$kc,"m":8,"ksub":256,"max_train_rows":$maxTrain}""")
+    // residual (IVFADC) codebooks at the SAME geometry — the r17
+    // lift; raw codebooks stay measured so the raw-vs-residual gap is
+    // a same-session number, not a cross-round epoch guess
+    val cbsRes = Pq.trainCodebooksResidual(e, "vec_id", "embedding", coarsePq,
+      m = 8, ksub = 256, iters = 3, maxTrainRows = maxTrain)
+    val t4 = System.nanoTime()
+    println(f"""{"train_coarse_ivf_sec":${(t1 - t0) / 1e9}%.1f,"train_coarse_pq_sec":${(t2 - t1) / 1e9}%.1f,"train_codebooks_sec":${(t3 - t2) / 1e9}%.1f,"train_codebooks_res_sec":${(t4 - t3) / 1e9}%.1f,"kc":$kc,"m":8,"ksub":256,"max_train_rows":$maxTrain}""")
 
     for (nprobe <- Seq(32, 64, 128, 256)) {
       val ta = System.nanoTime()
@@ -67,29 +73,42 @@ object RecallAb {
       val tb = System.nanoTime()
       val pq = pairs(Pq.topK(e, probes, "vec_id", "embedding", k, coarsePq, cbs, nprobe = nprobe))
       val pqSec = (System.nanoTime() - tb) / 1e9
-      // the production PQ mode: ADC prunes to kCand=10k, exact
-      // re-scoring ranks the survivors (see Pq.topKRefined Scaladoc)
+      val td = System.nanoTime()
+      val pqRes = pairs(Pq.topKResidual(e, probes, "vec_id", "embedding", k, coarsePq, cbsRes,
+        nprobe = nprobe))
+      val pqResSec = (System.nanoTime() - td) / 1e9
+      // the production PQ mode: residual ADC prunes to kCand=10k,
+      // exact re-scoring ranks the survivors
       val tc = System.nanoTime()
-      val pqr = pairs(Pq.topKRefined(e, probes, "vec_id", "embedding", k, coarsePq, cbs,
-        nprobe = nprobe, kCand = 10 * k))
+      val pqr = pairs(Pq.topKRefinedResidual(e, probes, "vec_id", "embedding", k, coarsePq,
+        cbsRes, nprobe = nprobe, kCand = 10 * k))
       val pqrSec = (System.nanoTime() - tc) / 1e9
       val rIvf = (exact & iv).size.toDouble / exact.size
       val rPq = (exact & pq).size.toDouble / exact.size
+      val rPqRes = (exact & pqRes).size.toDouble / exact.size
       val rPqr = (exact & pqr).size.toDouble / exact.size
-      println(f"""{"nprobe":$nprobe,"ivf_recall":$rIvf%.4f,"pq_recall":$rPq%.4f,"pq_refined_recall":$rPqr%.4f,"ivf_sec":$ivfSec%.1f,"pq_sec":$pqSec%.1f,"pq_refined_sec":$pqrSec%.1f}""")
+      println(f"""{"nprobe":$nprobe,"ivf_recall":$rIvf%.4f,"pq_raw_recall":$rPq%.4f,"pq_res_recall":$rPqRes%.4f,"pq_res_refined_recall":$rPqr%.4f,"ivf_sec":$ivfSec%.1f,"pq_raw_sec":$pqSec%.1f,"pq_res_sec":$pqResSec%.1f,"pq_res_refined_sec":$pqrSec%.1f}""")
     }
 
-    // recall vs candidate-pool size at fixed nprobe: how far exact
-    // re-ranking can push recall before the refine join stops being
-    // "touch kCand rows per probe" cheap
-    for (kc2 <- Seq(10 * k, 30 * k, 100 * k)) {
+    // recall vs candidate-pool size at fixed nprobe, residual codes:
+    // where re-ranking meets the IVF ceiling, and where it stops
+    // paying vs just running IVF. Extended past the r16 sweep's 100·k
+    // (its sf100 curve hadn't met the ceiling yet — verdict item 6).
+    for (kc2 <- Seq(10 * k, 30 * k, 100 * k, 300 * k, 1000 * k)) {
       val t = System.nanoTime()
-      val pqr = pairs(Pq.topKRefined(e, probes, "vec_id", "embedding", k, coarsePq, cbs,
-        nprobe = 256, kCand = kc2))
+      val pqr = pairs(Pq.topKRefinedResidual(e, probes, "vec_id", "embedding", k, coarsePq,
+        cbsRes, nprobe = 256, kCand = kc2))
       val sec = (System.nanoTime() - t) / 1e9
       val r = (exact & pqr).size.toDouble / exact.size
-      println(f"""{"nprobe":256,"k_cand":$kc2,"pq_refined_recall":$r%.4f,"pq_refined_sec":$sec%.1f}""")
+      println(f"""{"nprobe":256,"k_cand":$kc2,"pq_res_refined_recall":$r%.4f,"pq_res_refined_sec":$sec%.1f}""")
     }
+    // raw-code refined anchor at the r16 sweep's top point: the
+    // same-session number the residual curve is an improvement OVER
+    val tAnchor = System.nanoTime()
+    val rawR = pairs(Pq.topKRefined(e, probes, "vec_id", "embedding", k, coarsePq, cbs,
+      nprobe = 256, kCand = 100 * k))
+    val rawRSec = (System.nanoTime() - tAnchor) / 1e9
+    println(f"""{"nprobe":256,"k_cand":${100 * k},"pq_raw_refined_recall":${(exact & rawR).size.toDouble / exact.size}%.4f,"pq_raw_refined_sec":$rawRSec%.1f}""")
     } finally e.unpersist()
     spark.stop()
   }

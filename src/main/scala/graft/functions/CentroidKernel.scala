@@ -33,6 +33,15 @@ case class BroadcastCentroids(flat: Broadcast[Array[Double]], k: Int, dim: Int) 
   def nearestOne(vec: Column): Column =
     org.apache.spark.sql.functions.element_at(nearest(vec, 1), 1)
 
+  /** `array<double>` residual vec − centroids[cid] — the quantity the
+    * IVFADC codebooks encode (Jégou et al. TPAMI '11 §IV). One tight
+    * primitive loop against the broadcast matrix; the matrix never
+    * rides the plan. */
+  def residual(vec: Column, cid: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CentroidResidual(org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        org.apache.spark.sql.GraftColumnBridge.expression(cid), this))
+
   /** Release the executor-side copies (safe once no live plan needs
     * the kernel — e.g. between Lloyd iterations). */
   def destroy(): Unit = flat.destroy()
@@ -136,4 +145,54 @@ case class NearestCentroids(child: Expression, cents: BroadcastCentroids, nprobe
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd residual vec − centroids[cid] over the broadcast matrix
+  * (same kernel pattern as [[NearestCentroids]] — the matrix travels
+  * once per executor, the plan holds one node at any k). */
+case class CentroidResidual(left: Expression, right: Expression, cents: BroadcastCentroids)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _) | ArrayType(FloatType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"centroid_residual requires (array<double|float>, int cid), " +
+        s"got (${l.simpleString(10)}, ${r.simpleString(10)})")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  @transient private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(input: ArrayData, cid: Int): ArrayData = {
+    val flat = cents.flat.value
+    val dim = cents.dim
+    if (input.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_residual: vector has ${input.numElements()} dims, centroids have $dim")
+    if (cid < 0 || cid >= cents.k)
+      throw new IllegalArgumentException(s"centroid_residual: cid $cid outside [0, ${cents.k})")
+    val off = cid * dim
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val x = if (isFloat) input.getFloat(i).toDouble else input.getDouble(i)
+      out(i) = x - flat(off + i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(vec: Any, cid: Any): Any =
+    compute(vec.asInstanceOf[ArrayData], cid.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("residKernel", this, classOf[CentroidResidual].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => s"${ev.value} = $self.compute($v, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

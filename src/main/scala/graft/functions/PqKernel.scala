@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -109,4 +109,138 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqL
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Handle to broadcast DECOMPOSED residual-ADC lookup tables — the
+  * IVFADC search kernel (Jégou/Douze/Schmid, TPAMI 2011 §IV: codes
+  * quantize the residual x − centroid(cell), so the ADC table depends
+  * on BOTH the probe and the probed cell).
+  *
+  * A naive per-(probe, cell) LUT is nProbes·nprobe·m·ksub doubles —
+  * 400 MB at the production measurement shape (100 probes × 256
+  * probed cells × 2048 doubles), which stops being "broadcast-bounded"
+  * in any honest sense. Expand ‖(q−C)_j − cb‖² instead:
+  *
+  *   ‖(q−C)_j − cb‖² = ‖q_j − cb‖² + 2·C_j·cb + (‖C_j‖² − 2·C_j·q_j)
+  *
+  * summed over subspaces j with cb = cb_j[code_j]:
+  *
+  *   adc(q, C, codes) = Σ_j A_q[j,code_j] + Σ_j D_C[j,code_j] + bias(q,C)
+  *
+  * where A_q[j,c] = ‖q_j − cb_j[c]‖² is the existing PER-PROBE table
+  * (m·ksub doubles), D_C[j,c] = 2·C_j·cb_j[c] is PER-CELL and
+  * probe-independent (m·ksub doubles per PROBED cell only), and
+  * bias(q,C) = ‖C‖² − 2·q·C is ONE scalar per (probe, probed cell) —
+  * exactly the coarse-assignment score the probe's cell selection
+  * already computes. Broadcast volume drops from
+  * O(nProbes·nprobe·m·ksub) to O((nProbes + probedCells)·m·ksub):
+  * ~5.8 MB at the same measurement shape. Per-row cost stays m-bounded
+  * (two LUT reads per subspace instead of one).
+  *
+  * `cellLuts` is indexed by cell id with entries ONLY at probed cells
+  * (null elsewhere — the kernel fails loudly on an unprobed cell, it
+  * never scores one silently), so a kc=65536 production quantizer
+  * costs pointers, not tables, for the cells this probe batch skips. */
+case class BroadcastPqResidualLuts(
+    probeLuts: Broadcast[Map[Long, Array[Double]]],
+    cellLuts: Broadcast[Array[Array[Double]]],
+    biases: Broadcast[Map[(Long, Int), Double]],
+    m: Int, ksub: Int) {
+
+  /** Residual squared-L2 ADC between a probe (by id, scored against
+    * cell `cid`'s posting list) and an encoded corpus vector — packed
+    * `bigint` codes (m ≤ 8, ksub ≤ 256) or `array<int>`. */
+  def adc(probeId: Column, cid: Column, codes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PqAdcResidualDistance(
+        org.apache.spark.sql.GraftColumnBridge.expression(probeId),
+        org.apache.spark.sql.GraftColumnBridge.expression(cid),
+        org.apache.spark.sql.GraftColumnBridge.expression(codes), this))
+
+  def destroy(): Unit = { probeLuts.destroy(); cellLuts.destroy(); biases.destroy() }
+}
+
+/** Codegen'd residual ADC: Σ_j (A_q + D_cid)[j·ksub + code_j] +
+  * bias(q, cid) over the broadcast decomposed tables (see
+  * [[BroadcastPqResidualLuts]]). Same broadcast-kernel pattern as
+  * [[PqAdcDistance]]: the tables never enter the plan. */
+case class PqAdcResidualDistance(first: Expression, second: Expression, third: Expression,
+                                 luts: BroadcastPqResidualLuts)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, IntegerType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (LongType, IntegerType, LongType) =>
+        if (luts.m <= 8 && luts.ksub <= 256) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_res packed codes need m<=8 and ksub<=256, got m=${luts.m} ksub=${luts.ksub}")
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_res requires (bigint probe id, int cell id, array<int> | bigint codes), " +
+          s"got (${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_res"
+
+  private def tables(probeId: Long, cid: Int): (Array[Double], Array[Double], Double) = {
+    val a = luts.probeLuts.value.getOrElse(probeId,
+      throw new IllegalArgumentException(s"pq_adc_res: no LUT for probe id $probeId"))
+    val cells = luts.cellLuts.value
+    if (cid < 0 || cid >= cells.length || cells(cid) == null)
+      throw new IllegalArgumentException(s"pq_adc_res: cell $cid was not probed by this batch")
+    val bias = luts.biases.value.getOrElse((probeId, cid),
+      throw new IllegalArgumentException(s"pq_adc_res: no bias for (probe $probeId, cell $cid)"))
+    (a, cells(cid), bias)
+  }
+
+  def adcDistance(probeId: Long, cid: Int, codes: ArrayData): Double = {
+    val (a, d, bias) = tables(probeId, cid)
+    val (m, ksub) = (luts.m, luts.ksub)
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_res: ${codes.numElements()} codes for an m=$m quantizer")
+    var s = bias
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(s"pq_adc_res: code $c outside [0, $ksub)")
+      s += a(j * ksub + c) + d(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  def adcDistancePacked(probeId: Long, cid: Int, packed: Long): Double = {
+    val (a, d, bias) = tables(probeId, cid)
+    val (m, ksub) = (luts.m, luts.ksub)
+    var s = bias
+    var j = 0
+    while (j < m) {
+      val c = ((packed >>> (j * 8)) & 0xffL).toInt
+      if (c >= ksub)
+        throw new IllegalArgumentException(s"pq_adc_res: code $c outside [0, $ksub)")
+      s += a(j * ksub + c) + d(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  private lazy val packed = third.dataType == LongType
+
+  override protected def nullSafeEval(probeId: Any, cid: Any, codes: Any): Any =
+    if (packed)
+      adcDistancePacked(probeId.asInstanceOf[Long], cid.asInstanceOf[Int], codes.asInstanceOf[Long])
+    else
+      adcDistance(probeId.asInstanceOf[Long], cid.asInstanceOf[Int], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcResKernel", this, classOf[PqAdcResidualDistance].getName)
+    val call = if (packed) "adcDistancePacked" else "adcDistance"
+    nullSafeCodeGen(ctx, ev, (pid, cid, codes) => s"${ev.value} = $self.$call($pid, $cid, $codes);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

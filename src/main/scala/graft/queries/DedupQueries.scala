@@ -267,40 +267,46 @@ object DedupQueries {
         .orderBy("probe_id", "rank")
     }),
 
-    // #55b IVF-PQ ANN: coarse posting lists + product-quantized ADC
-    // scoring (rows-only: recall + determinism + ADC invariants
-    // checked in spec). The 100 TB shape: candidates ride the probe
-    // join as m=8 codebook ids instead of 64 floats (~32× less
-    // candidate shuffle than q_ann_ivf), distances are m LUT reads
-    // from a broadcast per-probe table. Coarse quantizer trained in
-    // the normalized space (Pq.trainCoarse — the space topK assigns
-    // cells in); both trainers read the same bounded sample so the
-    // wall is search-dominated, matching q_ann_ivf's discipline.
+    // #55b IVF-PQ ANN, residual (IVFADC) encoding: coarse posting
+    // lists + product-quantized residual ADC scoring (rows-only:
+    // recall + determinism + ADC invariants checked in spec). The
+    // 100 TB shape: candidates ride the probe join as one packed
+    // bigint of m=8 codebook ids instead of 64 floats (measured 6.8×
+    // fewer compressed wire bytes than q_ann_ivf — BENCH_pq_packed_
+    // r16.json), distances are m reads from broadcast DECOMPOSED
+    // per-probe/per-cell tables. Codes quantize the RESIDUAL
+    // x − centroid(cell) (Jégou et al. TPAMI '11): raw-vector codes
+    // measured recall-saturated at production parameters (0.15–0.20,
+    // BENCH_pq_recall_r16.json) because their entropy re-described
+    // the cell id the posting list already encodes. Both trainers
+    // read the same bounded sample so the wall is search-dominated.
     "q_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val coarse = Pq.trainCoarse(e, "vec_id", "embedding", k = 8, iters = 3,
         maxTrainRows = 20000L)
-      val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 3,
-        maxTrainRows = 20000L)
-      Pq.topK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5, coarse, cbs, nprobe = 3)
+      val cbs = Pq.trainCodebooksResidual(e, "vec_id", "embedding", coarse,
+        m = 8, ksub = 16, iters = 3, maxTrainRows = 20000L)
+      Pq.topKResidual(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+        coarse, cbs, nprobe = 3)
         .orderBy("probe_id", "rank")
     }),
 
     // #55c IVF-PQ with exact re-ranking — the production PQ search
-    // mode. Measured motivation (BENCH_pq_recall_r16.json): raw ADC
-    // recall@10 saturates at 0.15–0.20 at m=8/ksub=256 on these
-    // embeddings while IVF climbs with nprobe; pruning with ADC and
-    // exactly re-scoring kCand survivors recovers most of the gap
-    // (0.76–0.81 at kCand=100·k vs IVF 0.87–0.92) at |probes|·kCand
-    // full-vector touches (rows-only: recall + pool-subset
-    // invariants in spec).
+    // mode: residual ADC prunes to kCand candidates, the survivors'
+    // full vectors are fetched (candidate side broadcast-PINNED —
+    // the corpus is never shuffled) and exactly re-scored. With
+    // residual codes the candidate pool is good enough that the
+    // recall target needs a far smaller kCand than the raw-code
+    // 100·k the r16 artifact measured (rows-only: recall +
+    // pool-subset invariants in spec; recall at production
+    // parameters in BENCH_pq_recall_r17.json).
     "q_ann_ivfpq_refined" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val coarse = Pq.trainCoarse(e, "vec_id", "embedding", k = 8, iters = 3,
         maxTrainRows = 20000L)
-      val cbs = Pq.trainCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 3,
-        maxTrainRows = 20000L)
-      Pq.topKRefined(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+      val cbs = Pq.trainCodebooksResidual(e, "vec_id", "embedding", coarse,
+        m = 8, ksub = 16, iters = 3, maxTrainRows = 20000L)
+      Pq.topKRefinedResidual(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
         coarse, cbs, nprobe = 3, kCand = 50)
         .orderBy("probe_id", "rank")
     }),

@@ -26,13 +26,20 @@ object Ivf {
     * shuffle, NO global sort), so it parallelizes like the scan
     * itself at 100 TB. Expected sample size is min(maxRows, n) with
     * binomial jitter (training cares about coverage, not an exact
-    * count). maxRows <= 0 means "train on everything". The count is
-    * one extra job, metadata-only on a plain parquet scan. */
+    * count). maxRows <= 0 means "train on everything".
+    *
+    * The ratio's denominator: counting `df` itself is metadata-only
+    * ONLY when df is a plain parquet scan — on a derived frame (e.g.
+    * the PQ trainers' normalized projection) it pays a full computed
+    * pass per call (caught by r16 review). Callers holding a derived
+    * frame pass the RAW table's count via `totalRows`; an overcount
+    * from rows the projection drops merely shrinks the sample ratio,
+    * never inflates it. */
   private[graft] def trainSample(df: DataFrame, idCol: String,
-                                 maxRows: Long): DataFrame =
+                                 maxRows: Long, totalRows: Long = -1L): DataFrame =
     if (maxRows <= 0) df
     else {
-      val n = df.count()
+      val n = if (totalRows >= 0) totalRows else df.count()
       if (n <= maxRows) df
       else df.filter(graft.pipeline.Sampling.hashUniform(col(idCol)) <=
         lit(maxRows.toDouble / n))
@@ -42,12 +49,24 @@ object Ivf {
     * Returns the centroid matrix. `maxTrainRows > 0` trains on a
     * deterministic hash sample of at most ~that many rows (the 100 TB
     * path: the quantizer needs coverage, not the full corpus — see
-    * [[trainSample]]); encode/search still read everything. */
+    * [[trainSample]]); encode/search still read everything.
+    * `totalRows` optionally supplies the sample ratio's denominator
+    * when `df` is a derived frame whose count is not metadata-only.
+    *
+    * Fail-loud contract (since r16; previously a < k-row corpus
+    * silently trained a smaller-but-working index): training input
+    * with fewer than k rows throws. When sampling, `maxTrainRows`
+    * must be ≥ 10·k at call time so the hash sample's binomial jitter
+    * cannot trip that require stochastically. */
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
-            iters: Int = 5, maxTrainRows: Long = 0L): Array[Array[Double]] = {
+            iters: Int = 5, maxTrainRows: Long = 0L,
+            totalRows: Long = -1L): Array[Array[Double]] = {
+    require(maxTrainRows <= 0 || maxTrainRows >= 10L * k,
+      s"maxTrainRows=$maxTrainRows must comfortably exceed k=$k (>= ${10L * k}) " +
+        "so binomial sample jitter cannot leave the init short of k rows")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val spark = df.sparkSession
-    val base = trainSample(df, idCol, maxTrainRows)
+    val base = trainSample(df, idCol, maxTrainRows, totalRows)
       .select(col(idCol).as("__id"), Cosine.toDouble(col(vecCol)).as("__vd"))
       .cache()
     try {

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.functions.{BroadcastCentroids, BroadcastPqLuts}
+import graft.functions.{BroadcastCentroids, BroadcastPqLuts, BroadcastPqResidualLuts}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,9 +53,18 @@ object Pq {
     * corpus differently under [[topK]]'s normalized assignment and
     * unbalance the cells. `maxTrainRows` as in [[Ivf.train]]. */
   def trainCoarse(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                  iters: Int = 5, maxTrainRows: Long = 0L): Array[Array[Double]] =
+                  iters: Int = 5, maxTrainRows: Long = 0L): Array[Array[Double]] = {
+    // count the RAW frame for the sample ratio (metadata-only on a
+    // parquet scan) — counting the normalized projection would pay a
+    // full per-row-norm pass per training call (r16 ADVICE). The raw
+    // count over-counts by the (rare) zero-norm rows the projection
+    // drops, which only shrinks the sample — training needs coverage,
+    // not an exact count.
+    val total = if (maxTrainRows > 0) df.count() else -1L
     Ivf.train(normalized(df, vecCol).select(col(idCol), col("__vn")),
-      idCol, "__vn", k = k, iters = iters, maxTrainRows = maxTrainRows)
+      idCol, "__vn", k = k, iters = iters, maxTrainRows = maxTrainRows,
+      totalRows = total)
+  }
 
   /** Train m per-subspace codebooks of ksub centroids each over the
     * NORMALIZED vectors. dim must divide evenly into m subspaces.
@@ -71,12 +80,53 @@ object Pq {
                      maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(maxTrainRows <= 0 || maxTrainRows >= 10L * ksub,
+      s"maxTrainRows=$maxTrainRows must comfortably exceed ksub=$ksub (>= ${10L * ksub}) " +
+        "so binomial sample jitter cannot leave a codebook short of centroids")
     val sub = dim / m
-    val base = Ivf.trainSample(normalized(df, vecCol), idCol, maxTrainRows)
+    val total = if (maxTrainRows > 0) df.count() else -1L // raw count — see trainCoarse
+    val base = Ivf.trainSample(normalized(df, vecCol), idCol, maxTrainRows, total)
       .select(col(idCol), col("__vn")).cache()
     try {
       Array.tabulate(m) { j =>
         val slices = base.select(col(idCol), slice(col("__vn"), j * sub + 1, sub).as("__s"))
+        Ivf.train(slices, idCol, "__s", k = ksub, iters = iters)
+      }
+    } finally base.unpersist()
+  }
+
+  /** Train m per-subspace codebooks over RESIDUALS x − centroid(cell)
+    * — the IVFADC encoding (Jégou et al. TPAMI '11 §IV), the variant
+    * [[topKResidual]] searches with.
+    *
+    * Why residuals: [[trainCodebooks]]' raw-vector codebooks spend
+    * most of their 8 bytes re-describing WHICH coarse cell the vector
+    * sits in — information the posting list already encodes — so the
+    * quantization error rides on top of the full vector magnitude and
+    * raw-ADC recall@10 saturates at 0.15–0.20 at production
+    * parameters (measured, BENCH_pq_recall_r16.json). Residuals are
+    * the small within-cell displacement; the same m·ksub geometry
+    * spends its entropy on exactly the signal that separates
+    * neighbors inside a probed cell. */
+  def trainCodebooksResidual(df: DataFrame, idCol: String, vecCol: String,
+                             coarse: Array[Array[Double]],
+                             m: Int, ksub: Int, iters: Int = 4,
+                             maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
+    val dim = coarse.head.length
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(maxTrainRows <= 0 || maxTrainRows >= 10L * ksub,
+      s"maxTrainRows=$maxTrainRows must comfortably exceed ksub=$ksub (>= ${10L * ksub}) " +
+        "so binomial sample jitter cannot leave a codebook short of centroids")
+    val sub = dim / m
+    val total = if (maxTrainRows > 0) df.count() else -1L // raw count — see trainCoarse
+    val bc = BroadcastCentroids(df.sparkSession, coarse)
+    val base = Ivf.trainSample(normalized(df, vecCol), idCol, maxTrainRows, total)
+      .withColumn("__cid", bc.nearestOne(col("__vn")))
+      .select(col(idCol), bc.residual(col("__vn"), col("__cid")).as("__rv"))
+      .cache()
+    try {
+      Array.tabulate(m) { j =>
+        val slices = base.select(col(idCol), slice(col("__rv"), j * sub + 1, sub).as("__s"))
         Ivf.train(slices, idCol, "__s", k = ksub, iters = iters)
       }
     } finally base.unpersist()
@@ -92,12 +142,13 @@ object Pq {
     * compressed, on the posting exchange — BENCH_pq_packed_r16.json). Falls back to
     * array<int> for larger geometries. Input df must already carry
     * `__vn`. */
-  private def encodeCol(df: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  private def encodeCol(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+                        srcCol: String = "__vn"): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val spark = df.sparkSession
     val kernels = codebooks.map(cb => BroadcastCentroids(spark, cb))
-    def code(j: Int) = kernels(j).nearestOne(slice(col("__vn"), j * sub + 1, sub))
+    def code(j: Int) = kernels(j).nearestOne(slice(col(srcCol), j * sub + 1, sub))
     val codes =
       if (m <= 8 && codebooks.forall(_.length <= 256))
         (0 until m).map(j => shiftleft(code(j).cast("long"), j * 8)).reduce(_.bitwiseOR(_))
@@ -171,6 +222,139 @@ object Pq {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** IVFADC top-k — [[topK]] with RESIDUAL codes (train with
+    * [[trainCodebooksResidual]] against the same `coarse` matrix; the
+    * two encodings are not interchangeable). Candidates still ride as
+    * one packed `bigint` (or `array<int>`) through the posting-list
+    * join; what changes is what the code MEANS (the within-cell
+    * displacement x − centroid(cell)) and the ADC table shape: the
+    * LUT depends on the probed cell as well as the probe, broadcast
+    * in decomposed form (per-probe + per-probed-cell + scalar bias —
+    * see [[graft.functions.BroadcastPqResidualLuts]] for the algebra
+    * and why the naive per-(probe, cell) table is NOT broadcast-
+    * bounded). The probe side's nprobe cell selection and all LUTs
+    * are computed on the driver from the bounded probe slice (the
+    * same convention as [[topK]], which already collects the probes).
+    * Output schema = [[topK]]: (probe_id, rank, neighbor_id, adc). */
+  def topKResidual(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+                   k: Int, coarse: Array[Array[Double]],
+                   codebooks: Array[Array[Array[Double]]], nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val dim = m * sub
+    require(coarse.head.length == dim,
+      s"coarse dim ${coarse.head.length} != codebook dim $dim")
+    val kc = coarse.length
+    val np = math.min(nprobe, kc)
+    val bcCoarse = BroadcastCentroids(spark, coarse)
+
+    // corpus: one codegen'd pass — coarse cell, residual, m code argmins
+    val c = encodeCol(
+      normalized(corpus, vecCol)
+        .withColumn("__cid", bcCoarse.nearestOne(col("__vn")))
+        .withColumn("__rv", bcCoarse.residual(col("__vn"), col("__cid"))),
+      codebooks, srcCol = "__rv")
+      .select(col("__cid"), col(idCol).as("neighbor_id"), col("__codes"))
+
+    // driver side (bounded probe slice): per-probe nprobe nearest
+    // cells + the decomposed ADC tables
+    val probeRows = normalized(probes, vecCol)
+      .select(col(idCol).cast("long").as("__pid"), col("__vn")).collect()
+    val cNorms = coarse.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      s
+    }
+    val probeLuts = Map.newBuilder[Long, Array[Double]]
+    val biases = Map.newBuilder[(Long, Int), Double]
+    val pairs = Seq.newBuilder[(Long, Int)]
+    val probedCells = scala.collection.mutable.BitSet.empty
+    probeRows.foreach { r =>
+      val pid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      require(q.length == dim, s"probe vector has ${q.length} dims, index expects $dim")
+      // nprobe nearest cells, ties to the lower id (the corpus-side
+      // NearestCentroids rule); score = ‖C‖² − 2·q·C, which IS the
+      // residual bias term — computed once, used twice
+      val bestD = Array.fill(np)(Double.PositiveInfinity)
+      val bestC = Array.fill(np)(Int.MaxValue)
+      var cc = 0
+      while (cc < kc) {
+        val cv = coarse(cc)
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += q(i) * cv(i); i += 1 }
+        val d = cNorms(cc) - 2.0 * dot
+        if (d < bestD(np - 1) || (d == bestD(np - 1) && cc < bestC(np - 1))) {
+          var j = np - 1
+          while (j > 0 && (d < bestD(j - 1) || (d == bestD(j - 1) && cc < bestC(j - 1)))) {
+            bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+          }
+          bestD(j) = d; bestC(j) = cc
+        }
+        cc += 1
+      }
+      // per-probe table A[j·ksub + c] = ‖q_j − cb_j[c]‖²
+      val a = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c2 = 0
+        while (c2 < ksub) {
+          val cent = codebooks(j)(c2)
+          var s = 0.0; var i = 0
+          while (i < sub) { val d = q(j * sub + i) - cent(i); s += d * d; i += 1 }
+          a(j * ksub + c2) = s
+          c2 += 1
+        }
+        j += 1
+      }
+      probeLuts += pid -> a
+      var pi = 0
+      while (pi < np) {
+        val cid = bestC(pi)
+        pairs += ((pid, cid))
+        biases += (pid, cid) -> bestD(pi)
+        probedCells += cid
+        pi += 1
+      }
+    }
+    // per-cell table D[j·ksub + c] = 2·C_j·cb_j[c], PROBED cells only
+    // (null elsewhere — the kernel fails loudly on an unprobed cell)
+    val cellLuts = new Array[Array[Double]](kc)
+    probedCells.foreach { cid =>
+      val cv = coarse(cid)
+      val d = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c2 = 0
+        while (c2 < ksub) {
+          val cent = codebooks(j)(c2)
+          var s = 0.0; var i = 0
+          while (i < sub) { s += cv(j * sub + i) * cent(i); i += 1 }
+          d(j * ksub + c2) = 2.0 * s
+          c2 += 1
+        }
+        j += 1
+      }
+      cellLuts(cid) = d
+    }
+    val bcLuts = BroadcastPqResidualLuts(
+      spark.sparkContext.broadcast(probeLuts.result()),
+      spark.sparkContext.broadcast(cellLuts),
+      spark.sparkContext.broadcast(biases.result()), m, ksub)
+
+    import spark.implicits._
+    val p = pairs.result().toDF("probe_id", "__cid")
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("neighbor_id"))
+    p.join(c, Seq("__cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc", bcLuts.adc(col("probe_id"), col("__cid"), col("__codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** IVF-PQ with exact re-ranking (the production search mode): ADC
     * prunes the corpus to `kCand` candidates per probe, then the
     * survivors' FULL vectors are fetched and exactly re-scored, and
@@ -197,15 +381,48 @@ object Pq {
                   kCand: Int = 0): DataFrame = {
     val kc = if (kCand > 0) kCand else 10 * k
     require(kc >= k, s"kCand=$kc must be >= k=$k")
-    val cand = topK(corpus, probes, idCol, vecCol, kc, coarse, codebooks, nprobe)
-      .select(col("probe_id"), col("neighbor_id"))
+    refine(corpus, probes, idCol, vecCol, k,
+      topK(corpus, probes, idCol, vecCol, kc, coarse, codebooks, nprobe))
+  }
+
+  /** [[topKRefined]] over the RESIDUAL index (train with
+    * [[trainCodebooksResidual]]): residual ADC prunes to kCand
+    * candidates per probe, exact cosine re-ranks the survivors.
+    * Because residual codes spend their entropy on the within-cell
+    * displacement, the candidate pool is materially better than raw
+    * ADC's at the same kCand, so the recall target is reached at a
+    * far smaller (cheaper) kCand. Output schema = [[Ivf.topK]]. */
+  def topKRefinedResidual(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+                          k: Int, coarse: Array[Array[Double]],
+                          codebooks: Array[Array[Array[Double]]], nprobe: Int = 2,
+                          kCand: Int = 0): DataFrame = {
+    val kc = if (kCand > 0) kCand else 10 * k
+    require(kc >= k, s"kCand=$kc must be >= k=$k")
+    refine(corpus, probes, idCol, vecCol, k,
+      topKResidual(corpus, probes, idCol, vecCol, kc, coarse, codebooks, nprobe))
+  }
+
+  /** Exact re-ranking shared by the refined modes: fetch the
+    * candidates' full vectors with an equi-join and return the true
+    * cosine top-k. The candidate set is bounded at |probes|·kCand rows
+    * BY CONSTRUCTION, but it reaches this join as a window-aggregate
+    * output whose size the optimizer estimates poorly — so the
+    * broadcast is PINNED with an explicit hint on both bounded sides
+    * (candidates and probes). Without the hint, one bad AQE estimate
+    * would demote the fetch to a shuffle of the full-vector corpus —
+    * precisely the exchange the PQ design exists to avoid — while
+    * results stayed correct and nobody noticed (r16 verdict watch
+    * item 1). PlanAuditSpec pins the BroadcastHashJoin shape. */
+  private def refine(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+                     k: Int, cand: DataFrame): DataFrame = {
     val cn = Cosine.withNorm(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__vd").as("v2"), col("__nrm").as("n2"))
     val pn = Cosine.withNorm(probes, vecCol)
       .select(col(idCol).cast("long").as("probe_id"), col("__vd").as("v1"), col("__nrm").as("n1"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(cn, Seq("neighbor_id")) // cand is |probes|·kCand rows → broadcast side
-      .join(pn, Seq("probe_id"))
+    broadcast(cand.select(col("probe_id"), col("neighbor_id")))
+      .join(cn, Seq("neighbor_id"))
+      .join(broadcast(pn), Seq("probe_id"))
       .withColumn("cos", Cosine.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -100,6 +100,20 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     assert(p.length < 100000, s"plan string suspiciously large (${p.length}) — inlined literals?")
   }
 
+  test("refined ANN re-rank: every join broadcasts a bounded side — the corpus is never shuffled") {
+    // Pq.topKRefined*'s refine step fetches kCand survivors' full
+    // vectors via equi-joins whose small sides (candidate set, probe
+    // slice) are bounded BY CONSTRUCTION but reach the optimizer as a
+    // window-aggregate output with poor size estimates. The broadcast
+    // is pinned with explicit hints (r16 verdict watch item 1); this
+    // guard makes a silent demotion to a corpus shuffle loud.
+    val p = plan("q_ann_ivfpq_refined")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"refine join demoted to a corpus shuffle\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bucketed join reads co-located buckets: no exchange feeds the merge join") {
     val p = plan("q_lookup_join_bucketed")
     assert(p.contains("SortMergeJoin"), p.take(1200))

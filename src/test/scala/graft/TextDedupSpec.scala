@@ -422,6 +422,99 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(gotR.subsetOf(cand15), "refined results must come from the ADC candidate pool")
   }
 
+  test("IVFADC residual encoding: decomposed-LUT ADC equals brute-force residual distance") {
+    // same 4-cluster fixture as the raw-PQ test; the properties pinned
+    // here are the NEW algebra: (1) the emitted residual ADC equals a
+    // driver-side brute-force ‖(q−C_cell) − cb(codes)‖² recompute
+    // (pins the A/D/bias decomposition end-to-end through the kernel),
+    // (2) training determinism, (3) refined-residual invariants
+    val vecs = (0 until 40).map { i =>
+      val cl = i % 4
+      val v = Array.tabulate(8)(j =>
+        (math.sin(cl * 2.1 + j) + 0.01 * math.cos(i * 0.9 + j)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 4)
+    val exact = Cosine.topK(vecs, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val coarse = Pq.trainCoarse(vecs, "vec_id", "embedding", k = 4, iters = 3)
+    val cbs = Pq.trainCodebooksResidual(vecs, "vec_id", "embedding", coarse,
+      m = 4, ksub = 8, iters = 3)
+    assert(cbs.length == 4 && cbs.forall(cb => cb.length == 8 && cb.forall(_.length == 2)))
+    // determinism: residual training inherits the hash-ordered init
+    val cbs2 = Pq.trainCodebooksResidual(vecs, "vec_id", "embedding", coarse,
+      m = 4, ksub = 8, iters = 3)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == cbs2.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val out = Pq.topKResidual(vecs, probes, "vec_id", "embedding", 5, coarse, cbs, nprobe = 2)
+      .collect()
+    assert(out.length == 20 && out.forall(r => r.getLong(0) != r.getLong(2)))
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val adcs = sorted.map(_.getDouble(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b }, "adc must ascend with rank")
+      // residual ADC is a true squared distance of real vectors
+      assert(adcs.forall(a => a >= -1e-9), "squared distance cannot be negative")
+    }
+    // recall bar: same as the raw-PQ test's (the raw-vs-residual gap
+    // at production parameters is RecallAb's measurement, not a
+    // 40-vector fixture's)
+    val got = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((exact & got).size >= 12, s"IVFADC recall too low: ${(exact & got).size}/20")
+
+    // brute-force anchor: recompute every emitted adc on the driver
+    // from first principles — normalize, assign cell (ties to lower
+    // id), residual, per-subspace code argmin (ties to lower id),
+    // then the DIRECT ‖(q − C) − cb(codes)‖², no decomposition
+    def norm(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> norm(r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def nearestCell(v: Array[Double]): Int =
+      coarse.indices.minBy(c => {
+        val d = v.zip(coarse(c)).map { case (a, b) => a - b }.map(x => x * x).sum
+        (d, c)
+      })
+    def codesOf(res: Array[Double]): Array[Int] =
+      Array.tabulate(4) { j =>
+        val s = res.slice(j * 2, j * 2 + 2)
+        cbs(j).indices.minBy(c => {
+          val d = s.zip(cbs(j)(c)).map { case (a, b) => a - b }.map(x => x * x).sum
+          (d, c)
+        })
+      }
+    out.foreach { r =>
+      val (pid, nid, emitted) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val q = raw(pid)
+      val cell = nearestCell(raw(nid))
+      val res = raw(nid).zip(coarse(cell)).map { case (a, b) => a - b }
+      val codes = codesOf(res)
+      val qres = q.zip(coarse(cell)).map { case (a, b) => a - b }
+      val expected = (0 until 4).map { j =>
+        qres.slice(j * 2, j * 2 + 2).zip(cbs(j)(codes(j)))
+          .map { case (a, b) => a - b }.map(x => x * x).sum
+      }.sum
+      assert(math.abs(expected - emitted) < 1e-5,
+        s"probe $pid neighbor $nid: brute-force $expected vs emitted $emitted")
+    }
+
+    // refined residual: schema parity, candidate-pool subset, recall
+    // at least the residual ADC's
+    val refined = Pq.topKRefinedResidual(vecs, probes, "vec_id", "embedding", 5,
+      coarse, cbs, nprobe = 2, kCand = 15)
+    assert(refined.columns.toSeq == Seq("probe_id", "rank", "neighbor_id", "cos"))
+    val rf = refined.collect()
+    assert(rf.length == 20 && rf.forall(r => r.getLong(0) != r.getLong(2)))
+    val gotR = rf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert((exact & gotR).size >= (exact & got).size,
+      s"refined recall ${(exact & gotR).size} fell below residual ADC ${(exact & got).size}")
+    val pool = Pq.topKResidual(vecs, probes, "vec_id", "embedding", 15, coarse, cbs, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gotR.subsetOf(pool), "refined results must come from the residual ADC candidate pool")
+  }
+
   test("train-on-sample: deterministic, bounded, and fails loudly when the sample can't seat k") {
     val vecs = spark.range(2500).select(col("id").as("vec_id"),
       expr("transform(sequence(1, 8), i -> cast(pmod(xxhash64(id, i), 1000) as double) / 1000.0)")
