@@ -137,6 +137,14 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqL
   * ~5.8 MB at the same measurement shape. Per-row cost stays m-bounded
   * (two LUT reads per subspace instead of one).
   *
+  * The bias term does NOT live here: it is one double per
+  * (probe, probed cell), which is exactly the grain of the
+  * driver-built probe-pairs frame — it rides that tiny frame as a
+  * plain column and is ADDED to this kernel's output. (A first cut
+  * kept it as a broadcast Map[(Long, Int), Double]; the per-row tuple
+  * allocation + two boxes on a 50M-candidate join showed up as a 2.8×
+  * wall inflation at nprobe=256 — measured in the r17 recall session.)
+  *
   * `cellLuts` is indexed by cell id with entries ONLY at probed cells
   * (null elsewhere — the kernel fails loudly on an unprobed cell, it
   * never scores one silently), so a kc=65536 production quantizer
@@ -144,7 +152,6 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqL
 case class BroadcastPqResidualLuts(
     probeLuts: Broadcast[Map[Long, Array[Double]]],
     cellLuts: Broadcast[Array[Array[Double]]],
-    biases: Broadcast[Map[(Long, Int), Double]],
     m: Int, ksub: Int) {
 
   /** Residual squared-L2 ADC between a probe (by id, scored against
@@ -157,13 +164,14 @@ case class BroadcastPqResidualLuts(
         org.apache.spark.sql.GraftColumnBridge.expression(cid),
         org.apache.spark.sql.GraftColumnBridge.expression(codes), this))
 
-  def destroy(): Unit = { probeLuts.destroy(); cellLuts.destroy(); biases.destroy() }
+  def destroy(): Unit = { probeLuts.destroy(); cellLuts.destroy() }
 }
 
-/** Codegen'd residual ADC: Σ_j (A_q + D_cid)[j·ksub + code_j] +
-  * bias(q, cid) over the broadcast decomposed tables (see
-  * [[BroadcastPqResidualLuts]]). Same broadcast-kernel pattern as
-  * [[PqAdcDistance]]: the tables never enter the plan. */
+/** Codegen'd residual ADC: Σ_j (A_q + D_cid)[j·ksub + code_j] over
+  * the broadcast decomposed tables (see [[BroadcastPqResidualLuts]];
+  * the caller adds the per-(probe, cell) bias COLUMN). Same
+  * broadcast-kernel pattern as [[PqAdcDistance]]: the tables never
+  * enter the plan. */
 case class PqAdcResidualDistance(first: Expression, second: Expression, third: Expression,
                                  luts: BroadcastPqResidualLuts)
     extends TernaryExpression {
@@ -182,24 +190,28 @@ case class PqAdcResidualDistance(first: Expression, second: Expression, third: E
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_res"
 
-  private def tables(probeId: Long, cid: Int): (Array[Double], Array[Double], Double) = {
-    val a = luts.probeLuts.value.getOrElse(probeId,
+  // two lookups, no per-row tuple/wrapper allocation (this expression
+  // evaluates once per candidate row — 50M rows at the sf100
+  // measurement shape)
+  private def probeLut(probeId: Long): Array[Double] =
+    luts.probeLuts.value.getOrElse(probeId,
       throw new IllegalArgumentException(s"pq_adc_res: no LUT for probe id $probeId"))
+
+  private def cellLut(cid: Int): Array[Double] = {
     val cells = luts.cellLuts.value
     if (cid < 0 || cid >= cells.length || cells(cid) == null)
       throw new IllegalArgumentException(s"pq_adc_res: cell $cid was not probed by this batch")
-    val bias = luts.biases.value.getOrElse((probeId, cid),
-      throw new IllegalArgumentException(s"pq_adc_res: no bias for (probe $probeId, cell $cid)"))
-    (a, cells(cid), bias)
+    cells(cid)
   }
 
   def adcDistance(probeId: Long, cid: Int, codes: ArrayData): Double = {
-    val (a, d, bias) = tables(probeId, cid)
+    val a = probeLut(probeId)
+    val d = cellLut(cid)
     val (m, ksub) = (luts.m, luts.ksub)
     if (codes.numElements() != m)
       throw new IllegalArgumentException(
         s"pq_adc_res: ${codes.numElements()} codes for an m=$m quantizer")
-    var s = bias
+    var s = 0.0
     var j = 0
     while (j < m) {
       val c = codes.getInt(j)
@@ -212,9 +224,10 @@ case class PqAdcResidualDistance(first: Expression, second: Expression, third: E
   }
 
   def adcDistancePacked(probeId: Long, cid: Int, packed: Long): Double = {
-    val (a, d, bias) = tables(probeId, cid)
+    val a = probeLut(probeId)
+    val d = cellLut(cid)
     val (m, ksub) = (luts.m, luts.ksub)
-    var s = bias
+    var s = 0.0
     var j = 0
     while (j < m) {
       val c = ((packed >>> (j * 8)) & 0xffL).toInt

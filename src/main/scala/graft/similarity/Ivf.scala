@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * equi-join corpus(cid) ⋈ probes(cid ∈ nprobe nearest) — no all-pairs
   * work anywhere. Deterministic: hash-ordered init sample, fixed
   * iteration count.
+  *
+  * Highest recall per nprobe of the ANN family (0.87/0.92 @ nprobe=256
+  * at 200k/2M vectors, BENCH_pq_recall_r17.json) at the price of
+  * shipping full vectors (312 B/candidate) through the posting
+  * exchange; when that exchange dominates, use the PQ rows instead —
+  * SURVEY §2 row 55d is the measured chooser.
   */
 object Ivf {
 

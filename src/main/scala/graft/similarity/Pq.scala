@@ -29,6 +29,22 @@ import org.apache.spark.sql.functions._
   * per-subspace Lloyd trainer inherits [[Ivf.train]]'s hash-ordered
   * init and fixed iteration count.
   *
+  * TWO encodings live here. [[trainCodebooks]]/[[topK]] quantize the
+  * raw normalized vector; [[trainCodebooksResidual]]/[[topKResidual]]
+  * quantize the residual x − centroid(cell) (IVFADC, TPAMI '11 §IV)
+  * and are the production default — measured at production parameters
+  * (BENCH_pq_recall_r17.json): residual lifts raw-ADC recall@10
+  * 0.199→0.225 (200k vectors) / 0.147→0.198 (2M), and residual
+  * candidates let [[topKRefinedResidual]] MEET the plain-IVF recall
+  * ceiling at kCand=300·k–1000·k (raw-code refinement stalls below
+  * it). The lift is bounded by the DATA here, not the algorithm: the
+  * same artifact measures kc=1024 coarse cells capturing only 19.8%
+  * of variance on these near-isotropic synthetic embeddings, so the
+  * residual still carries 80% of the energy the 8 bytes must
+  * describe; on manifold-structured real embeddings the gap to the
+  * published IVFADC gains closes. Which ANN row to use when: SURVEY
+  * §2 row 55d (the measured chooser).
+  *
   * Reference scope: the reference library has no ANN at all (its
   * nearest lookup is df-index-of over a sorted series); this operator
   * is part of the training-data-pipeline extension surface, same
@@ -268,8 +284,12 @@ object Pq {
       s
     }
     val probeLuts = Map.newBuilder[Long, Array[Double]]
-    val biases = Map.newBuilder[(Long, Int), Double]
-    val pairs = Seq.newBuilder[(Long, Int)]
+    // (probe, cell, bias) — the bias scalar ‖C‖² − 2·q·C rides this
+    // tiny frame as a COLUMN (one double per probed pair) instead of a
+    // broadcast tuple-keyed map: a per-row Map[(Long, Int)] lookup
+    // allocates a Tuple2 + two boxes on every candidate row, which
+    // measured as a 2.8× wall inflation at the sf100 nprobe=256 shape
+    val pairs = Seq.newBuilder[(Long, Int, Double)]
     val probedCells = scala.collection.mutable.BitSet.empty
     probeRows.foreach { r =>
       val pid = r.getLong(0)
@@ -312,10 +332,8 @@ object Pq {
       probeLuts += pid -> a
       var pi = 0
       while (pi < np) {
-        val cid = bestC(pi)
-        pairs += ((pid, cid))
-        biases += (pid, cid) -> bestD(pi)
-        probedCells += cid
+        pairs += ((pid, bestC(pi), bestD(pi)))
+        probedCells += bestC(pi)
         pi += 1
       }
     }
@@ -341,15 +359,15 @@ object Pq {
     }
     val bcLuts = BroadcastPqResidualLuts(
       spark.sparkContext.broadcast(probeLuts.result()),
-      spark.sparkContext.broadcast(cellLuts),
-      spark.sparkContext.broadcast(biases.result()), m, ksub)
+      spark.sparkContext.broadcast(cellLuts), m, ksub)
 
     import spark.implicits._
-    val p = pairs.result().toDF("probe_id", "__cid")
+    val p = pairs.result().toDF("probe_id", "__cid", "__bias")
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("neighbor_id"))
     p.join(c, Seq("__cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("adc", bcLuts.adc(col("probe_id"), col("__cid"), col("__codes")))
+      .withColumn("adc",
+        bcLuts.adc(col("probe_id"), col("__cid"), col("__codes")) + col("__bias"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("adc"), 6).as("adc"))
