@@ -141,26 +141,36 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: BroadcastPqL
   * (probe, probed cell), which is exactly the grain of the
   * driver-built probe-pairs frame — it rides that tiny frame as a
   * plain column and is ADDED to this kernel's output. (A first cut
-  * kept it as a broadcast Map[(Long, Int), Double]; the per-row tuple
-  * allocation + two boxes on a 50M-candidate join showed up as a 2.8×
-  * wall inflation at nprobe=256 — measured in the r17 recall session.)
+  * kept it as a broadcast Map[(Long, Int), Double] — a per-row tuple
+  * allocation + two boxes on every candidate row. The r17 A-B on the
+  * refactor was INCONCLUSIVE in a 2–3× probe-swing session
+  * (BENCH_pq_recall_r17.json bias_column_ab: B/A = 1.15/1.86/0.95/
+  * 0.77 across nprobe); the column form is kept on the structural
+  * argument — strictly fewer per-row allocations, one less broadcast
+  * — with NO perf claim recorded.)
   *
+  * Both LUT sides are DENSE arrays, not maps: the probe-pairs frame
+  * is driver-built, so it carries each probe's ORDINAL as a column
+  * and `probeLuts(ordinal)` is an array read — no per-row boxed
+  * Map[Long, _] key lookup on the candidate join (same structural
+  * class as the bias-column form; likewise no perf claim).
   * `cellLuts` is indexed by cell id with entries ONLY at probed cells
   * (null elsewhere — the kernel fails loudly on an unprobed cell, it
   * never scores one silently), so a kc=65536 production quantizer
   * costs pointers, not tables, for the cells this probe batch skips. */
 case class BroadcastPqResidualLuts(
-    probeLuts: Broadcast[Map[Long, Array[Double]]],
+    probeLuts: Broadcast[Array[Array[Double]]],
     cellLuts: Broadcast[Array[Array[Double]]],
     m: Int, ksub: Int) {
 
-  /** Residual squared-L2 ADC between a probe (by id, scored against
-    * cell `cid`'s posting list) and an encoded corpus vector — packed
-    * `bigint` codes (m ≤ 8, ksub ≤ 256) or `array<int>`. */
-  def adc(probeId: Column, cid: Column, codes: Column): Column =
+  /** Residual squared-L2 ADC between a probe (by driver-assigned
+    * ordinal into `probeLuts`, scored against cell `cid`'s posting
+    * list) and an encoded corpus vector — packed `bigint` codes
+    * (m ≤ 8, ksub ≤ 256) or `array<int>`. */
+  def adc(probeOrd: Column, cid: Column, codes: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       PqAdcResidualDistance(
-        org.apache.spark.sql.GraftColumnBridge.expression(probeId),
+        org.apache.spark.sql.GraftColumnBridge.expression(probeOrd),
         org.apache.spark.sql.GraftColumnBridge.expression(cid),
         org.apache.spark.sql.GraftColumnBridge.expression(codes), this))
 
@@ -178,24 +188,28 @@ case class PqAdcResidualDistance(first: Expression, second: Expression, third: E
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (LongType, IntegerType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
-      case (LongType, IntegerType, LongType) =>
+      case (IntegerType, IntegerType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (IntegerType, IntegerType, LongType) =>
         if (luts.m <= 8 && luts.ksub <= 256) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"pq_adc_res packed codes need m<=8 and ksub<=256, got m=${luts.m} ksub=${luts.ksub}")
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
-        s"pq_adc_res requires (bigint probe id, int cell id, array<int> | bigint codes), " +
+        s"pq_adc_res requires (int probe ordinal, int cell id, array<int> | bigint codes), " +
           s"got (${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_res"
 
-  // two lookups, no per-row tuple/wrapper allocation (this expression
-  // evaluates once per candidate row — 50M rows at the sf100
-  // measurement shape)
-  private def probeLut(probeId: Long): Array[Double] =
-    luts.probeLuts.value.getOrElse(probeId,
-      throw new IllegalArgumentException(s"pq_adc_res: no LUT for probe id $probeId"))
+  // two dense array reads, no per-row boxing/map lookup (this
+  // expression evaluates once per candidate row — 50M rows at the
+  // sf100 measurement shape)
+  private def probeLut(ord: Int): Array[Double] = {
+    val ps = luts.probeLuts.value
+    if (ord < 0 || ord >= ps.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_res: probe ordinal $ord outside [0, ${ps.length})")
+    ps(ord)
+  }
 
   private def cellLut(cid: Int): Array[Double] = {
     val cells = luts.cellLuts.value
@@ -204,8 +218,8 @@ case class PqAdcResidualDistance(first: Expression, second: Expression, third: E
     cells(cid)
   }
 
-  def adcDistance(probeId: Long, cid: Int, codes: ArrayData): Double = {
-    val a = probeLut(probeId)
+  def adcDistance(probeOrd: Int, cid: Int, codes: ArrayData): Double = {
+    val a = probeLut(probeOrd)
     val d = cellLut(cid)
     val (m, ksub) = (luts.m, luts.ksub)
     if (codes.numElements() != m)
@@ -223,8 +237,8 @@ case class PqAdcResidualDistance(first: Expression, second: Expression, third: E
     s
   }
 
-  def adcDistancePacked(probeId: Long, cid: Int, packed: Long): Double = {
-    val a = probeLut(probeId)
+  def adcDistancePacked(probeOrd: Int, cid: Int, packed: Long): Double = {
+    val a = probeLut(probeOrd)
     val d = cellLut(cid)
     val (m, ksub) = (luts.m, luts.ksub)
     var s = 0.0
@@ -241,11 +255,11 @@ case class PqAdcResidualDistance(first: Expression, second: Expression, third: E
 
   private lazy val packed = third.dataType == LongType
 
-  override protected def nullSafeEval(probeId: Any, cid: Any, codes: Any): Any =
+  override protected def nullSafeEval(probeOrd: Any, cid: Any, codes: Any): Any =
     if (packed)
-      adcDistancePacked(probeId.asInstanceOf[Long], cid.asInstanceOf[Int], codes.asInstanceOf[Long])
+      adcDistancePacked(probeOrd.asInstanceOf[Int], cid.asInstanceOf[Int], codes.asInstanceOf[Long])
     else
-      adcDistance(probeId.asInstanceOf[Long], cid.asInstanceOf[Int], codes.asInstanceOf[ArrayData])
+      adcDistance(probeOrd.asInstanceOf[Int], cid.asInstanceOf[Int], codes.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqAdcResKernel", this, classOf[PqAdcResidualDistance].getName)

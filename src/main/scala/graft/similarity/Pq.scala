@@ -283,15 +283,19 @@ object Pq {
       while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
       s
     }
-    val probeLuts = Map.newBuilder[Long, Array[Double]]
-    // (probe, cell, bias) — the bias scalar ‖C‖² − 2·q·C rides this
-    // tiny frame as a COLUMN (one double per probed pair) instead of a
-    // broadcast tuple-keyed map: a per-row Map[(Long, Int)] lookup
-    // allocates a Tuple2 + two boxes on every candidate row, which
-    // measured as a 2.8× wall inflation at the sf100 nprobe=256 shape
-    val pairs = Seq.newBuilder[(Long, Int, Double)]
+    val probeLuts = Array.newBuilder[Array[Double]]
+    // (probe, probe ordinal, cell, bias) — the bias scalar ‖C‖² − 2·q·C
+    // rides this tiny driver-built frame as a COLUMN (one double per
+    // probed pair) instead of a broadcast tuple-keyed map, and the
+    // probe ORDINAL rides it too so the kernel's per-probe LUT read is
+    // a dense array index, not a boxed Map[Long,_] lookup. Both are
+    // kept on the structural argument (strictly fewer per-row
+    // allocations, one less broadcast); the r17 A-B on the bias
+    // refactor was inconclusive in a 2–3× probe-swing session
+    // (BENCH_pq_recall_r17.json bias_column_ab) — NO perf claim.
+    val pairs = Seq.newBuilder[(Long, Int, Int, Double)]
     val probedCells = scala.collection.mutable.BitSet.empty
-    probeRows.foreach { r =>
+    probeRows.zipWithIndex.foreach { case (r, pord) =>
       val pid = r.getLong(0)
       val q = r.getSeq[Double](1).toArray
       require(q.length == dim, s"probe vector has ${q.length} dims, index expects $dim")
@@ -329,10 +333,10 @@ object Pq {
         }
         j += 1
       }
-      probeLuts += pid -> a
+      probeLuts += a
       var pi = 0
       while (pi < np) {
-        pairs += ((pid, bestC(pi), bestD(pi)))
+        pairs += ((pid, pord, bestC(pi), bestD(pi)))
         probedCells += bestC(pi)
         pi += 1
       }
@@ -362,12 +366,12 @@ object Pq {
       spark.sparkContext.broadcast(cellLuts), m, ksub)
 
     import spark.implicits._
-    val p = pairs.result().toDF("probe_id", "__cid", "__bias")
+    val p = pairs.result().toDF("probe_id", "__pord", "__cid", "__bias")
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("neighbor_id"))
     p.join(c, Seq("__cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("adc",
-        bcLuts.adc(col("probe_id"), col("__cid"), col("__codes")) + col("__bias"))
+        bcLuts.adc(col("__pord"), col("__cid"), col("__codes")) + col("__bias"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("adc"), 6).as("adc"))
@@ -399,7 +403,7 @@ object Pq {
                   kCand: Int = 0): DataFrame = {
     val kc = if (kCand > 0) kCand else 10 * k
     require(kc >= k, s"kCand=$kc must be >= k=$k")
-    refine(corpus, probes, idCol, vecCol, k,
+    refine(corpus, probes, idCol, vecCol, k, kc,
       topK(corpus, probes, idCol, vecCol, kc, coarse, codebooks, nprobe))
   }
 
@@ -416,7 +420,7 @@ object Pq {
                           kCand: Int = 0): DataFrame = {
     val kc = if (kCand > 0) kCand else 10 * k
     require(kc >= k, s"kCand=$kc must be >= k=$k")
-    refine(corpus, probes, idCol, vecCol, k,
+    refine(corpus, probes, idCol, vecCol, k, kc,
       topKResidual(corpus, probes, idCol, vecCol, kc, coarse, codebooks, nprobe))
   }
 
@@ -430,9 +434,38 @@ object Pq {
     * would demote the fetch to a shuffle of the full-vector corpus —
     * precisely the exchange the PQ design exists to avoid — while
     * results stayed correct and nobody noticed (r16 verdict watch
-    * item 1). PlanAuditSpec pins the BroadcastHashJoin shape. */
+    * item 1). PlanAuditSpec pins the BroadcastHashJoin shape.
+    *
+    * The pin removes the optimizer's size-based fallback, so the
+    * over-budget case must fail LOUDLY here instead of as a generic
+    * broadcast OOM (r17 verdict watch item 1): kCand is the
+    * recall/cost dial and its measured knee GROWS with corpus size
+    * (300·k at 200k vectors → 1000·k at 2M —
+    * BENCH_pq_recall_r17.json), so a user chasing recall on a big
+    * corpus can push \|probes\|·kCand past what a pinned broadcast
+    * survives. The guard's arithmetic: a candidate row broadcasts as
+    * ~48 B in the hashed relation (two longs + UnsafeRow + map
+    * overhead), so the default cap of 32M rows is ~1.5 GB — far under
+    * the 8 GB broadcast hard limit and a small fraction of the 48 GB
+    * driver this project sizes for, but big enough for the measured
+    * sf100 knee shape (100 probes × kCand = 10,000 = 1M rows) forty
+    * times over. Raise `spark.graft.refineBroadcastMaxRows` only with
+    * driver/executor memory to back it. */
   private def refine(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
-                     k: Int, cand: DataFrame): DataFrame = {
+                     k: Int, kCand: Int, cand: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val maxRows = spark.conf.getOption("spark.graft.refineBroadcastMaxRows")
+      .map(_.toLong).getOrElse(32L * 1000 * 1000)
+    // the probe slice is bounded by design (its LUTs are driver-built
+    // in both refined modes), so this count is a tiny job at plan
+    // build — the same convention as the driver-side probe collect
+    val nProbes = probes.count()
+    val candRows = nProbes * kCand
+    require(candRows <= maxRows,
+      s"refine: |probes|=$nProbes x kCand=$kCand = $candRows candidate rows exceeds " +
+        s"spark.graft.refineBroadcastMaxRows=$maxRows for the broadcast-pinned fetch - " +
+        "lower kCand, split the probe slice into batches, or raise the bound " +
+        "(with driver memory to back it)")
     val cn = Cosine.withNorm(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__vd").as("v2"), col("__nrm").as("n2"))
     val pn = Cosine.withNorm(probes, vecCol)

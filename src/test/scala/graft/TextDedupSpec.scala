@@ -515,6 +515,35 @@ class TextDedupSpec extends AnyFunSuite with SharedSpark {
     assert(gotR.subsetOf(pool), "refined results must come from the residual ADC candidate pool")
   }
 
+  test("refine guard: over-budget |probes|*kCand fails loudly, naming the knobs") {
+    // the broadcast pin removes the optimizer's size fallback, so the
+    // over-budget case must be a graft-shaped error naming kCand, not
+    // a generic broadcast OOM (r17 verdict watch item 1)
+    val vecs = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j => (math.sin(i * 1.3 + j) + 1.5).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 4)
+    val coarse = Pq.trainCoarse(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    val cbs = Pq.trainCodebooksResidual(vecs, "vec_id", "embedding", coarse,
+      m = 4, ksub = 8, iters = 2)
+    spark.conf.set("spark.graft.refineBroadcastMaxRows", "50")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        // 4 probes x kCand=15 = 60 rows > the 50-row test bound
+        Pq.topKRefinedResidual(vecs, probes, "vec_id", "embedding", 5,
+          coarse, cbs, nprobe = 2, kCand = 15)
+      }
+      assert(ex.getMessage.contains("kCand=15"), ex.getMessage)
+      assert(ex.getMessage.contains("refineBroadcastMaxRows"), ex.getMessage)
+      // exactly at the bound passes: the guard is <=, not <
+      spark.conf.set("spark.graft.refineBroadcastMaxRows", "60")
+      val ok = Pq.topKRefinedResidual(vecs, probes, "vec_id", "embedding", 5,
+        coarse, cbs, nprobe = 2, kCand = 15)
+      assert(ok.count() > 0)
+    } finally spark.conf.unset("spark.graft.refineBroadcastMaxRows")
+  }
+
   test("train-on-sample: deterministic, bounded, and fails loudly when the sample can't seat k") {
     val vecs = spark.range(2500).select(col("id").as("vec_id"),
       expr("transform(sequence(1, 8), i -> cast(pmod(xxhash64(id, i), 1000) as double) / 1000.0)")
