@@ -230,7 +230,13 @@ object Pq {
         explode(bcCoarse.nearest(col("__vn"), nprobe)).as("__cid"))
 
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("neighbor_id"))
-    p.join(c, Seq("__cid"))
+    // same posting-join pin as topKResidual (measured there; this
+    // frame's unknown filter stats happen to plan the merge join
+    // already — the hint keeps that measured shape independent of the
+    // caller's probe-frame lineage)
+    val pj = if (spark.conf.getOption("spark.graft.pqPostingShuffleJoin").forall(_.toBoolean))
+      p.hint("merge") else p
+    pj.join(c, Seq("__cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("adc", bcLuts.adc(col("probe_id"), col("__codes")))
       .withColumn("rank", row_number().over(w))
@@ -366,7 +372,25 @@ object Pq {
       spark.sparkContext.broadcast(cellLuts), m, ksub)
 
     import spark.implicits._
-    val p = pairs.result().toDF("probe_id", "__pord", "__cid", "__bias")
+    val p0 = pairs.result().toDF("probe_id", "__pord", "__cid", "__bias")
+    // posting join: SHUFFLE, don't broadcast. The driver-built pairs
+    // frame is a LocalRelation whose tiny stats make Catalyst pick a
+    // BuildLeft BroadcastHashJoin — which FUSES the entire candidate
+    // score + sort + partial-top-k pipeline into the corpus SCAN
+    // stage, concentrating all per-candidate work at input-split
+    // parallelism. Measured (BENCH_pq_posting_join_r18.json, 200k
+    // vectors, nprobe=256, same session, interleaved fresh plans):
+    // broadcast-fused 38-45 s vs shuffled 10.8-10.9 s (3.5x), parity
+    // at nprobe=32; the raw-code path never had the pathology because
+    // its probe frame's unknown stats already plan the merge join.
+    // The exchange this buys back is the ENCODED corpus (cell id +
+    // packed 8-byte codes — the wire-frugal posting exchange the PQ
+    // design is built around), not the raw vectors. Escape hatch for
+    // clusters where scan parallelism is plentiful and the posting
+    // exchange is the scarcer resource:
+    // spark.graft.pqPostingShuffleJoin=false restores the broadcast.
+    val p = if (spark.conf.getOption("spark.graft.pqPostingShuffleJoin").forall(_.toBoolean))
+      p0.hint("merge") else p0
     val w = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("neighbor_id"))
     p.join(c, Seq("__cid"))
       .filter(col("probe_id") =!= col("neighbor_id"))

@@ -109,7 +109,17 @@ class PlanAuditSpec extends AnyFunSuite with SharedSpark {
     // guard makes a silent demotion to a corpus shuffle loud.
     val p = plan("q_ann_ivfpq_refined")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+    // the candidate-generation subtree's POSTING join (on __cid) is a
+    // deliberate SortMergeJoin since r18 — the driver-built pairs
+    // frame's broadcast fused all candidate scoring into the scan
+    // stage, measured 3.5x (BENCH_pq_posting_join_r18.json). Every
+    // OTHER join — in particular both refine fetches — must still
+    // broadcast a bounded side: any SMJ NOT keyed on __cid is a
+    // demotion of the fetch to a corpus shuffle.
+    val smjKeys = "SortMergeJoin \\[(\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjKeys.forall(_.startsWith("__cid")),
+      s"refine join demoted to a corpus shuffle (SMJ on $smjKeys)\n${p.take(1500)}")
+    assert(!p.contains("ShuffledHashJoin"),
       s"refine join demoted to a corpus shuffle\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
