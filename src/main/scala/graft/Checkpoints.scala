@@ -43,4 +43,33 @@ object Checkpoints {
       df.checkpoint(eager = eager)
     else
       df.localCheckpoint(eager = eager)
+
+  /** Free a SUPERSEDED checkpoint's storage blocks, immediately.
+    *
+    * Why `Dataset.unpersist()` cannot do this: a checkpointed frame's
+    * blocks were persisted directly on the underlying RDD (inside
+    * `localCheckpoint`), never registered with the SQL CacheManager —
+    * so `Dataset.unpersist()`, which only un-caches InMemoryRelation
+    * entries, is a silent no-op on them. Absent an explicit free, the
+    * blocks live until the driver GCs the RDD reference AND the
+    * ContextCleaner notices — and a driver running an iterative loop
+    * holds little heap, so GC rarely fires and superseded rounds
+    * accumulate. Measured: the SA doubling loop at sf100 piled up
+    * 51.7 GB of dead generations and hit this container's disk guard
+    * (`BENCH_sa_sf100_r18.json`).
+    *
+    * The frame must be PROVABLY dead: a local checkpoint cannot be
+    * recomputed (lineage is severed by design), so a read after free
+    * fails the job loudly rather than silently recomputing — the
+    * loops that call this free only frames whose every consumer was
+    * itself eagerly checkpointed first. Reliable-mode checkpoints
+    * (`df.checkpoint`) keep their files — `unpersist` drops only
+    * block-manager copies; file cleanup stays with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` as documented
+    * above. Non-checkpoint frames are left untouched. */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
 }

@@ -584,16 +584,23 @@ object Dedup {
         .join(labels.withColumnRenamed("survivor", "__old"), Seq("id"))
         .filter(col("survivor") =!= col("__old"))
         .limit(1).count() > 0
-      labels.unpersist()
+      // Checkpoints.free, NOT Dataset.unpersist: the latter only
+      // un-caches CacheManager entries and is a silent no-op on a
+      // checkpoint-backed frame (its blocks were persisted on the RDD
+      // directly) — the original unpersist here never freed anything
+      graft.Checkpoints.free(labels)
       labels = next
       iter += 1
     }
-    // untouched ids are their own survivor
-    val out = ids.select(col(idCol).as("id"))
+    // untouched ids are their own survivor. The returned frame stays
+    // LAZY and reads the final labels checkpoint, so labels cannot be
+    // freed here (it is bounded by the pair-touched ids, not the
+    // corpus); edges is dead — its last reader was the final round's
+    // viaEdges, materialized into that round's `next`
+    graft.Checkpoints.free(edges)
+    ids.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("survivor", "__s"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), col("id")).as("survivor"))
-    edges.unpersist()
-    out
   }
 
   /** 64-bit SimHash over word hashes: bit b is set when the sum of

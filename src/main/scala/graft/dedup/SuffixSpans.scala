@@ -624,8 +624,10 @@ object SuffixSpans {
           .reduceOption(_ unionByName _)
           .map(_.unionByName(pend.withColumn("__amb", lit(true))))
           .getOrElse(pend.withColumn("__amb", lit(true)))
+        val laid = copartLayout(view) // eager: pieces fully consumed here
+        (frozenParts :+ pend).foreach(graft.Checkpoints.free)
         return JoinLoopResult(
-          copartLoop(copartLayout(view), span, stats._1, arity),
+          copartLoop(laid, span, stats._1, arity),
           switchedToCoPart = true)
       }
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
@@ -667,8 +669,18 @@ object SuffixSpans {
           (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
       frozenParts += graft.Checkpoints.checkpoint(
         refined.filter(!col("__amb")).select(cols: _*))
-      pend = graft.Checkpoints.checkpoint(
+      val newPend = graft.Checkpoints.checkpoint(
         refined.filter(col("__amb")).select(cols: _*))
+      // refined and the old pending set are now superseded — both of
+      // their consumers (the frozen piece and newPend; rankedView's
+      // lookup ran inside refined's own materialization) are eagerly
+      // checkpointed, so their blocks are dead. Without the explicit
+      // free they accumulate for the whole build: on a low-entropy
+      // corpus pend stays ≈ n for all rounds, i.e. rounds × n resident
+      // blocks — the measured 51.7 GB sf100 disk-guard kill.
+      graft.Checkpoints.free(refined)
+      graft.Checkpoints.free(pend)
+      pend = newPend
       span *= arity
       stats = pendStats()
     }
@@ -755,7 +767,16 @@ object SuffixSpans {
       // set is exactly the delta's ambiguous rows — the gate reads the
       // (checkpointed, pending-sized) delta, not the merged table
       gate = gateOf(delta)
-      table = graft.Checkpoints.checkpoint(mergeSorted(table, delta))
+      val merged = graft.Checkpoints.checkpoint(mergeSorted(table, delta))
+      // the pre-merge table and the delta are superseded once the
+      // merged table materializes (eager) — free both, or every
+      // round's full n-row table stays resident for the whole build
+      // (the copart loop rewrites n rows per round BY DESIGN, which
+      // makes the leak rounds × n — the dominant term in the sf100
+      // disk-guard kill)
+      graft.Checkpoints.free(delta)
+      graft.Checkpoints.free(table)
+      table = merged
       span *= arity
     }
     // classes still ambiguous when the gate closes are genuinely

@@ -52,4 +52,44 @@ class CheckpointsSpec extends AnyFunSuite with SharedSpark {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  private def checkpointRddId(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case other => fail(s"expected a checkpoint-backed plan, got $other")
+    }
+
+  test("free drops a local checkpoint's blocks; Dataset.unpersist provably does not") {
+    val ck = Checkpoints.checkpoint(Seq(1, 2, 3, 4).toDF("x"))
+    val id = checkpointRddId(ck)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "an eager local checkpoint must register persisted blocks")
+    // the latent no-op this API exists to replace: Dataset.unpersist
+    // routes through the SQL CacheManager and never touches blocks
+    // persisted directly on the checkpoint RDD
+    ck.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "Dataset.unpersist freed checkpoint blocks — if Spark's behavior " +
+        "changed, Checkpoints.free may be retired")
+    Checkpoints.free(ck)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "Checkpoints.free must remove the checkpoint RDD from the persistent set")
+    // free on a non-checkpoint frame is a safe no-op
+    Checkpoints.free(Seq(1).toDF("x"))
+  }
+
+  test("survivors frees superseded generations: at most the final labels stay resident") {
+    // a 6-long chain forces several pointer-doubling rounds, so the
+    // loop creates (and must free) several superseded label sets
+    val pairs = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc1", "doc2")
+    val ids = (1L to 8L).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.dedup.Dedup.survivors(pairs, ids, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == ((1L to 6L).map(_ -> 1L) ++ Seq(7L -> 7L, 8L -> 8L)).toSet)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"survivors left ${leaked.size} checkpoints resident (expected <= 1, " +
+        "the final labels the lazy result still reads): rdd ids " + leaked.mkString(","))
+  }
 }
