@@ -626,6 +626,7 @@ object SuffixSpans {
           .getOrElse(pend.withColumn("__amb", lit(true)))
         val laid = copartLayout(view) // eager: pieces fully consumed here
         (frozenParts :+ pend).foreach(graft.Checkpoints.free)
+        graft.Checkpoints.free(all0) // its round-0 splits + nAll are long done
         return JoinLoopResult(
           copartLoop(laid, span, stats._1, arity),
           switchedToCoPart = true)
@@ -686,7 +687,10 @@ object SuffixSpans {
     }
     // classes still ambiguous when the gate closes are genuinely
     // identical suffixes (to their doc ends) — their shared rank is
-    // final
+    // final. all0 (position-table-sized — the single largest
+    // checkpoint in the build) is dead: its only consumers were the
+    // eager round-0 splits and the nAll count
+    graft.Checkpoints.free(all0)
     JoinLoopResult((frozenParts :+ pend).reduce(_ unionByName _),
       switchedToCoPart = false)
   }
@@ -727,8 +731,10 @@ object SuffixSpans {
   private def doublingCoPartitioned(all0: DataFrame, baseWidth: Int, arity: Int): DataFrame = {
     val gate = gateOf(all0)
     if (baseWidth.toLong >= gate) // round 0 individuated everything still pending
-      return all0.select("__kid", "n_tokens", "pos", "__r")
-    copartLoop(copartLayout(all0), baseWidth.toLong, gate, arity)
+      return all0.select("__kid", "n_tokens", "pos", "__r") // lazy view: all0 must stay
+    val laid = copartLayout(all0) // eager: all0 fully consumed here
+    graft.Checkpoints.free(all0)
+    copartLoop(laid, baseWidth.toLong, gate, arity)
   }
 
   private def gateOf(d: DataFrame): Long = { // max remaining length over
