@@ -24,8 +24,8 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from excluded_sf30 import run_one, EVDIR  # noqa: E402
 
 RUNS = [
-    ("sa_sf10_postfix_r18",  "/tmp/sf10",  "q_dup_passages,q_dup_spans_sa", 1500),
-    ("sa_sf100_postfix_r18", "/tmp/sf100", "q_dup_passages,q_dup_spans_sa", 3600),
+    ("sa_sf10_gc_r18",  "/tmp/sf10",  "q_dup_passages,q_dup_spans_sa", 1500),
+    ("sa_sf100_gc_r18", "/tmp/sf100", "q_dup_passages,q_dup_spans_sa", 3600),
 ]
 
 
