@@ -54,7 +54,8 @@ def run_one(tag, sf_dir, qs, cap):
     os.makedirs(evdir, exist_ok=True)
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_ITERS="1",
-               JVM_EXTRA=("-Dspark.eventLog.enabled=true "
+               JVM_EXTRA=(os.environ.get("JVM_EXTRA", "") +
+                          " -Dspark.eventLog.enabled=true "
                           f"-Dspark.eventLog.dir=file://{evdir} "
                           "-Dspark.eventLog.compress=false"))
     speed, _ = host_speed_probe()
