@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Dev main: per-query Spark-job/stage/task census — the fixed-cost
+  * profile the sf0.1 bench is dominated by (the corpus there is ~15 MB,
+  * so wall time is mostly scheduling: driver round-trips × per-job
+  * launch cost, not bytes). For each registered query (or the given
+  * subset) it runs the Bench action once in this JVM and reports
+  * jobs/stages/tasks plus the summed executor task time; a query whose
+  * wall is several× its task time is paying serial driver overhead
+  * (loop rounds, checkpoint materializations, convergence probes) —
+  * the cost class that does NOT shrink with cluster size.
+  *
+  *   SPARK_GRAFT_CPUS=32 tools/runjvm.sh graft.JobProfile \
+  *     /root/testdata/sf0.1 q_dup_passages,q_dedup_editdist
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskMs = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += s.stageInfo.numTasks
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) taskMs += t.taskInfo.duration
+    })
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      graft.dedup.Dedup.releaseCaches()
+      SharedFrames.release(keep = tag =>
+        SparkEntry.sharedFamilies.get(tag).exists(name.startsWith))
+      System.gc()
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0L
+      val t0 = System.nanoTime()
+      val res = try { fn(spark, sfDir).count(); "ok" }
+        catch { case t: Throwable => t.getClass.getSimpleName }
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; give it a beat to drain before reading
+      Thread.sleep(300)
+      println(f"""{"query":"$name","wall_sec":$wall%.2f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_time_sec":${taskMs / 1e3}%.2f,"status":"$res"}""")
+    }
+    spark.stop()
+  }
+}

@@ -103,12 +103,8 @@ object Pq {
     val total = if (maxTrainRows > 0) df.count() else -1L // raw count — see trainCoarse
     val base = Ivf.trainSample(normalized(df, vecCol), idCol, maxTrainRows, total)
       .select(col(idCol), col("__vn")).cache()
-    try {
-      Array.tabulate(m) { j =>
-        val slices = base.select(col(idCol), slice(col("__vn"), j * sub + 1, sub).as("__s"))
-        Ivf.train(slices, idCol, "__s", k = ksub, iters = iters)
-      }
-    } finally base.unpersist()
+    try trainSubspacesJoint(base, idCol, "__vn", m, sub, ksub, iters)
+    finally base.unpersist()
   }
 
   /** Train m per-subspace codebooks over RESIDUALS x − centroid(cell)
@@ -140,12 +136,57 @@ object Pq {
       .withColumn("__cid", bc.nearestOne(col("__vn")))
       .select(col(idCol), bc.residual(col("__vn"), col("__cid")).as("__rv"))
       .cache()
-    try {
-      Array.tabulate(m) { j =>
-        val slices = base.select(col(idCol), slice(col("__rv"), j * sub + 1, sub).as("__s"))
-        Ivf.train(slices, idCol, "__s", k = ksub, iters = iters)
+    try trainSubspacesJoint(base, idCol, "__rv", m, sub, ksub, iters)
+    finally base.unpersist()
+  }
+
+  /** Joint Lloyd trainer for all m subspaces — the SAME per-subspace
+    * math the previous `Array.tabulate(m)(j => Ivf.train(slice_j))`
+    * loop ran, fused so the m subproblems share each Spark job instead
+    * of each paying its own:
+    *   - init: ONE hash-ordered collect of the first ksub sample rows,
+    *     sliced per subspace on the driver (each per-subspace train
+    *     read exactly those rows for its init — same ids, same order);
+    *   - per Lloyd iteration: ONE aggregation job that explodes each
+    *     sample row into its m (subspace, cell, sliced-vector) entries
+    *     and averages per (subspace, cell, component) — the identical
+    *     group means the per-subspace jobs computed, m at a time. A
+    *     cell with no assigned rows keeps its previous centroid, as in
+    *     [[Ivf.train]].
+    * Why: the serial loop cost m·(1 + iters) driver round-trips per
+    * training call (m=8, iters=3 ⇒ 32 collect jobs over a ≤20k-row
+    * cached sample — at bench scale the PQ queries' walls were mostly
+    * this scheduling, and on a cluster they are m serial barriers);
+    * fused it is 1 + iters jobs at identical output (guide §1.2:
+    * remove passes before tuning anything else — the m passes per
+    * iteration carried no information the fused pass doesn't). */
+  private def trainSubspacesJoint(base: DataFrame, idCol: String, srcCol: String,
+                                  m: Int, sub: Int, ksub: Int,
+                                  iters: Int): Array[Array[Array[Double]]] = {
+    val spark = base.sparkSession
+    val initRows = base.orderBy(xxhash64(col(idCol))).limit(ksub)
+      .select(col(srcCol)).collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub,
+      s"training input has only ${initRows.length} rows < k=$ksub")
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => initRows.map(v => v.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val kernels = cents.map(cb => BroadcastCentroids(spark, cb))
+      val entries = (0 until m).map { j =>
+        val s = slice(col(srcCol), j * sub + 1, sub)
+        struct(lit(j).as("j"), kernels(j).nearestOne(s).as("cid"), s.as("v"))
       }
-    } finally base.unpersist()
+      val sums = base.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.j").as("__j"), col("e.cid").as("__cid"),
+          posexplode(col("e.v")).as(Seq("__i", "__x")))
+        .groupBy("__j", "__cid", "__i").agg(avg("__x").as("__mv"))
+        .collect()
+      kernels.foreach(_.destroy())
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cents = next
+    }
+    cents
   }
 
   /** Encode NORMALIZED vectors to m codebook ids (one argmin per
