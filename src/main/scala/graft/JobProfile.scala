@@ -18,8 +18,10 @@ import org.apache.spark.sql.SparkSession
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val verbose = args.contains("-v")
+    val rest = args.filterNot(_ == "-v")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = rest.drop(1).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,8 +39,21 @@ object JobProfile {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (verbose) {
+          // first graft frame in the job's lead stage call stack — the
+          // library line that caused the action (callSite.short is not
+          // propagated onto SQL-execution job properties)
+          val site = j.stageInfos.headOption.map(_.details)
+            .flatMap(_.split('\n').find(l =>
+              l.contains("graft.") && !l.contains("JobProfile")))
+            .map(_.trim).getOrElse("?")
+          jobLog.add((j.jobId, System.currentTimeMillis(), site))
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
@@ -56,7 +71,7 @@ object JobProfile {
       SharedFrames.release(keep = tag =>
         SparkEntry.sharedFamilies.get(tag).exists(name.startsWith))
       System.gc()
-      jobs = 0; stages = 0; tasks = 0; taskMs = 0L
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0L; jobLog.clear()
       val t0 = System.nanoTime()
       val res = try { fn(spark, sfDir).count(); "ok" }
         catch { case t: Throwable => t.getClass.getSimpleName }
@@ -64,6 +79,20 @@ object JobProfile {
       // listener bus is async; give it a beat to drain before reading
       Thread.sleep(300)
       println(f"""{"query":"$name","wall_sec":$wall%.2f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_time_sec":${taskMs / 1e3}%.2f,"status":"$res"}""")
+      if (verbose) {
+        import scala.jdk.CollectionConverters._
+        val entries = jobLog.asScala.toSeq.sortBy(_._1)
+        // per-site census plus inter-job gaps (driver-side dead time)
+        entries.groupBy(_._3).toSeq.sortBy(-_._2.size).foreach { case (site, es) =>
+          println(s"  site x${es.size}: $site")
+        }
+        val ts = entries.map(_._2)
+        if (ts.nonEmpty) {
+          val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+          println(s"  inter-job gaps ms: n=${gaps.length} " +
+            s"sum=${gaps.sum} max=${if (gaps.isEmpty) 0 else gaps.max}")
+        }
+      }
     }
     spark.stop()
   }

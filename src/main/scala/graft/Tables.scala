@@ -13,8 +13,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schema per (path, nanosAsLong) — schema
+    * inference is an eager footer-reading Spark job at every
+    * `spark.read.parquet` CALL, so a suite that opens the same table
+    * hundreds of times pays hundreds of schema jobs (one per table
+    * per query per bench iteration; at cluster scale it is a footer
+    * listing pass over the table). The schema is plan METADATA, not
+    * data: supplying it via `.schema(...)` skips only the inference
+    * job — every query still scans the parquet itself. Keyed on the
+    * nanosAsLong conf too because that flag changes what type
+    * TIMESTAMP(NANOS) columns infer as (LongType vs error), and two
+    * sessions in one JVM may disagree on it. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val sch = schemaCache.computeIfAbsent((path, nanos),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
