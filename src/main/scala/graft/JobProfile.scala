@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev main: per-query Spark-job/stage/task census — the fixed-cost
@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   *
   *   SPARK_GRAFT_CPUS=32 tools/runjvm.sh graft.JobProfile \
   *     /root/testdata/sf0.1 q_dup_passages,q_dedup_editdist
+  *
+  * `-v` additionally attributes each job to its graft call site (first
+  * graft frame of the lead stage's stack) and prints the longest jobs
+  * and driver-idle gaps. WARNING: -v PERTURBS WALLS — measured 6× task
+  * -time inflation on the SA family vs the same run without it
+  * (mechanism not chased; local mode shares the JVM with executors).
+  * Use -v for STRUCTURE (job counts, sites); take walls from
+  * non-verbose runs or graft.Bench.
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
@@ -40,6 +48,7 @@ object JobProfile {
     @volatile var tasks = 0
     @volatile var taskMs = 0L
     val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val jobEnd = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
@@ -54,6 +63,8 @@ object JobProfile {
           jobLog.add((j.jobId, System.currentTimeMillis(), site))
         }
       }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        jobEnd.put(j.jobId, System.currentTimeMillis())
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
@@ -86,12 +97,18 @@ object JobProfile {
         entries.groupBy(_._3).toSeq.sortBy(-_._2.size).foreach { case (site, es) =>
           println(s"  site x${es.size}: $site")
         }
-        val ts = entries.map(_._2)
-        if (ts.nonEmpty) {
-          val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
-          println(s"  inter-job gaps ms: n=${gaps.length} " +
-            s"sum=${gaps.sum} max=${if (gaps.isEmpty) 0 else gaps.max}")
+        // the 10 longest jobs (duration = jobEnd - jobStart) and the 5
+        // longest start->next-start gaps with no job running (driver time)
+        val timed = entries.map { case (id, st0, site) =>
+          (id, st0, jobEnd.getOrDefault(id, st0), site)
         }
+        timed.sortBy(e => e._2 - e._3).take(10).foreach { case (id, st0, en, site) =>
+          println(f"  job $id%3d ${(en - st0) / 1e3}%8.2fs  $site")
+        }
+        val idle = timed.zip(timed.tail).map { case ((_, _, e1, _), (_, s2, _, _)) => s2 - e1 }
+        if (idle.nonEmpty)
+          println(s"  driver idle (no job) ms: sum=${idle.filter(_ > 0).sum} " +
+            s"max=${idle.max}")
       }
     }
     spark.stop()
