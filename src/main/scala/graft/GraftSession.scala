@@ -19,19 +19,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Shuffle files are cleaned only when the driver GCs the
-      // ShuffleDependency and the ContextCleaner notices; Spark's
-      // backstop GC defaults to 30 MINUTES, so an iterative job whose
-      // driver heap never pressures GC (the SA doubling loop, the
-      // survivor loop) accumulates every superseded round's shuffle
-      // on disk. Checkpoints.free drops superseded CACHE blocks
-      // eagerly, but shuffle cleanup has no public API — this
-      // interval is the sanctioned lever. Measured: the sf100 SA run
-      // still hit the disk guard post-free at ~50 GB of mostly dead
-      // shuffle files (BENCH_sa_sf100_postfix_r18.json); 90 s bounds
-      // dead-shuffle residency to ~2 rounds at a worst-case full-GC
-      // cost of ~1-3 s/min, under the measured host epoch noise.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      // Dead-shuffle residency in iterative builds (the r18 sf100 SA
+      // lesson, BENCH_sa_sf100_postfix_r18.json) is now bounded INSIDE
+      // the loops themselves: graft.LoopGc forces a throttled driver
+      // GC about once a minute while a doubling/survivors/LCP loop is
+      // running, so the bound holds in EVERY session (graft.Bench's
+      // own session never had the r18 session-global
+      // spark.cleaner.periodicGC.interval=90s) and short queries never
+      // inherit forced-full-GC risk for a residency problem only long
+      // builds have (r18 verdict item 1).
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

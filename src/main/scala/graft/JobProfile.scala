@@ -49,6 +49,10 @@ object JobProfile {
     @volatile var taskMs = 0L
     val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val jobEnd = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // per-stage census: (stageId, numTasks, wallMs, summed task ms) —
+    // the single-task-heavy-stage detector (a long stage with 1 task
+    // while 31 cores idle is the AQE-coalesced CPU-dense shape)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
@@ -68,6 +72,13 @@ object JobProfile {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
+        if (verbose) {
+          val i = s.stageInfo
+          val wall = (for (a <- i.submissionTime; b <- i.completionTime)
+            yield b - a).getOrElse(0L)
+          stageLog.add((i.stageId, i.numTasks, wall,
+            i.taskMetrics.executorRunTime))
+        }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) taskMs += t.taskInfo.duration
@@ -82,14 +93,20 @@ object JobProfile {
       SharedFrames.release(keep = tag =>
         SparkEntry.sharedFamilies.get(tag).exists(name.startsWith))
       System.gc()
-      jobs = 0; stages = 0; tasks = 0; taskMs = 0L; jobLog.clear()
+      jobs = 0; stages = 0; tasks = 0; taskMs = 0L; jobLog.clear(); stageLog.clear()
       val t0 = System.nanoTime()
       val res = try { fn(spark, sfDir).count(); "ok" }
         catch { case t: Throwable => t.getClass.getSimpleName }
       val wall = (System.nanoTime() - t0) / 1e9
       // listener bus is async; give it a beat to drain before reading
       Thread.sleep(300)
-      println(f"""{"query":"$name","wall_sec":$wall%.2f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_time_sec":${taskMs / 1e3}%.2f,"status":"$res"}""")
+      // Locale.ROOT formatting: the f-interpolator uses the default
+      // locale, and a comma-decimal host would corrupt the JSON line —
+      // the exact pitfall Bench.fmt fixed (r18 ADVICE item 2)
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"%s","wall_sec":%.2f,"jobs":%d,"stages":%d,"tasks":%d,"task_time_sec":%.2f,"status":"%s"}""",
+        name, Double.box(wall), Int.box(jobs), Int.box(stages), Int.box(tasks),
+        Double.box(taskMs / 1e3), res))
       if (verbose) {
         import scala.jdk.CollectionConverters._
         val entries = jobLog.asScala.toSeq.sortBy(_._1)
@@ -97,18 +114,36 @@ object JobProfile {
         entries.groupBy(_._3).toSeq.sortBy(-_._2.size).foreach { case (site, es) =>
           println(s"  site x${es.size}: $site")
         }
-        // the 10 longest jobs (duration = jobEnd - jobStart) and the 5
-        // longest start->next-start gaps with no job running (driver time)
+        // the 10 longest jobs (duration = jobEnd - jobStart)
         val timed = entries.map { case (id, st0, site) =>
           (id, st0, jobEnd.getOrDefault(id, st0), site)
         }
         timed.sortBy(e => e._2 - e._3).take(10).foreach { case (id, st0, en, site) =>
           println(f"  job $id%3d ${(en - st0) / 1e3}%8.2fs  $site")
         }
-        val idle = timed.zip(timed.tail).map { case ((_, _, e1, _), (_, s2, _, _)) => s2 - e1 }
-        if (idle.nonEmpty)
-          println(s"  driver idle (no job) ms: sum=${idle.filter(_ > 0).sum} " +
-            s"max=${idle.max}")
+        // driver idle = wall minus the UNION of [start, end] job
+        // intervals (jobs overlap under concurrent actions, so
+        // jobId-ordered gaps are meaningless and can go negative —
+        // r18 ADVICE item 3)
+        val iv = timed.map(e => (e._2, math.max(e._2, e._3))).sortBy(_._1)
+        var covered = 0L; var cursor = 0L
+        iv.foreach { case (s, e) =>
+          if (cursor == 0L) { covered += e - s; cursor = e }
+          else if (s >= cursor) { covered += e - s; cursor = e }
+          else if (e > cursor) { covered += e - cursor; cursor = e }
+        }
+        if (iv.nonEmpty) {
+          val span = cursor - iv.head._1 // cursor = max covered end
+          println(s"  driver idle (no job) ms: " +
+            s"${math.max(0L, span - covered)} of span $span")
+        }
+        // single-task-heavy-stage detector: stages >= 200 ms wall,
+        // widest first — a multi-second 1-task row here is the
+        // AQE-coalesced CPU-dense shape (guide §2 partition-by-work)
+        val sl = stageLog.asScala.toSeq.filter(_._3 >= 200).sortBy(-_._3).take(15)
+        sl.foreach { case (sid, nt, wms, trun) =>
+          println(f"  stage $sid%4d tasks=$nt%3d wall=${wms / 1e3}%7.2fs taskRun=${trun / 1e3}%7.2fs")
+        }
       }
     }
     spark.stop()

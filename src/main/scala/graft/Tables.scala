@@ -13,7 +13,7 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Inferred parquet schema per (path, nanosAsLong) — schema
+  /** Inferred parquet schema per (path, mtime, nanosAsLong) — schema
     * inference is an eager footer-reading Spark job at every
     * `spark.read.parquet` CALL, so a suite that opens the same table
     * hundreds of times pays hundreds of schema jobs (one per table
@@ -23,14 +23,22 @@ object Tables {
     * job — every query still scans the parquet itself. Keyed on the
     * nanosAsLong conf too because that flag changes what type
     * TIMESTAMP(NANOS) columns infer as (LongType vs error), and two
-    * sessions in one JVM may disagree on it. */
+    * sessions in one JVM may disagree on it; keyed on the path's
+    * LOCAL-FS mtime so a table REWRITTEN in-JVM with a changed schema
+    * (generator mains — ScaleUp, StructuredEmbeddings — overwrite
+    * their dest dirs) is re-inferred instead of silently misread
+    * (r18 verdict item 7). Overwrites rewrite the directory's
+    * children, which updates its mtime; a non-local path (hdfs://,
+    * s3a://) stats as 0 — i.e. the pre-r19 immutable-inputs contract,
+    * now documented here. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), org.apache.spark.sql.types.StructType]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val sch = schemaCache.computeIfAbsent((path, nanos),
+    val mtime = new java.io.File(path).lastModified() // 0 for non-local paths
+    val sch = schemaCache.computeIfAbsent((path, mtime, nanos),
       _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }

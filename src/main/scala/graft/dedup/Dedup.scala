@@ -565,11 +565,18 @@ object Dedup {
     val edges = graft.Checkpoints.checkpoint(
       pairs.select(col("doc1").as("a"), col("doc2").as("b"))
         .union(pairs.select(col("doc2").as("a"), col("doc1").as("b"))))
+    // the emptiness probe rides the labels checkpoint's own
+    // materialization (CollectMetrics), not a separate isEmpty job
+    val obs0 = org.apache.spark.sql.Observation()
     var labels = graft.Checkpoints.checkpoint(
       edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("survivor")))
+        .select(col("id"), col("id").as("survivor"))
+        .observe(obs0, count(lit(1)).as("cnt")))
     var iter = 0
-    var changed = !labels.isEmpty
+    var changed = graft.Observed.metrics(obs0)
+      .map(graft.Observed.longOf(_, "cnt") > 0L)
+      .getOrElse(!labels.isEmpty)
+    val gc = graft.LoopGc.ticker(pairs.sparkSession)
     while (changed && iter < maxIters) {
       val viaEdges = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("survivor"))
@@ -577,10 +584,29 @@ object Dedup {
         .groupBy("id").agg(min("survivor").as("survivor"))
       // pointer doubling: survivor := survivor's survivor
       val parents = hopped.select(col("id").as("__pid"), col("survivor").as("__psurv"))
+      // CONVERGENCE PROBE FUSED into the checkpoint materialization
+      // (guide §1.2 — remove serial driver passes): the old labels
+      // join in for comparison (1:1 — the id set is invariant across
+      // rounds: every round's ids are exactly the initial edge
+      // endpoints), a CollectMetrics node counts changed rows DURING
+      // the checkpoint job, and the carried __old column is projected
+      // away before the blocks are written. Replaces the per-round
+      // changed-row probe job. The exit is trust-but-verify: a zero
+      // observed count is re-confirmed by one exact probe below
+      // before the loop may end, so a wrong/missing metric can only
+      // cost rounds (bounded by maxIters), never change the fixpoint.
+      val obs = org.apache.spark.sql.Observation()
       val next = graft.Checkpoints.checkpoint( // truncates lineage; labels stay one hop deep
         hopped.join(parents, hopped("survivor") === col("__pid"), "left")
-          .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor")))
-      changed = next
+          .select(col("id"), coalesce(col("__psurv"), col("survivor")).as("survivor"))
+          .join(labels.select(col("id"), col("survivor").as("__old")), Seq("id"))
+          .observe(obs, count(when(col("survivor") =!= col("__old"), 1)).as("chg"))
+          .select(col("id"), col("survivor")))
+      val observedChanged = graft.Observed.metrics(obs)
+        .map(graft.Observed.longOf(_, "chg") > 0L)
+      // exact probe when the metric says "converged" (confirm before
+      // exiting) or never arrived (fall back to pre-fusion behavior)
+      changed = observedChanged.contains(true) || next
         .join(labels.withColumnRenamed("survivor", "__old"), Seq("id"))
         .filter(col("survivor") =!= col("__old"))
         .limit(1).count() > 0
@@ -591,6 +617,7 @@ object Dedup {
       graft.Checkpoints.free(labels)
       labels = next
       iter += 1
+      gc.tick() // bound dead-shuffle residency in long builds (LoopGc)
     }
     // untouched ids are their own survivor. The returned frame stays
     // LAZY and reads the final labels checkpoint, so labels cannot be

@@ -354,14 +354,27 @@ object SuffixSpans {
     // the ranking sort itself (GlobalOrder.withHeadRankFlagged): one
     // parallel sort per round, no groupBy shuffles, no split joins
     val r0 = GlobalOrder.withHeadRankFlagged(toks, Nil, Seq(col("__t")), "__r", "__amb")
-    val all0 = graft.Checkpoints.checkpoint(r0.drop("__t"))
+    // the doubling loop's startup signals — position count n (the auto
+    // switch fraction's denominator), the pending set's max remaining
+    // length (the round gate) and its row count — ride the round-0
+    // checkpoint's own materialization (CollectMetrics) instead of a
+    // separate count job + pendStats job (guide §1.2: remove serial
+    // driver passes). Wrong/missing metrics cannot mis-rank: the loops
+    // re-confirm any observed gate CLOSE with an exact aggregate
+    // before exiting (see gateOpen in doublingJoin/copartLoop).
+    val obs0 = org.apache.spark.sql.Observation()
+    val all0 = graft.Checkpoints.checkpoint(r0.drop("__t").observe(obs0,
+      count(lit(1)).as("n"),
+      max(when(col("__amb"), col("n_tokens") - col("pos"))).as("mx"),
+      count(when(col("__amb"), 1)).as("cnt")))
+    val st0 = graft.Observed.metrics(obs0)
     val ranked = mode match {
-      case "copart" => doublingCoPartitioned(all0, baseWidth, arity)
+      case "copart" => doublingCoPartitioned(all0, baseWidth, arity, st0)
       case "auto" =>
-        val r = doublingJoin(all0, baseWidth, arity, CoPartSwitchFrac)
+        val r = doublingJoin(all0, baseWidth, arity, CoPartSwitchFrac, st0)
         lastSwitchedToCoPart = r.switchedToCoPart // test-only, auto path only
         r.ranked
-      case _ => doublingJoin(all0, baseWidth, arity).ranked
+      case _ => doublingJoin(all0, baseWidth, arity, init = st0).ranked
     }
 
     // --- 2. SA adjacency (suffixes that can host a >=minLen repeat) ---
@@ -393,21 +406,55 @@ object SuffixSpans {
       col("gh1").as("a1"), col("gh2").as("a2"))
     val gB = grams.select(col("__kid").as("idB"), col("pos").as("posB"),
       col("gh1").as("b1"), col("gh2").as("b2"))
+    // the survivor count rides each checkpoint's own materialization
+    // (CollectMetrics) — previously a separate isEmpty job per round.
+    // Safe either way it is wrong: an overcount costs one empty round;
+    // an undercount exits early and the post-loop require() fails the
+    // job LOUDLY (it re-scans active exactly) — never silent mis-LCPs.
+    val obsA = org.apache.spark.sql.Observation()
     var active = graft.Checkpoints.checkpoint(
       pairs.filter(col("rA") =!= col("rB"))
         .join(gA, Seq("idA", "posA")).join(gB, Seq("idB", "posB"))
         .filter(col("a1") === col("b1") && col("a2") === col("b2"))
         .select(col("idA"), col("posA"), col("idB"), col("posB"),
-          lit(minLen.toLong).as("__off"), least(col("remA"), col("remB")).as("__lim")))
+          lit(minLen.toLong).as("__off"), least(col("remA"), col("remB")).as("__lim"))
+        .observe(obsA, count(lit(1)).as("cnt")))
+    // -1 = metric missing: fall back to the exact isEmpty probe
+    var activeCnt: Long = graft.Observed.metrics(obsA)
+      .map(graft.Observed.longOf(_, "cnt")).getOrElse(-1L)
     val wsA = docsArr.select(keyExpr.as("idA"), col("__ws").as("__wsA"))
     val wsB = docsArr.select(keyExpr.as("idB"), col("__ws").as("__wsB"))
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     done += eqLcp
     var chunk = minLen.toLong
     var rounds = 0
-    while (rounds < maxRounds && !active.isEmpty) {
+    val shufP = df.sparkSession.sessionState.conf.numShufflePartitions
+    val lcpTokensPerTask = df.sparkSession.conf
+      .get(LcpTokensPerTaskKey, "2000000").toLong
+    val gc = graft.LoopGc.ticker(df.sparkSession)
+    while (rounds < maxRounds &&
+        (if (activeCnt >= 0) activeCnt > 0 else !active.isEmpty)) {
+      // WORK-AWARE REPARTITION of the chunk-compare join (guide §2
+      // partition-by-work; r18 verdict item 2): this stage's cost is
+      // |active| × chunk token comparisons while its shuffle BYTES are
+      // slim (ids + offsets) — exactly the shape AQE's byte-based
+      // coalescing collapses to ONE task at small SF (measured 2-11 s
+      // single-task stages inside the passages/editdist walls). The
+      // fused count prices the work for free; only when it exceeds one
+      // task-budget of comparisons is the pair side explicitly
+      // repartitioned (AQE never coalesces a user numPartitions
+      // repartition) — tiny rounds keep their AQE plans untouched (the
+      // r18 lesson: pinning every small stage at 32 tasks regressed
+      // the six-query set 3×, BENCH minPartitionSize=1b).
+      val workParts =
+        if (activeCnt > 0 && lcpTokensPerTask > 0)
+          math.min(shufP.toLong, activeCnt * chunk / lcpTokensPerTask + 1).toInt
+        else 1
+      val pairSide = if (workParts > 1) active.repartition(workParts, col("idA"))
+                     else active
+      val obs = org.apache.spark.sql.Observation()
       val step = graft.Checkpoints.checkpoint(
-        active.join(wsA, Seq("idA")).join(wsB, Seq("idB"))
+        pairSide.join(wsA, Seq("idA")).join(wsB, Seq("idB"))
         .withColumn("__z", zip_with(
           expr(s"slice(__wsA, cast(posA + __off + 1 as int), ${chunk.toInt})"),
           expr(s"slice(__wsB, cast(posB + __off + 1 as int), ${chunk.toInt})"),
@@ -418,14 +465,18 @@ object SuffixSpans {
         .select(col("idA"), col("posA"), col("idB"), col("posB"),
           (col("__off") + col("__adv")).as("__off"), col("__lim"),
           (col("__fp") > 0 || col("__adv") < chunk).as("__mismatch"))
-        .withColumn("__done", col("__mismatch") || col("__off") >= col("__lim")))
+        .withColumn("__done", col("__mismatch") || col("__off") >= col("__lim"))
+        .observe(obs, count(when(!col("__done"), 1)).as("rem")))
       done += step.filter(col("__done"))
         .select(col("idA"), col("posA"), col("idB"), col("posB"),
           least(col("__off"), col("__lim")).as("lcp"))
       active = step.filter(!col("__done"))
         .select("idA", "posA", "idB", "posB", "__off", "__lim")
+      activeCnt = graft.Observed.metrics(obs)
+        .map(graft.Observed.longOf(_, "rem")).getOrElse(-1L)
       chunk = math.min(chunk * 2, Int.MaxValue / 4)
       rounds += 1
+      gc.tick() // bound dead-shuffle residency in long builds (LoopGc)
     }
     require(active.isEmpty,
       s"repeatExtents chunk resolution did not converge in $maxRounds rounds")
@@ -515,6 +566,15 @@ object SuffixSpans {
     * the raw id). */
   private[graft] val CoPartConfKey = "spark.graft.saCopartition"
 
+  /** Token-comparison budget per task for the chunked-LCP compare
+    * stage (work-aware repartition; <= 0 disables the pin and leaves
+    * the stage entirely to AQE). The default targets ~100 ms tasks on
+    * one core; at real scale factors the stage carries enough bytes to
+    * split on byte-based knobs anyway, and the pin is capped at the
+    * session's shuffle partition count, so the setting only matters
+    * where AQE's byte heuristic and the CPU cost disagree. */
+  private[graft] val LcpTokensPerTaskKey = "spark.graft.lcpTokensPerTask"
+
   /** Longest-document cap (tokens) for the co-partitioned loop: a
     * build containing any doc longer than this routes to the join
     * loop (and never adaptively switches), because the copart
@@ -579,7 +639,8 @@ object SuffixSpans {
                                           switchedToCoPart: Boolean)
 
   private def doublingJoin(all0: DataFrame, baseWidth: Int, arity: Int,
-                           switchFrac: Double = Double.PositiveInfinity): JoinLoopResult = {
+                           switchFrac: Double = Double.PositiveInfinity,
+                           init: Option[Map[String, Any]] = None): JoinLoopResult = {
     val cols = Seq(col("__kid"), col("n_tokens"), col("pos"), col("__r"))
     // frozen pieces (classes proven singleton) + the active remainder;
     // their union is the full rank table at any round
@@ -606,15 +667,32 @@ object SuffixSpans {
     // rounds provably refine nothing while still paying a sort each.
     // A corpus whose longest doc is 4096 tokens but whose ambiguous
     // classes are all short repeats would otherwise pay ~9 dead
-    // rounds. One aggregate replaces the isEmpty probe (same job
-    // count per round, strictly more information).
+    // rounds.
+    // ROUND 19 (guide §1.2 — remove serial driver passes): the stats
+    // aggregate now rides the newPend CHECKPOINT's own materialization
+    // (CollectMetrics) instead of a separate per-round job. Gate
+    // discipline: an OPEN observed gate is safe to trust (worst case a
+    // dead round that refines nothing), but a CLOSED one is
+    // exactness-bearing, so gateOpen() re-confirms any close with this
+    // exact aggregate before the loop may exit; a missing metric
+    // (listener hiccup) falls back to it too. The observed row count
+    // only routes the copart switch — cost, never correctness.
     def pendStats(): (Long, Long) = { // (max remaining length, rows); (0,0) when empty
       val r = pend.agg(max(col("n_tokens") - col("pos")), count(lit(1))).first()
       if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     }
-    lazy val nAll: Long = all0.count() // cheap: all0 is checkpointed
-    var stats = pendStats()
-    while (span < stats._1) {
+    lazy val nAll: Long = init.map(graft.Observed.longOf(_, "n"))
+      .getOrElse(all0.count()) // cheap fallback: all0 is checkpointed
+    var stats: (Long, Long) = init
+      .map(m => (graft.Observed.longOf(m, "mx"), graft.Observed.longOf(m, "cnt")))
+      .getOrElse(pendStats())
+    var statsExact = init.isEmpty
+    def gateOpen(): Boolean = span < stats._1 || {
+      if (!statsExact) { stats = pendStats(); statsExact = true }
+      span < stats._1
+    }
+    val gc = graft.LoopGc.ticker(all0.sparkSession)
+    while (gateOpen()) {
       if (stats._2 > switchFrac * nAll) {
         // the pending set is corpus-sized: every further join round
         // would exchange ~n rows for its partner lookup — lay the
@@ -628,7 +706,7 @@ object SuffixSpans {
         (frozenParts :+ pend).foreach(graft.Checkpoints.free)
         graft.Checkpoints.free(all0) // its round-0 splits + nAll are long done
         return JoinLoopResult(
-          copartLoop(laid, span, stats._1, arity),
+          copartLoop(laid, span, stats._1, statsExact, arity),
           switchedToCoPart = true)
       }
       val rankedView = (frozenParts :+ pend).reduce(_ unionByName _)
@@ -670,8 +748,11 @@ object SuffixSpans {
           (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
       frozenParts += graft.Checkpoints.checkpoint(
         refined.filter(!col("__amb")).select(cols: _*))
+      val obs = org.apache.spark.sql.Observation()
       val newPend = graft.Checkpoints.checkpoint(
-        refined.filter(col("__amb")).select(cols: _*))
+        refined.filter(col("__amb")).select(cols: _*)
+          .observe(obs, max(col("n_tokens") - col("pos")).as("mx"),
+            count(lit(1)).as("cnt")))
       // refined and the old pending set are now superseded — both of
       // their consumers (the frozen piece and newPend; rankedView's
       // lookup ran inside refined's own materialization) are eagerly
@@ -683,7 +764,11 @@ object SuffixSpans {
       graft.Checkpoints.free(pend)
       pend = newPend
       span *= arity
-      stats = pendStats()
+      val m = graft.Observed.metrics(obs)
+      stats = m.map(mm => (graft.Observed.longOf(mm, "mx"),
+        graft.Observed.longOf(mm, "cnt"))).getOrElse(pendStats())
+      statsExact = m.isEmpty
+      gc.tick() // bound dead-shuffle residency in long builds (LoopGc)
     }
     // classes still ambiguous when the gate closes are genuinely
     // identical suffixes (to their doc ends) — their shared rank is
@@ -728,13 +813,18 @@ object SuffixSpans {
     * planted-truth extents suites (both loops produce identical
     * extents), plus in-pass density asserts that fail loudly if the
     * layout invariant is ever broken. */
-  private def doublingCoPartitioned(all0: DataFrame, baseWidth: Int, arity: Int): DataFrame = {
-    val gate = gateOf(all0)
+  private def doublingCoPartitioned(all0: DataFrame, baseWidth: Int, arity: Int,
+                                    init: Option[Map[String, Any]] = None): DataFrame = {
+    // observed gate (riding all0's checkpoint job) trusted while OPEN;
+    // a close — here the early return — is re-confirmed exactly first
+    var gate = init.map(graft.Observed.longOf(_, "mx")).getOrElse(gateOf(all0))
+    var gateExact = init.isEmpty
+    if (baseWidth.toLong >= gate && !gateExact) { gate = gateOf(all0); gateExact = true }
     if (baseWidth.toLong >= gate) // round 0 individuated everything still pending
       return all0.select("__kid", "n_tokens", "pos", "__r") // lazy view: all0 must stay
     val laid = copartLayout(all0) // eager: all0 fully consumed here
     graft.Checkpoints.free(all0)
-    copartLoop(laid, baseWidth.toLong, gate, arity)
+    copartLoop(laid, baseWidth.toLong, gate, gateExact, arity)
   }
 
   private def gateOf(d: DataFrame): Long = { // max remaining length over
@@ -756,23 +846,39 @@ object SuffixSpans {
   }
 
   private def copartLoop(table0: DataFrame, startSpan: Long, startGate: Long,
-                         arity: Int): DataFrame = {
+                         startGateExact: Boolean, arity: Int): DataFrame = {
     var table = table0
     var span = startSpan
     var gate = startGate
-    while (span < gate) {
+    var gateExact = startGateExact
+    // observed-gate discipline (see doublingJoin): trust an OPEN gate,
+    // exactly re-confirm a CLOSE before exiting. The confirm reads the
+    // merged table — its ambiguous set IS the last delta's (frozen
+    // rows never re-enter the pending set).
+    def gateOpen(): Boolean = span < gate || {
+      if (!gateExact) { gate = gateOf(table); gateExact = true }
+      span < gate
+    }
+    val gc = graft.LoopGc.ticker(table0.sparkSession)
+    while (gateOpen()) {
       val paired = pairedRows(table, span, arity)
       val partnerCols = (1 until arity).map(j => s"__p$j")
       // within class [r, r+s): new rank = r + __sh − __ch, exactly as
       // in the join loop (the refinement sort is shared machinery)
       val sub = GlobalOrder.withHeadRankFlagged(paired, Seq(col("__r")),
         partnerCols.map(col), "__sh", "__amb", Some("__ch"))
+      // the round gate rides the delta layout's own checkpoint job
+      // (CollectMetrics over the pending rows), not a separate
+      // per-round aggregate; frozen rows never re-enter the pending
+      // set, so the delta's ambiguous rows ARE the new pending set
+      val obs = org.apache.spark.sql.Observation()
       val delta = copartLayout(sub.select(col("__kid"), col("n_tokens"), col("pos"),
-        (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb")))
-      // frozen rows never re-enter the pending set, so the NEW pending
-      // set is exactly the delta's ambiguous rows — the gate reads the
-      // (checkpointed, pending-sized) delta, not the merged table
-      gate = gateOf(delta)
+        (col("__r") + col("__sh") - col("__ch")).as("__r"), col("__amb"))
+        .observe(obs,
+          max(when(col("__amb"), col("n_tokens") - col("pos"))).as("mx")))
+      val m = graft.Observed.metrics(obs)
+      gate = m.map(graft.Observed.longOf(_, "mx")).getOrElse(gateOf(delta))
+      gateExact = m.isEmpty
       val merged = graft.Checkpoints.checkpoint(mergeSorted(table, delta))
       // the pre-merge table and the delta are superseded once the
       // merged table materializes (eager) — free both, or every
@@ -784,6 +890,7 @@ object SuffixSpans {
       graft.Checkpoints.free(table)
       table = merged
       span *= arity
+      gc.tick() // bound dead-shuffle residency in long builds (LoopGc)
     }
     // classes still ambiguous when the gate closes are genuinely
     // identical suffixes (to their doc ends) — their shared rank is
