@@ -52,7 +52,7 @@ object JobProfile {
     // per-stage census: (stageId, numTasks, wallMs, summed task ms) —
     // the single-task-heavy-stage detector (a long stage with 1 task
     // while 31 cores idle is the AQE-coalesced CPU-dense shape)
-    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]()
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs += 1
@@ -76,8 +76,11 @@ object JobProfile {
           val i = s.stageInfo
           val wall = (for (a <- i.submissionTime; b <- i.completionTime)
             yield b - a).getOrElse(0L)
+          val site = i.details.split('\n')
+            .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+            .map(_.trim).getOrElse(i.name.take(60))
           stageLog.add((i.stageId, i.numTasks, wall,
-            i.taskMetrics.executorRunTime))
+            i.taskMetrics.executorRunTime, site.take(90)))
         }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
@@ -141,8 +144,8 @@ object JobProfile {
         // widest first — a multi-second 1-task row here is the
         // AQE-coalesced CPU-dense shape (guide §2 partition-by-work)
         val sl = stageLog.asScala.toSeq.filter(_._3 >= 200).sortBy(-_._3).take(15)
-        sl.foreach { case (sid, nt, wms, trun) =>
-          println(f"  stage $sid%4d tasks=$nt%3d wall=${wms / 1e3}%7.2fs taskRun=${trun / 1e3}%7.2fs")
+        sl.foreach { case (sid, nt, wms, trun, nm) =>
+          println(f"  stage $sid%4d tasks=$nt%3d wall=${wms / 1e3}%7.2fs taskRun=${trun / 1e3}%7.2fs  $nm")
         }
       }
     }

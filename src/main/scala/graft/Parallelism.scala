@@ -26,7 +26,21 @@ object Parallelism {
     * exchange wins. */
   private val MinSpreadBytes = BigInt(4L << 20)
 
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = spread(df, 1)
+
+  /** Work-aware spread (guide §2: partition by WORK, not bytes — the
+    * r19 census caught a 5.65 s single-task probe-enumeration stage
+    * behind a 580 KB scan): `workHint` is the operator's rough
+    * per-byte work multiple relative to the baseline shingle explode
+    * the 4 MiB gate was measured on, and it divides the byte gate —
+    * an operator doing ~100× the work per input byte (the PassJoin
+    * probe enumeration at ~(τ+1)²·c rows per head, the suffix
+    * position explode) earns the exchange at ~40 KB of input, where
+    * a plain explode still doesn't. The hint affects only WHEN the
+    * round-robin exchange is inserted, never results; at real scale
+    * factors every caller is past both gates and the branch is the
+    * same no-op as before. */
+  def spread(df: DataFrame, workHint: Int): DataFrame = {
     if (df.isStreaming) return df // partition probing needs a batch plan
     val target = df.sparkSession.sparkContext.defaultParallelism
     // .rdd plans the query (no execution) to read its split count —
@@ -38,7 +52,8 @@ object Parallelism {
     // (the scan's file bytes) gates out inputs too small for the
     // exchange to ever pay for itself.
     if (df.rdd.getNumPartitions * 2 < target &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes > MinSpreadBytes)
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >
+          MinSpreadBytes / math.max(1, workHint))
       df.repartition(target)
     else df
   }

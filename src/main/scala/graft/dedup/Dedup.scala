@@ -213,7 +213,8 @@ object Dedup {
     * the standard "batch-maintained dup-set" streaming composition. */
   def duplicatedGramBloom(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, fpp: Double = 1e-8): graft.functions.BroadcastBloom = {
-    val dup = cached(graft.Parallelism.spread(df)
+    val dup = cached(graft.Parallelism.spread(df, 8) // k-gram explode + hash:
+      // ~k× the input bytes of generated rows per doc (work-aware gate)
       .select(words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= k)
       .select(explode(positionalShingleArray(k)).as("__g"))
@@ -256,12 +257,30 @@ object Dedup {
         (a.getField("sp") +
           when(i.cast("long") > a.getField("le") + 1L, lit(1L)).otherwise(lit(0L))).as("sp"),
         (i + lit(k - 1)).cast("long").as("le")))
-    docs
+    graft.Parallelism.spread(docs, 8) // per-row gram + probe + fold work
+      // is ~10× a plain explode per input byte; without the spread the
+      // whole scoring pass rides the scan's (possibly single) split
       .withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
       .withColumn("__agg", folded)
+      // PUSHDOWN BARRIER (guide §4.4's duplication, the built-in-HOF
+      // analogue of the nondeterministic-UDF fix): consumers filter on
+      // these outputs (every gate keeps dup_fraction > 0), and Catalyst
+      // rewrites such a filter over the whole fold above and pushes it
+      // below every deterministic node INCLUDING the spread exchange —
+      // the operator's most expensive per-row kernel then evaluates
+      // once more inside a filter GLUED TO THE SCAN's split count
+      // (measured at sf0.1: the full corpus re-scored in a 3.7 s
+      // ONE-task scan-stage filter while the 32-way scoring stage
+      // idled). `+ cast(rand()·0.0 as long)` adds exactly 0 — but
+      // double×0 is not constant-foldable (NaN semantics) and rand()
+      // marks the column nondeterministic, so the rewritten filter
+      // cannot be pushed at all and the fold runs once, above the
+      // spread. At real SFs the spread is a no-op and the filter stays
+      // in the scan stage as before, minus the duplicate evaluation.
       .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"),
-        col("__agg.cnt").as("dup_tokens"), col("__agg.sp").as("n_spans"))
+        (col("__agg.cnt") + (rand() * lit(0.0)).cast("long")).as("dup_tokens"),
+        col("__agg.sp").as("n_spans"))
       .withColumn("dup_fraction",
         round(col("dup_tokens").cast("double") / col("n_tokens"), 4))
   }
@@ -308,6 +327,15 @@ object Dedup {
     * input is spread across the session's cores when the scan supplies
     * too few splits ([[graft.Parallelism.spread]]). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    // deliberately the DEFAULT spread gate (no work hint): a hinted
+    // spread of this cache was measured-and-REJECTED in r19 — the
+    // banded/minhash consumers run many small aggregation stages over
+    // the cache, and 32-way partitions at a 580 KB corpus cost more in
+    // per-stage task overhead than the explode parallelism bought
+    // (interleaved fresh-JVM A-B ×3: q_dedup_ngram_banded 2.75→2.90 s
+    // min and q_split_leakage_safe 4.12→5.24 s min, B losing all
+    // pairs, while the direct-join consumer's win is captured by the
+    // join-layout pin in directFromShingles instead)
     graft.Parallelism.spread(df).withColumn("__ws", words(col(textCol)))
       .filter(size(col("__ws")) >= k)
       .select(col(idCol), explode(shingleArray(k)).as("shingle"))
@@ -388,8 +416,19 @@ object Dedup {
   private[dedup] def directFromShingles(sh: DataFrame, idCol: String,
                                         threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(idCol).as("doc1"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc2"), col("shingle"))
+    // JOIN-LAYOUT PIN (guide §2 partition-by-work; r18 verdict item 2):
+    // the meeting stream (Σ per-shingle df² rows) materializes INSIDE
+    // this self-join, invisible to AQE's byte-based coalescing — at
+    // small SF the whole pair computation folded into ONE task (r19
+    // census: a 1.5 s single-task join stage behind a 580 KB corpus).
+    // A user numPartitions repartition is never coalesced, both join
+    // branches read the SAME exchange (ReusedExchange), and the join
+    // reuses the co-partitioning — so the plan pays the one exchange
+    // it always paid, at a pinned width.
+    val shufP = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val byShingle = sh.repartition(shufP, col("shingle"))
+    val a = byShingle.select(col(idCol).as("doc1"), col("shingle"))
+    val b = byShingle.select(col(idCol).as("doc2"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
     jaccardFromIntersections(inter, sizes, idCol, threshold)

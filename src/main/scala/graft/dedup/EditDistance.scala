@@ -262,7 +262,14 @@ object EditDistance {
     // long so the fused verify can refute most candidates with a
     // 16-nibble L1 bound (ed ≥ nibbleL1/2) before paying the banded
     // DP. Cost: 8 bytes per cached/shuffled head row.
-    val heads = Dedup.cachedCorpus(graft.Parallelism.spread(df)
+    // workHint 64: every cached head feeds the probe ENUMERATION
+    // (~(τ+1)²·c ≈ hundreds of generated rows per head — the operator's
+    // dominant map cost) plus the segment explode and three sampled
+    // enumerations, all narrow over THIS cache's partitioning. The r19
+    // census measured the enumeration at 5.65 s on ONE task behind a
+    // 580 KB scan (31 cores idle) because the plain 4 MiB spread gate
+    // never fired at sf0.1-class inputs.
+    val heads = Dedup.cachedCorpus(graft.Parallelism.spread(df, 64)
       .select(col(idCol).as("id"),
         substring(col(textCol), 1, headChars).as("__h"))
       .withColumn("__len", length(col("__h")))

@@ -236,7 +236,11 @@ object SuffixSpans {
   private def computeExtentsDistinct(df: DataFrame, idCol: String, textCol: String,
                                      minLen: Int, maxRounds: Int,
                                      baseWidth: Int, arity: Int): DataFrame = {
-    val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df)
+    // workHint 8: this cache feeds the round-0 suffix explode (one row
+    // per token position, each carrying a baseWidth-token slice key —
+    // ~8× the input bytes before the sort) and the gram prefilter
+    // explode, both narrow over the cache's partitioning
+    val docsArr = Dedup.cachedCorpus(graft.Parallelism.spread(df, 8)
       .select(col(idCol), words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= minLen)
       .select(col(idCol), col("__ws"), size(col("__ws")).cast("long").as("n_tokens")))

@@ -96,6 +96,13 @@ object GraftBloom {
     val words = wordsL.toInt
     val spark = hashes.sparkSession
     import spark.implicits._
+    // NOTE (r19, measured-and-REJECTED): repartitioning a coalesced
+    // single-partition hash frame across the cores before the insert
+    // pass LOST 3/3 interleaved fresh-JVM pairs on the contamination
+    // bloom (1.95 → 2.36 s min) — each extra partition ships one
+    // FULL-SIZE partial bitset into the OR-reduce, and at bench-scale
+    // filters that shipping outweighs the parallelized inserts. Kept
+    // single-pass-per-partition over whatever layout the input has.
     val rdd = hashes.select(hashCol).as[Long].rdd
     val perPart = rdd.mapPartitions { it =>
       val a = new Array[Long](words)
